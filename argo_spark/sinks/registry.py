@@ -1,0 +1,81 @@
+"""Format registry + sniffing (SURVEY §2.1 S7).
+
+Mirrors the reference's ``Formats`` map and lookup helpers
+(/root/reference/argo.go:64-151,179-215) with the MIME-matching bug
+fixed: the reference uses ``strings.Index(...) > 0`` and so misses a
+match at position 0 (argo.go:183,188); we use proper containment.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+
+@dataclass
+class Format:
+    id: str
+    name: str
+    preferred_mime: str
+    preferred_ext: str
+    other_mimes: list[str] = field(default_factory=list)
+    other_exts: list[str] = field(default_factory=list)
+    reader: Optional[Callable] = None  # (spark, path) -> (triples, errors)|triples
+    writer: Optional[Callable] = None  # (df, path, ...) -> None
+
+
+def _load():
+    from argo_spark import ntriples
+    from argo_spark.sinks import writers
+
+    def read_nt(spark, path):
+        return ntriples.read_ntriples(spark, path)
+
+    return {
+        "ntriples": Format(
+            "ntriples", "NTriples", "text/plain", ".nt",
+            reader=read_nt, writer=ntriples.write_ntriples,
+        ),
+        "turtle": Format(
+            "turtle", "Turtle", "text/turtle", ".ttl",
+            other_mimes=["application/x-turtle"],
+            writer=writers.write_turtle,
+        ),
+        "json": Format(
+            "json", "RDF/JSON", "application/json", ".json",
+            writer=lambda df, path, mode="overwrite": writers.rdfjson_lines(df)
+            .select("json")
+            .write.mode(mode)
+            .text(path),
+        ),
+        "rdfxml": Format(
+            "rdfxml", "RDF/XML", "application/rdf+xml", ".rdf",
+            other_exts=[".xml"],
+        ),
+        "rdfa": Format(
+            "rdfa", "RDFA", "text/html", ".html",
+            other_mimes=["text/xhtml"], other_exts=[".htm"],
+        ),
+    }
+
+
+FORMATS: dict[str, Format] = _load()
+
+
+def format_from_filename(path: str) -> Optional[Format]:
+    """Extension-based dispatch (argo.go:196-215)."""
+    for fmt in FORMATS.values():
+        for ext in [fmt.preferred_ext] + fmt.other_exts:
+            if path.endswith(ext):
+                return fmt
+    return None
+
+
+def format_from_mime(mime: str) -> Optional[Format]:
+    """Substring MIME matching with correct position-0 semantics
+    (fixes argo.go:183,188)."""
+    for fmt in FORMATS.values():
+        for m in [fmt.preferred_mime] + fmt.other_mimes:
+            if m in mime:
+                return fmt
+    return None

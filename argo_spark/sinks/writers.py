@@ -1,0 +1,299 @@
+"""Grouped serializers: Turtle (K2), RDF/JSON (K4), RDF/XML (K3).
+
+Each mirrors the reference's output layout; where the reference's
+output order is Go-map-iteration-random (prefix headers, subject
+blocks — e.g. /root/reference/turtleserializer.go:44,58), ours is
+deterministic (sorted) — a documented divergence that makes outputs
+reproducible across runs and parallelism levels.
+
+All three group by subject. The groupings are plain shuffles on the
+subject key; Turtle and RDF/JSON stay entirely in column expressions
+(whole-stage codegen), RDF/XML uses one applyInPandas stage for the
+nested element layout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+from xml.sax.saxutils import escape as _xml_escape
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from argo_spark.namespaces import NAMESPACES, RDF_TYPE, split_prefix, split_prefix_base, split_prefix_local
+from argo_spark.terms import (
+    KIND_BLANK,
+    KIND_IRI,
+    KIND_LITERAL,
+    escape_literal_col,
+    term_nt_col,
+)
+
+
+def _prefix_map_col(prefixes: dict[str, str]) -> Column:
+    """base_uri -> prefix literal map column (broadcast-sized, ~40
+    entries — the static table replacing prefix.cc lookups)."""
+    pairs = []
+    for prefix, base in sorted(prefixes.items()):
+        pairs.append(F.lit(base))
+        pairs.append(F.lit(prefix))
+    return F.create_map(*pairs)
+
+
+def _qname_or_iri(value: Column, pmap: Column) -> Column:
+    """Turtle term encoding for IRIs: ``prefix:local`` when the
+    split_prefix base is bound, else ``<uri>``
+    (turtleserializer.go:18-27)."""
+    base = split_prefix_base(value)
+    local = split_prefix_local(value)
+    prefix = F.element_at(pmap, base)
+    return F.when(
+        prefix.isNotNull(), F.concat(prefix, F.lit(":"), local)
+    ).otherwise(F.concat(F.lit("<"), value, F.lit(">")))
+
+
+def _turtle_term(kind: Column, value: Column, lang, dt, pmap: Column) -> Column:
+    lit_body = F.concat(F.lit('"'), escape_literal_col(value), F.lit('"'))
+    if lang is not None:
+        lit_full = (
+            F.when(
+                lang.isNotNull() & (lang != F.lit("")),
+                F.concat(lit_body, F.lit("@"), lang),
+            )
+            .when(dt.isNotNull(), F.concat(lit_body, F.lit("^^<"), dt, F.lit(">")))
+            .otherwise(lit_body)
+        )
+    else:
+        lit_full = lit_body
+    return (
+        F.when(kind == KIND_IRI, _qname_or_iri(value, pmap))
+        .when(kind == KIND_BLANK, F.concat(F.lit("_:"), value))
+        .otherwise(lit_full)
+    )
+
+
+def turtle_blocks(
+    df: DataFrame, prefixes: Optional[dict[str, str]] = None
+) -> DataFrame:
+    """One row per subject: the Turtle block
+
+        S\\n  p1 o1 ;\\n  p2 o2 ;\\n  .\\n
+
+    — the reference's exact block layout including the trailing ``;``
+    after EVERY p-o pair (turtleserializer.go:58-81). p-o lines sorted
+    for determinism. Written via .text each row gains the final
+    newline, reproducing the blank line between blocks."""
+    pmap = _prefix_map_col(prefixes if prefixes is not None else NAMESPACES)
+    s_enc = _turtle_term(F.col("s_kind"), F.col("s_value"), None, None, pmap)
+    p_enc = _qname_or_iri(F.col("p_value"), pmap)
+    o_enc = _turtle_term(
+        F.col("o_kind"), F.col("o_value"), F.col("o_lang"), F.col("o_dt"), pmap
+    )
+    line = F.concat(F.lit("  "), p_enc, F.lit(" "), o_enc, F.lit(" ;"))
+    return (
+        df.select(s_enc.alias("s_enc"), line.alias("line"))
+        .groupBy("s_enc")
+        .agg(F.array_sort(F.collect_list("line")).alias("lines"))
+        .select(
+            F.concat(
+                F.col("s_enc"),
+                F.lit("\n"),
+                F.array_join("lines", "\n"),
+                F.lit("\n  .\n"),
+            ).alias("block")
+        )
+    )
+
+
+def turtle_header(prefixes: Optional[dict[str, str]] = None) -> str:
+    p = prefixes if prefixes is not None else NAMESPACES
+    return (
+        "".join(
+            f"@prefix {prefix}: <{base}> .\n" for prefix, base in sorted(p.items())
+        )
+        + "\n"
+    )
+
+
+def turtle_string(df: DataFrame, prefixes: Optional[dict[str, str]] = None) -> str:
+    """Whole document as one string (tests / small graphs)."""
+    blocks = [r.block for r in turtle_blocks(df, prefixes).collect()]
+    return turtle_header(prefixes) + "\n".join(sorted(blocks))
+
+
+def write_turtle(
+    df: DataFrame, path: str, prefixes: Optional[dict[str, str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Distributed Turtle: block rows as text (each row ends with the
+    inter-block blank line once .text appends its newline); the prefix
+    header goes to ``<path>/_PREFIXES.ttl`` part."""
+    turtle_blocks(df, prefixes).select(F.col("block").alias("value")).write.mode(
+        mode
+    ).text(path)
+    # header as a sidecar written via the same FS the writer used
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(turtle_header(prefixes).rstrip("\n"),)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(path.rstrip("/") + "._prefixes")
+
+
+# ---------------------------------------------------------------------------
+# RDF/JSON (K4) — Talis shape, valid-JSON variant
+# ---------------------------------------------------------------------------
+
+def rdfjson_lines(df: DataFrame) -> DataFrame:
+    """One JSON object per subject:
+    ``{"<s>": {"<p>": [{"type": ..., "value": ..., ...}]}}``.
+
+    Shape per /root/reference/json.go:26-99 with the documented fixes:
+    valid double-quoted JSON and proper value escaping (the reference
+    emits single quotes and raw values, json.go:38,58,80-92). Subject/
+    predicate keys are the NT lexical forms — the IndexStore grouping
+    keys the reference serializer iterates (indexstore.go:40-47)."""
+    s_key = term_nt_col(F.col("s_kind"), F.col("s_value"))
+    p_key = F.concat(F.lit("<"), F.col("p_value"), F.lit(">"))
+    obj = F.struct(
+        F.when(F.col("o_kind") == KIND_IRI, F.lit("uri"))
+        .when(F.col("o_kind") == KIND_BLANK, F.lit("bnode"))
+        .otherwise(F.lit("literal"))
+        .alias("type"),
+        F.when(
+            F.col("o_kind") == KIND_BLANK, F.concat(F.lit("_:"), F.col("o_value"))
+        )
+        .otherwise(F.col("o_value"))
+        .alias("value"),
+        F.when(
+            (F.col("o_kind") == KIND_LITERAL)
+            & F.col("o_lang").isNotNull()
+            & (F.col("o_lang") != ""),
+            F.col("o_lang"),
+        ).alias("lang"),
+        F.when(
+            (F.col("o_kind") == KIND_LITERAL)
+            & (F.col("o_lang").isNull() | (F.col("o_lang") == ""))
+            & F.col("o_dt").isNotNull(),
+            F.col("o_dt"),
+        ).alias("datatype"),
+    )
+    per_pred = (
+        df.select(s_key.alias("s_key"), p_key.alias("p_key"), obj.alias("obj"))
+        .groupBy("s_key", "p_key")
+        .agg(F.array_sort(F.collect_list("obj")).alias("objs"))
+    )
+    per_subj = per_pred.groupBy("s_key").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("p_key", "objs")))
+        ).alias("preds")
+    )
+    return per_subj.select(
+        F.col("s_key"),
+        F.to_json(F.map_from_entries(F.array(F.struct("s_key", "preds")))).alias(
+            "json"
+        ),
+    )
+
+
+def rdfjson_string(df: DataFrame) -> str:
+    """Whole graph as one valid-JSON document (tests / small graphs)."""
+    lines = sorted(r.json for r in rdfjson_lines(df).collect())
+    inner = ",".join(ln[1:-1] for ln in lines)
+    return "{" + inner + "}"
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML (K3)
+# ---------------------------------------------------------------------------
+
+def _xml(s: str) -> str:
+    return _xml_escape(s, {'"': "&quot;"})
+
+
+def rdfxml_blocks(
+    df: DataFrame, prefixes: Optional[dict[str, str]] = None
+) -> DataFrame:
+    """One row per subject: the ``<Type rdf:about=...>...</Type>``
+    element per /root/reference/rdfxml.go:181-333. The element name is
+    ONE extracted rdf:type (the reference takes the first seen,
+    rdfxml.go:189-198 — ours is the deterministic minimum); remaining
+    triples become property elements."""
+    p = prefixes if prefixes is not None else NAMESPACES
+    pmap = {base: prefix for prefix, base in p.items()}
+
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        s_kind, s_value = key
+        if s_kind == KIND_IRI:
+            subj_attr = f'rdf:about="{_xml(s_value)}"'
+        else:
+            subj_attr = f'rdf:nodeID="{_xml(s_value)}"'
+
+        type_iri = None
+        rows = pdf.sort_values(["p_value", "o_kind", "o_value"]).to_dict("records")
+        rest = []
+        for r in rows:
+            if (
+                type_iri is None
+                and r["p_value"] == RDF_TYPE
+                and r["o_kind"] == KIND_IRI
+            ):
+                type_iri = r["o_value"]
+                continue
+            rest.append(r)
+
+        def qname(uri):
+            base, name = split_prefix(uri)
+            pref = pmap.get(base)
+            if pref is not None:
+                return f"{_xml(pref)}:{_xml(name)}", None
+            return _xml(name), base
+
+        if type_iri is not None:
+            tq, tbase = qname(type_iri)
+            opening = (
+                f'  <{tq} xmlns="{_xml(tbase)}" {subj_attr}>\n'
+                if tbase
+                else f"  <{tq} {subj_attr}>\n"
+            )
+            closing = f"  </{tq}>\n"
+        else:
+            opening = f"  <rdf:Description {subj_attr}>\n"
+            closing = "  </rdf:Description>\n"
+
+        parts = [opening]
+        for r in rest:
+            pq, pbase = qname(r["p_value"])
+            head = (
+                f'    <{pq} xmlns="{_xml(pbase)}"' if pbase else f"    <{pq}"
+            )
+            if r["o_kind"] == KIND_IRI:
+                parts.append(f'{head} rdf:resource="{_xml(r["o_value"])}" />\n')
+            elif r["o_kind"] == KIND_BLANK:
+                parts.append(f'{head} rdf:nodeID="{_xml(r["o_value"])}" />\n')
+            else:
+                attrs = ""
+                if r["o_lang"]:
+                    attrs = f' xml:lang="{_xml(r["o_lang"])}"'
+                elif r["o_dt"] is not None:
+                    attrs = f' rdf:datatype="{_xml(r["o_dt"])}"'
+                parts.append(f'{head}{attrs}>{_xml(r["o_value"])}</{pq}>\n')
+        parts.append(closing)
+        return pd.DataFrame({"block": ["".join(parts)]})
+
+    return df.groupBy("s_kind", "s_value").applyInPandas(render, schema="block string")
+
+
+def rdfxml_header(prefixes: Optional[dict[str, str]] = None) -> str:
+    p = prefixes if prefixes is not None else NAMESPACES
+    lines = ['<rdf:RDF\n  xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n']
+    for prefix, base in sorted(p.items()):
+        if prefix != "rdf":
+            lines.append(f'  xmlns:{_xml(prefix)}="{_xml(base)}"\n')
+    lines.append(">\n")
+    return "".join(lines)
+
+
+def rdfxml_string(df: DataFrame, prefixes: Optional[dict[str, str]] = None) -> str:
+    blocks = sorted(r.block for r in rdfxml_blocks(df, prefixes).collect())
+    return rdfxml_header(prefixes) + "".join(blocks) + "</rdf:RDF>\n"
