@@ -1,0 +1,386 @@
+"""Deduplication operators (SURVEY §2.3 G14 + §2.6 net-new stages).
+
+The reference's only dedup is implicit serializer grouping
+(/root/reference/json.go:13-16) — the explicit "squish" plus the
+training-data-pipeline dedup family live here:
+
+* exact dedup (hash groupBy on content),
+* MinHash + LSH near-dup (shingle → minhash → band → bucket join),
+* SimHash (64-bit, Hamming-bucketed),
+* n-gram Jaccard verification joins,
+* MinHash-LSH *entity* dedup over surface forms with connected
+  components and winner-IRI rewrite (the north-star stage).
+
+Scale notes: every self-join is bucketed by a band/bucket key so the
+shuffle key cardinality is high and no O(n²) pair explosion happens
+outside buckets; hot shingles are document-frequency-capped (stop
+shingles cause quadratic bucket blowup at web scale); connected
+components is iterative min-label propagation — O(log diameter)
+shuffles, diameters of near-dup clusters are tiny.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from argo_spark.namespaces import DBP, FOAF, SCHEMA
+from argo_spark.terms import KIND_IRI
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, content_cols: Sequence[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per identical content (deterministic winner).
+
+    Map-side partial aggregation makes this one shuffle on the content
+    hash; at 100 TB bucket the table by the hash to skip even that."""
+    h = F.xxhash64(*[F.col(c) for c in content_cols]).alias("_h")
+    win = df.select(F.col(id_col), h).groupBy("_h").agg(
+        F.min(id_col).alias(id_col)
+    )
+    return df.join(win, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash signatures
+# ---------------------------------------------------------------------------
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles as an array column (JVM-side)."""
+    n = F.greatest(F.length(col) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.substring(col, i, k)
+        )
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
+    """Array of n_hashes minima of seeded xxhash64 over the shingle set.
+
+    One expression tree, whole-stage codegen, no UDF."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "sig",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: equal band-slices become bucket keys; the self-join
+    happens per (band, bucket) — distinct candidate pairs (a < b)."""
+    bands = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.element_at(F.col(sig_col), b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .dropDuplicates()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingles",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard over the candidate pairs only — (a, b, jaccard)."""
+    sh = shingled.select(F.col(id_col).alias("_sid"), F.col(shingle_col).alias("_sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed("_sid", "a").withColumnRenamed("_sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed("_sid", "b").withColumnRenamed("_sh", "sh_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dup pair detection: (a, b, jaccard)."""
+    shingled = df.select(
+        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    sigs = shingled.select(
+        F.col(id_col), minhash_signature(F.col("shingles"), n_hashes).alias("sig")
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, n_bands=n_bands, rows_per_band=n_hashes // n_bands
+    )
+    return jaccard_verify(pairs, shingled, id_col, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) near-dup
+# ---------------------------------------------------------------------------
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens, pure column expressions:
+    bit j = sign of Σ_tokens (bit j of xxhash64(token) ? +1 : -1).
+
+    The per-bit shift amounts are Python ints (shiftright needs
+    literals), and the vote array is referenced exactly once so the
+    expression tree stays linear in plan size."""
+    tokens = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("long")
+                    for j in range(64)
+                ]
+            ),
+            lambda a, bit: a + F.when(bit == 1, 1).otherwise(-1),
+        ),
+    )
+    bitvals = F.array(
+        *[
+            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+            for j in range(64)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            bitvals,
+            lambda v, bv: F.when(v > 0, bv).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, n_blocks: int = 4
+) -> DataFrame:
+    """Hamming-LSH: split the 64-bit simhash into n_blocks 16-bit
+    blocks; near-dups (distance < n_blocks) share at least one block."""
+    with_sh = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("sh"))
+    bits = 64 // n_blocks
+    blocks = with_sh.select(
+        "_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), b * bits).bitwiseAND(
+                        F.lit((1 << bits) - 1)
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("block", "key"),
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("a"),
+            F.col("r._id").alias("b"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Connected components (iterative min-label propagation)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """(a, b) edges -> (id, comp) with comp = component-min id.
+
+    O(log diameter) joins; each iteration localCheckpoints to cut
+    lineage. Near-dup clusters have tiny diameters, so this converges
+    in 2-4 rounds; convergence is detected by an aggregate signature
+    (one cheap action per round)."""
+    edges = edges.select("a", "b").dropDuplicates().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .union(edges.select("b"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges.a == labels.id)
+            .select(F.col("b").alias("id"), "comp")
+            .union(
+                edges.join(labels, edges.b == labels.id).select(
+                    F.col("a").alias("id"), "comp"
+                )
+            )
+        )
+        labels = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        sig = labels.agg(
+            F.bit_xor(F.xxhash64("id", "comp")).alias("s")
+        ).collect()[0].s
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# Entity dedup over the triples table (north-star stage)
+# ---------------------------------------------------------------------------
+
+NAME_PREDICATES = (SCHEMA + "name", FOAF + "name")
+
+
+def entity_surface_forms(triples: DataFrame, iri_prefix: str = DBP) -> DataFrame:
+    """(entity, name) pairs: entity IRIs under ``iri_prefix`` with
+    their name literals — the dedup keying surface."""
+    return (
+        triples.where(
+            (F.col("s_kind") == KIND_IRI)
+            & F.col("s_value").startswith(iri_prefix)
+            & F.col("p_value").isin(list(NAME_PREDICATES))
+        )
+        .select(F.col("s_value").alias("entity"), F.col("o_value").alias("name"))
+        .dropDuplicates()
+    )
+
+
+def entity_dedup_mapping(
+    triples: DataFrame,
+    iri_prefix: str = DBP,
+    shingle_k: int = 3,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """(entity, canonical) rewrite map via MinHash-LSH on the combined
+    surface form 'name + IRI local tail', verified by Jaccard, merged
+    by connected components; canonical = min IRI of the component.
+
+    Identity rows (entity == canonical) are omitted — the map is the
+    small side of a broadcast join."""
+    surf = entity_surface_forms(triples, iri_prefix).groupBy("entity").agg(
+        F.min("name").alias("name")
+    )
+    keyed = surf.select(
+        F.col("entity"),
+        F.lower(
+            F.concat(
+                F.col("name"),
+                F.lit(" "),
+                F.regexp_replace(
+                    F.element_at(F.split(F.col("entity"), "/"), -1), "[_()%]", " "
+                ),
+            )
+        ).alias("surface"),
+    )
+    pairs = minhash_dedup_pairs(
+        keyed, "entity", "surface", shingle_k=shingle_k,
+        n_hashes=32, n_bands=16, threshold=threshold,
+    )
+    comps = connected_components(pairs.select("a", "b"))
+    return comps.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("entity"), F.col("comp").alias("canonical")
+    )
+
+
+def apply_entity_mapping(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite subject/object IRIs through the (entity -> canonical)
+    map. The map is tiny relative to the triples — broadcast both
+    joins; no shuffle of the big side."""
+    m = F.broadcast(mapping)
+    out = (
+        triples.join(
+            m.withColumnRenamed("entity", "s_value").withColumnRenamed(
+                "canonical", "_s_canon"
+            ),
+            "s_value",
+            "left",
+        )
+        .join(
+            m.withColumnRenamed("entity", "o_value").withColumnRenamed(
+                "canonical", "_o_canon"
+            ),
+            "o_value",
+            "left",
+        )
+        .withColumn(
+            "s_value",
+            F.when(
+                (F.col("s_kind") == KIND_IRI) & F.col("_s_canon").isNotNull(),
+                F.col("_s_canon"),
+            ).otherwise(F.col("s_value")),
+        )
+        .withColumn(
+            "o_value",
+            F.when(
+                (F.col("o_kind") == KIND_IRI) & F.col("_o_canon").isNotNull(),
+                F.col("_o_canon"),
+            ).otherwise(F.col("o_value")),
+        )
+        .drop("_s_canon", "_o_canon")
+    )
+    return out

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (driver brief):
+brute-force cosine top-k baseline + LSH-bucketed scale path.
+
+Embeddings are ``array<float>`` columns; all math is JVM-side
+(``zip_with``/``aggregate``) — no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is small (broadcast) — the plan is scan × broadcast with
+    no shuffle until the final per-query top-k window. Ties broken by
+    neighbor id after rounding, so results are engine-stable."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(q)
+        .where(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cos", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def hyperplane_buckets(
+    vec: Column, dim: int, n_planes: int = 12, seed: int = 7
+) -> Column:
+    """Random-hyperplane LSH bucket id: sign pattern of n_planes
+    pseudo-random projections. Plane coefficients are a deterministic
+    hash of (seed, plane, coordinate) — reproducible on any executor
+    with no broadcast state."""
+    def plane_dot(p: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda j: (
+                        F.pmod(F.xxhash64(F.lit(seed), F.lit(p), j), F.lit(2001)) - 1000
+                    ).cast("double"),
+                ),
+                lambda x, c: x * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bucket = bucket + F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate all-pairs top-k: candidates only within an LSH
+    bucket (the IVF-style scale path — each bucket is a co-partitioned
+    self-join instead of a full cross join)."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    b = emb.select(
+        F.col(id_col), F.col(vec_col),
+        hyperplane_buckets(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    scored = (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("query_id"),
+            F.col(f"r.{id_col}").alias("neighbor_id"),
+            F.round(
+                cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

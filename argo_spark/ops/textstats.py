@@ -1,0 +1,96 @@
+"""Text analysis operators for training-data pipelines (driver brief):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (JVM-side, whole-stage codegen) — these
+run over every document at 100 TB, so no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "nicht"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "con"],
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), r"[^a-zA-Z0-9']+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace/punct token count (the BPE-ish proxy: word pieces)."""
+    return F.size(tokens(col))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-vote language ID: argmax over per-language hit counts;
+    'und' when nothing matches."""
+    toks = tokens(col)
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))
+                ).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ws in _LANG_STOPWORDS.items()
+        ]
+    )
+    best = F.array_max(scores)
+    return F.when(best.hits > 0, best.lang).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality score from surface statistics:
+    length band, alpha ratio, punctuation ratio, mean word length —
+    the usual web-text heuissue heuristics, fixed weights."""
+    length = F.length(col)
+    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(col, r"[^!-/:-@\[-`{-~]", ""))
+    n_tok = token_count(col)
+    alpha_ratio = n_alpha / F.greatest(length, F.lit(1))
+    punct_ratio = n_punct / F.greatest(length, F.lit(1))
+    mean_wordlen = length / F.greatest(n_tok, F.lit(1))
+    len_score = F.least(length / F.lit(500.0), F.lit(1.0))
+    word_score = F.when((mean_wordlen >= 3) & (mean_wordlen <= 12), 1.0).otherwise(0.3)
+    score = (
+        0.3 * len_score
+        + 0.3 * alpha_ratio
+        + 0.2 * (1 - F.least(punct_ratio * 4, F.lit(1.0)))
+        + 0.2 * word_score
+    )
+    return F.round(score, 6)
+
+
+def fingerprint(col: Column, k: int = 8) -> Column:
+    """64-bit document fingerprint: xxhash64 over the min-hashed
+    word-k-gram set of the whitespace-normalized lowercase text (a
+    rolling-hash-style content id, robust to whitespace changes)."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    toks = tokens(norm)
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    return F.xxhash64(F.array_min(grams), F.array_max(grams), F.size(toks))
+
+
+def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience projection adding all four stats."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "lang_pred": lang_id(c),
+            "quality": quality_score(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

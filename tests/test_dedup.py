@@ -1,0 +1,93 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, connected components,
+and the north-star entity dedup + winner rewrite."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from argo_spark.namespaces import DBP, RDF_TYPE, SCHEMA
+from argo_spark.ops.dedup import (
+    apply_entity_mapping,
+    connected_components,
+    entity_dedup_mapping,
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash_candidate_pairs,
+)
+from argo_spark.ops.graph import TripleGraph
+from argo_spark.terms import TripleT, iri, literal
+
+BASE = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor incididunt ut labore et dolore magna aliqua"
+
+
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("dolor", "color")),  # near dup of 0
+        (3, "completely different text about spark dataframes and shuffles here"),
+        (4, "the quick brown fox jumps over the lazy dog again and again and again"),
+        (5, BASE + " extra trailing words appended"),  # near dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(docs(spark), ["text"], "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [0, 2, 3, 4, 5]
+
+
+def test_minhash_pairs_find_near_dups(spark):
+    pairs = minhash_dedup_pairs(docs(spark), "doc_id", "text", threshold=0.6)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup
+    assert (0, 5) in got or (1, 5) in got  # near dup
+    # unrelated docs never pair
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_simhash_pairs(spark):
+    pairs = simhash_candidate_pairs(docs(spark), "doc_id", "text")
+    got = {(r.a, r.b): r.hamming for r in pairs.collect()}
+    assert got[(0, 1)] == 0  # identical text, identical simhash
+    near = [h for (a, b), h in got.items() if (a, b) in {(0, 5), (1, 5)}]
+    assert near and min(near) <= 16
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("z", "z2")], "a string, b string"
+    )
+    comps = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert comps["a"] == comps["b"] == comps["c"] == "a"
+    assert comps["x"] == comps["y"] == "x"
+    assert comps["z"] == comps["z2"] == "z"
+
+
+def test_entity_dedup_and_rewrite(spark):
+    ada1 = DBP + "Ada_Lovelace"
+    ada2 = DBP + "Ada_Lovelace_(mathematician)"
+    turing = DBP + "Alan_Turing"
+    gr = TripleGraph.of(
+        spark,
+        [
+            TripleT(iri(ada1), iri(SCHEMA + "name"), literal("Ada Lovelace")),
+            TripleT(iri(ada2), iri(SCHEMA + "name"), literal("Ada Lovelace")),
+            TripleT(iri(turing), iri(SCHEMA + "name"), literal("Alan Turing")),
+            TripleT(iri(ada2), iri(RDF_TYPE), iri(SCHEMA + "Person")),
+            TripleT(iri("http://e/doc"), iri(SCHEMA + "mentions"), iri(ada2)),
+        ],
+    )
+    mapping = entity_dedup_mapping(gr.df)
+    m = {r.entity: r.canonical for r in mapping.collect()}
+    assert m == {ada2: ada1}  # variant folded into min IRI; Turing untouched
+
+    rewritten = apply_entity_mapping(gr.df, mapping)
+    subs = {r.s_value for r in rewritten.select("s_value").collect()}
+    assert ada2 not in subs and ada1 in subs
+    objs = {r.o_value for r in rewritten.where(F.col("o_kind") == 0).collect()}
+    assert ada2 not in objs
+    # literals untouched
+    names = {r.o_value for r in rewritten.where(F.col("o_kind") == 2).collect()}
+    assert "Ada Lovelace" in names
+    assert rewritten.count() == gr.df.count()

@@ -1,0 +1,94 @@
+"""ANN similarity search, text statistics, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from argo_spark.ops.multimodal import extract_media_features, synthesize_media
+from argo_spark.ops.similarity import brute_force_topk, cosine, lsh_topk
+from argo_spark.ops.textstats import document_stats
+
+
+def emb(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, base))
+        if i < 5:  # planted near-neighbors: tiny perturbation of i
+            rows.append((1000 + i, [x + 0.01 for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_column(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    vals = [r.c for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert math.isclose(vals[0], 1.0, abs_tol=1e-6)
+    assert math.isclose(vals[1], 0.0, abs_tol=1e-6)
+
+
+def test_brute_force_topk_finds_planted(spark):
+    e = emb(spark)
+    queries = e.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(e, queries, k=3)
+    best = {r.query_id: r.neighbor_id for r in top.where("rank = 1").collect()}
+    assert best == {i: 1000 + i for i in range(5)}
+
+
+def test_lsh_topk_recall_on_planted(spark):
+    e = emb(spark)
+    top = lsh_topk(e, k=3, n_planes=6)
+    best = {r.query_id: r.neighbor_id for r in top.where("rank = 1").collect()}
+    hits = sum(1 for i in range(5) if best.get(i) == 1000 + i)
+    assert hits >= 4  # LSH is approximate; planted pairs are near-identical
+
+
+def test_document_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The cat and the dog played in the garden with the ball."),
+            (2, "le chat est dans la maison et les enfants sont dans le jardin"),
+            (3, "!!! ??? ###"),
+            (4, "el perro y el gato que juegan en la casa con los amigos"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in document_stats(df).collect()}
+    assert out[1].lang_pred == "en"
+    assert out[2].lang_pred == "fr"
+    assert out[4].lang_pred == "es"
+    assert out[3].lang_pred == "und"
+    assert out[1].n_tokens == 12
+    assert out[1].quality > out[3].quality
+    # fingerprint is whitespace-robust and deterministic
+    df2 = spark.createDataFrame(
+        [(1, "  The cat and   the dog played in the garden with the ball. ")],
+        "doc_id long, text string",
+    )
+    fp1 = out[1].fingerprint
+    fp2 = document_stats(df2).collect()[0].fingerprint
+    assert fp1 == fp2
+
+
+def test_multimodal_stub_plumbing(spark):
+    media = synthesize_media(spark, 30)
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    by_id = {r.media_id: r for r in rows}
+    assert all(len(r.feat) == 8 for r in rows)
+    assert all(r.sha256 and r.n_bytes > 0 for r in rows)
+    # deterministic across runs
+    again = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert all(by_id[i].sha256 == again[i].sha256 for i in by_id)
+    # image rows have exactly one frame; av rows have >= 1
+    assert all(r.frames == 1 for r in rows if r.kind == "image")
