@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline on a
+deterministic synthetic page corpus sized from the sf0.001 tables.
+``queries()`` exposes SURVEY §2 operators + the training-data ops over
+the driver parquet tables; ``oracle_sql()`` carries the DuckDB-dialect
+equivalents (value-identical, column names aligned).
 """
 
 from __future__ import annotations
@@ -12,27 +12,686 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+SF0001 = "/root/testdata/sf0.001"
+
+DOC_BASE = "http://corpus.example/doc/"
+SRC_BASE = "http://corpus.example/source/"
+INLANG = "http://schema.org/inLanguage"
+HASDOC = "http://corpus.example/vocab#hasDoc"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize a page corpus sized from sf0.001, run the
+    full extract → canonicalize → entity-dedup → squish pipeline, and
+    union in triples derived from the documents table."""
+    from argo_spark.extract.rdfa import extract_triples_df
+    from argo_spark.ops.dedup import apply_entity_mapping, entity_dedup_mapping
+    from argo_spark.pages import synthesize_pages
+    from argo_spark.schema import TRIPLE_COLS
+
+    n = spark.read.parquet(f"{SF0001}/documents.parquet").count()
+    pages = synthesize_pages(spark, n)
+    # persist: entity dedup runs several actions over the triples
+    triples = extract_triples_df(pages).select(*TRIPLE_COLS).persist()
+    mapping = entity_dedup_mapping(triples)
+    squished = apply_entity_mapping(triples, mapping).dropDuplicates(TRIPLE_COLS)
+    doc_triples = _doc_triples(spark, SF0001).select(*TRIPLE_COLS)
+    return squished.unionByName(doc_triples)
+
+
+# ---------------------------------------------------------------------------
+# shared projections
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_triples(spark, sf_dir) -> DataFrame:
+    """Deterministic triples view of the documents table: one
+    inLanguage literal triple and one hasDoc link triple per doc."""
+    d = _docs(spark, sf_dir)
+    subj = F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("s_value")
+    a = d.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        subj,
+        F.lit(INLANG).alias("p_value"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.col("lang").alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+        "doc_id",
+    )
+    b = d.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(SRC_BASE), F.col("source")).alias("s_value"),
+        F.lit(HASDOC).alias("p_value"),
+        F.lit(0).cast("tinyint").alias("o_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+        "doc_id",
+    )
+    return a.unionByName(b)
+
+
+_DOC_TRIPLES_CTE = f"""
+doc_triples AS (
+    SELECT 0 AS s_kind,
+           '{DOC_BASE}' || doc_id AS s_value,
+           '{INLANG}' AS p_value,
+           2 AS o_kind, lang AS o_value,
+           NULL AS o_lang, NULL AS o_dt, doc_id
+    FROM documents
+    UNION ALL
+    SELECT 0, '{SRC_BASE}' || source, '{HASDOC}',
+           0, '{DOC_BASE}' || doc_id, NULL, NULL, doc_id
+    FROM documents
+)
+"""
+
+_TOKENS = "list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9'']+'), t -> t != '')"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_k1_serialize_ntriples(spark, sf_dir):
+    """K1: canonical NT line with the reference escape chain
+    (term.go:93-110) over literals containing \\, \", tab."""
+    from argo_spark.terms import triple_nt_col
+
+    d = _docs(spark, sf_dir)
+    tr = d.select(
+        F.col("doc_id"),
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("s_value"),
+        F.lit("http://schema.org/description").alias("p_value"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.concat(F.substring("text", 1, 40), F.lit('\t"\\')).alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+    )
+    return tr.select("doc_id", triple_nt_col().alias("nt_line"))
+
+
+def q_g16_split_prefix(spark, sf_dir):
+    """G16: SplitPrefix semantics (argo.go:219-233) as column exprs."""
+    from argo_spark.namespaces import split_prefix_base, split_prefix_local
+
+    d = _docs(spark, sf_dir)
+    iri = F.concat(F.lit("http://corpus.example/"), F.col("source"),
+                   F.lit("#doc"), F.col("doc_id"))
+    return d.select(
+        F.col("doc_id"),
+        iri.alias("iri"),
+        split_prefix_base(iri).alias("base"),
+        split_prefix_local(iri).alias("local"),
+    )
+
+
+def q_g6_filter_pattern(spark, sf_dir):
+    """G6: triple-pattern filter (p bound, o bound literal)."""
+    tr = _doc_triples(spark, sf_dir)
+    return (
+        tr.where((F.col("p_value") == INLANG) & (F.col("o_kind") == 2)
+                 & (F.col("o_value") == "en"))
+        .select("doc_id", "s_value")
+    )
+
+
+def q_k2_group_by_subject(spark, sf_dir):
+    """K2: Turtle-style subject grouping with deterministic p-o line
+    ordering (turtleserializer.go:58-81 layout, sorted)."""
+    tr = _doc_triples(spark, sf_dir).where(F.col("p_value") == HASDOC)
+    line = F.concat(F.lit("  <"), F.col("p_value"), F.lit("> <"),
+                    F.col("o_value"), F.lit("> ;"))
+    return (
+        tr.select(F.col("s_value").alias("subject"), line.alias("line"))
+        .groupBy("subject")
+        .agg(
+            F.count(F.lit(1)).alias("n_po"),
+            F.array_join(F.array_sort(F.collect_list("line")), "\n").alias("body"),
+        )
+    )
+
+
+def q_g14_squish_dedup(spark, sf_dir):
+    """G14: explicit squish — distinct (s,p,o) per predicate after a
+    bag union that duplicates every triple."""
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    bag = tr.unionByName(tr)
+    return (
+        bag.dropDuplicates(["s_kind", "s_value", "p_value", "o_kind", "o_value"])
+        .groupBy("p_value")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+
+
+def q_g13_term_rewrite(spark, sf_dir):
+    """G13: whole-term regex rewrite with template expansion
+    (rdf.go:244-269 semantics)."""
+    from argo_spark.ops.rewrite import rewrite_terms
+
+    tr = _doc_triples(spark, sf_dir).where(F.col("p_value") == INLANG)
+    out = rewrite_terms(
+        tr.drop("doc_id"),
+        r"http://corpus\.example/doc/([0-9]+)",
+        r"http://kb.example/d/$1",
+        positions=("subject",),
+    )
+    return out.select("s_value", "o_value").orderBy("s_value")
+
+
+def q_g11_container_encode(spark, sf_dir):
+    """G11: rdf:_N container membership, 1-based (graph.go:86-99)."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return d.select(
+        F.concat(F.lit(SRC_BASE), F.col("source")).alias("s_value"),
+        F.concat(
+            F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#_"),
+            F.row_number().over(w),
+        ).alias("p_value"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("o_value"),
+    )
+
+
+def q_g9_first_per_group(spark, sf_dir):
+    """G9/min_by: deterministic 'first object for (s,p)'."""
+    tr = _doc_triples(spark, sf_dir).where(F.col("p_value") == HASDOC)
+    return tr.groupBy("s_value").agg(F.min("o_value").alias("first_obj"))
+
+
+def q_g8_semi_join(spark, sf_dir):
+    """G8 HasSubject as a left-semi join: orders with lineitems."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_g2_anti_join(spark, sf_dir):
+    """G2 Remove as a left-anti join: orders without lineitems."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups by content hash (md5 — portable)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def _word_shingles(col, k=3):
+    toks = F.filter(
+        F.split(F.lower(col), r"[^a-zA-Z0-9']+"), lambda t: t != ""
+    )
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+        )
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH bucket groups (md5-string minhash — portable):
+    4 seeded minhashes per doc, one band of all 4, bucket counts."""
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", _word_shingles(F.col("text")).alias("sh"))
+    def seeded(j):
+        # closure, not default arg: a 2-param lambda would get (elem, idx)
+        return lambda s: F.md5(F.concat(F.lit(str(j)), s))
+
+    sigs = [
+        F.array_min(F.transform(F.col("sh"), seeded(j))).alias(f"sig{j}")
+        for j in range(4)
+    ]
+    sig = sh.select("doc_id", *sigs)
+    bucket = F.md5(F.concat("sig0", "sig1", "sig2", "sig3")).alias("bucket")
+    return (
+        sig.select("doc_id", bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard kernel on consecutive doc pairs (a, a+1)."""
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", _word_shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select((F.col("doc_id") - 1).alias("a"), F.col("sh").alias("sh_b"),
+                  F.col("doc_id").alias("b"))
+    return (
+        a.join(b, "a")
+        .select(
+            "a", "b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_text_token_count(spark, sf_dir):
+    from argo_spark.ops.textstats import token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_text_lang_id(spark, sf_dir):
+    from argo_spark.ops.textstats import lang_id
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_text_quality(spark, sf_dir):
+    from argo_spark.ops.textstats import quality_score
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Portable (md5-based) variant of the document fingerprint:
+    min/max word-8-gram hash over normalized text."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+                r"[^a-zA-Z0-9']+"),
+        lambda t: t != "",
+    )
+    dd = d.select("doc_id", toks.alias("toks"))
+    n = F.greatest(F.size("toks") - F.lit(7), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, 8)))
+    )
+    return dd.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.array_min(grams), F.array_max(grams),
+                     F.size("toks").cast("string"))
+        ).alias("fp"),
+    )
+
+
+def q_ann_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors 0-4 (double math,
+    sequential fold, rounded, id tiebreak — engine-stable)."""
+    from pyspark.sql.window import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    scored = emb.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+    cos = dot(F.col("e"), F.col("qe")) / (
+        F.sqrt(dot(F.col("e"), F.col("e"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))
+    )
+    scored = scored.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                           F.round(cos, 6).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def q_events_window_agg(spark, sf_dir):
+    """Tumbling 5-min window counts + exact integer-cents sums."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select("event_type", win.alias("window_start"), cents.alias("cents"))
+        .groupBy("event_type", "window_start")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+
+
+def q_agg_lineitem(spark, sf_dir):
+    """Group-by aggregation (§2.4): TPC-H Q1-style, decimal-exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# rows-only (non-SQL-expressible) ------------------------------------------
+
+def q_rdfa_pipeline(spark, sf_dir):
+    """S3 + §2.6: full RDFa extraction pipeline on the synthetic page
+    corpus (HTML parsing — not SQL-expressible; driver rows-only)."""
+    from argo_spark.extract.rdfa import extract_triples_df
+    from argo_spark.pages import synthesize_pages
+    from argo_spark.schema import TRIPLE_COLS
+
+    pages = synthesize_pages(spark, 300)
+    return extract_triples_df(pages).select(*TRIPLE_COLS).dropDuplicates()
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from argo_spark.ops.dedup import simhash_candidate_pairs
+
+    d = _docs(spark, sf_dir)
+    return simhash_candidate_pairs(d, "doc_id", "text").where("hamming <= 8")
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    from argo_spark.ops.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, k=3, dim=64, n_planes=6)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from argo_spark.ops.multimodal import extract_media_features, synthesize_media
+
+    return extract_media_features(synthesize_media(spark, 200))
+
+
+def q_nt_parse_roundtrip(spark, sf_dir):
+    """S1: NT parser on serialized doc triples (char-level parse —
+    rows-only; correctness pinned by the fixture suite)."""
+    from argo_spark.ntriples import parse_ntriples_col
+    from argo_spark.terms import triple_nt_col
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    lines = tr.select(triple_nt_col().alias("value"))
+    return parse_ntriples_col(lines).where(F.col("error").isNull()).drop(
+        "error", "err_column", "line"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "k1_serialize_ntriples": q_k1_serialize_ntriples,
+        "g16_split_prefix": q_g16_split_prefix,
+        "g6_filter_pattern": q_g6_filter_pattern,
+        "k2_group_by_subject": q_k2_group_by_subject,
+        "g14_squish_dedup": q_g14_squish_dedup,
+        "g13_term_rewrite": q_g13_term_rewrite,
+        "g11_container_encode": q_g11_container_encode,
+        "g9_first_per_group": q_g9_first_per_group,
+        "g8_semi_join": q_g8_semi_join,
+        "g2_anti_join": q_g2_anti_join,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_token_count": q_text_token_count,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "events_window_agg": q_events_window_agg,
+        "agg_lineitem": q_agg_lineitem,
+        # rows-only:
+        "rdfa_pipeline": q_rdfa_pipeline,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "multimodal_features": q_multimodal_features,
+        "nt_parse_roundtrip": q_nt_parse_roundtrip,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    esc = (
+        "replace(replace(replace(replace(replace("
+        "text_val, chr(92), chr(92)||chr(92)), '\"', chr(92)||'\"'), "
+        "chr(10), chr(92)||'n'), chr(13), chr(92)||'r'), chr(9), chr(92)||'t')"
+    )
+    return {
+        "k1_serialize_ntriples": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     substr(text, 1, 40) || chr(9) || '"' || chr(92) AS text_val
+              FROM documents)
+            SELECT doc_id,
+                   '<{DOC_BASE}' || doc_id || '> '
+                   || '<http://schema.org/description> '
+                   || '"' || {esc} || '" .' AS nt_line
+            FROM t
+        """,
+        "g16_split_prefix": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     'http://corpus.example/' || source || '#doc' || doc_id AS iri
+              FROM documents)
+            SELECT doc_id, iri,
+                   regexp_extract(iri, '^(.*[#/])([^#/]*)$', 1) AS base,
+                   CASE WHEN regexp_extract(iri, '^(.*[#/])([^#/]*)$', 1) = ''
+                        THEN iri
+                        ELSE regexp_extract(iri, '^(.*[#/])([^#/]*)$', 2) END AS local
+            FROM t
+        """,
+        "g6_filter_pattern": f"""
+            WITH {_DOC_TRIPLES_CTE}
+            SELECT doc_id, s_value FROM doc_triples
+            WHERE p_value = '{INLANG}' AND o_kind = 2 AND o_value = 'en'
+        """,
+        "k2_group_by_subject": f"""
+            WITH {_DOC_TRIPLES_CTE}
+            SELECT s_value AS subject,
+                   count(*) AS n_po,
+                   string_agg('  <' || p_value || '> <' || o_value || '> ;',
+                              chr(10) ORDER BY '  <' || p_value || '> <' || o_value || '> ;') AS body
+            FROM doc_triples WHERE p_value = '{HASDOC}'
+            GROUP BY s_value
+        """,
+        "g14_squish_dedup": f"""
+            WITH {_DOC_TRIPLES_CTE},
+            bag AS (SELECT s_kind, s_value, p_value, o_kind, o_value FROM doc_triples
+                    UNION ALL
+                    SELECT s_kind, s_value, p_value, o_kind, o_value FROM doc_triples),
+            sq AS (SELECT DISTINCT s_kind, s_value, p_value, o_kind, o_value FROM bag)
+            SELECT p_value, count(*) AS n_distinct FROM sq GROUP BY p_value
+        """,
+        "g13_term_rewrite": f"""
+            WITH {_DOC_TRIPLES_CTE}
+            SELECT CASE WHEN regexp_matches(s_value, 'http://corpus\\.example/doc/([0-9]+)')
+                        THEN regexp_replace(
+                               regexp_extract(s_value, 'http://corpus\\.example/doc/([0-9]+)', 0),
+                               'http://corpus\\.example/doc/([0-9]+)',
+                               'http://kb.example/d/\\1')
+                        ELSE s_value END AS s_value,
+                   o_value
+            FROM doc_triples WHERE p_value = '{INLANG}'
+            ORDER BY s_value
+        """,
+        "g11_container_encode": f"""
+            SELECT '{SRC_BASE}' || source AS s_value,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#_'
+                   || row_number() OVER (PARTITION BY source ORDER BY doc_id) AS p_value,
+                   '{DOC_BASE}' || doc_id AS o_value
+            FROM documents
+        """,
+        "g9_first_per_group": f"""
+            WITH {_DOC_TRIPLES_CTE}
+            SELECT s_value, min(o_value) AS first_obj
+            FROM doc_triples WHERE p_value = '{HASDOC}' GROUP BY s_value
+        """,
+        "g8_semi_join": """
+            SELECT o_orderstatus, count(*) AS n FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+            GROUP BY o_orderstatus
+        """,
+        "g2_anti_join": """
+            SELECT o_orderstatus, count(*) AS n FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+            GROUP BY o_orderstatus
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_docs,
+                   min(doc_id) AS min_doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS} AS w FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(w) - 2, 1) + 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+              FROM toks),
+            sig AS (
+              SELECT doc_id,
+                     list_min(list_transform(shingles, s -> md5('0' || s))) AS sig0,
+                     list_min(list_transform(shingles, s -> md5('1' || s))) AS sig1,
+                     list_min(list_transform(shingles, s -> md5('2' || s))) AS sig2,
+                     list_min(list_transform(shingles, s -> md5('3' || s))) AS sig3
+              FROM sh)
+            SELECT md5(sig0 || sig1 || sig2 || sig3) AS bucket,
+                   count(*) AS n_docs, min(doc_id) AS min_doc_id
+            FROM sig GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS} AS w FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(w) - 2, 1) + 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+              FROM toks)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(len(list_filter(a.shingles, s -> list_contains(b.shingles, s)))
+                         / (len(a.shingles) + len(b.shingles)
+                            - len(list_filter(a.shingles, s -> list_contains(b.shingles, s)))),
+                         6) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "text_token_count": f"""
+            SELECT doc_id, len({_TOKENS}) AS n_tokens FROM documents
+        """,
+        "text_lang_id": f"""
+            WITH toks AS (SELECT doc_id, list_distinct({_TOKENS}) AS w FROM documents),
+            votes AS (
+              SELECT doc_id, 'en' AS lang,
+                     len(list_filter(w, t -> list_contains(['the','and','of','to','in','is','that','with'], t))) AS hits FROM toks
+              UNION ALL
+              SELECT doc_id, 'fr',
+                     len(list_filter(w, t -> list_contains(['le','la','les','de','des','et','est','dans'], t))) FROM toks
+              UNION ALL
+              SELECT doc_id, 'de',
+                     len(list_filter(w, t -> list_contains(['der','die','das','und','ist','von','mit','nicht'], t))) FROM toks
+              UNION ALL
+              SELECT doc_id, 'es',
+                     len(list_filter(w, t -> list_contains(['el','la','los','de','que','y','es','con'], t))) FROM toks),
+            best AS (
+              SELECT doc_id, lang, hits,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+              FROM votes)
+            SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+            FROM best WHERE rn = 1
+        """,
+        "text_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     length(text) AS len,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+                     len({_TOKENS}) AS n_tok
+              FROM documents)
+            SELECT doc_id,
+                   round(
+                     0.3 * least(len / 500.0, 1.0)
+                     + 0.3 * (n_alpha / greatest(len, 1))
+                     + 0.2 * (1 - least((n_punct / greatest(len, 1)) * 4, 1.0))
+                     + 0.2 * (CASE WHEN len / greatest(n_tok, 1) >= 3
+                                    AND len / greatest(n_tok, 1) <= 12
+                              THEN 1.0 ELSE 0.3 END),
+                   6)::DOUBLE AS quality
+            FROM t
+        """,
+        "text_fingerprint": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       '[^a-zA-Z0-9'']+'), t -> t != '') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id, w,
+                     list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+                       i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                                || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS g
+              FROM toks)
+            SELECT doc_id, md5(list_min(g) || list_max(g) || len(w)::varchar) AS fp
+            FROM grams
+        """,
+        "ann_topk_cosine": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(
+                       list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.qv[i]))
+                       / (sqrt(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * e.v[i])))
+                          * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i])))),
+                     6) AS cos
+              FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+        """,
+        "events_window_agg": """
+            SELECT event_type,
+                   (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start,
+                   count(*) AS n,
+                   sum(round(value * 100)::BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "agg_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity::DECIMAL(12,2))::DOUBLE AS sum_qty,
+                   sum(l_extendedprice::DECIMAL(14,2))::DOUBLE AS sum_base_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+    }

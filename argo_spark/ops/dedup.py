@@ -60,17 +60,88 @@ def char_shingles(col: Column, k: int = 5) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
-    """Array of n_hashes minima of seeded xxhash64 over the shingle set.
+def word_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct word k-shingles (Broder-style) — ~an order of magnitude
+    fewer elements than char shingles on web text; the default for
+    document-level dedup."""
+    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
 
-    One expression tree, whole-stage codegen, no UDF."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))
-            )
-            for i in range(n_hashes)
-        ]
+
+_MERSENNE = 2_147_483_647  # 2^31 - 1
+
+
+def _minhash_coeffs(n_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine-permutation coefficients (Knuth multiplier
+    scramble; no RNG so signatures are stable everywhere)."""
+    a = [((i + 1) * 2_654_435_761 + 0x9E3779B9) % _MERSENNE or 1 for i in range(n_hashes)]
+    b = [((i + 1) * 0x85EBCA6B + 0xC2B2AE35) % _MERSENNE for i in range(n_hashes)]
+    return a, b
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
+    """Array of n_hashes minima over the shingle set, as one column
+    expression: one xxhash64 per shingle, then n_hashes affine
+    permutations ``(a_i * h + b_i) mod 2^31-1`` folded in a single
+    aggregate pass. Fine for SMALL shingle sets (entity surface
+    forms); for documents use ``minhash_signatures_df`` — higher-order
+    lambdas are interpreted, not codegen'd, so this form is CPU-bound
+    at n_shingles × n_hashes boxed ops per row."""
+    a, b = _minhash_coeffs(n_hashes)
+    a_arr = F.array(*[F.lit(x).cast("long") for x in a])
+    b_arr = F.array(*[F.lit(x).cast("long") for x in b])
+    idx = F.sequence(F.lit(1), F.lit(n_hashes))
+    hs = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), n_hashes)
+    return F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda m, i: F.least(
+                m,
+                F.pmod(
+                    F.element_at(a_arr, i.cast("int")) * h
+                    + F.element_at(b_arr, i.cast("int")),
+                    F.lit(_MERSENNE),
+                ),
+            ),
+        ),
+    )
+
+
+def minhash_signatures_df(
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingles",
+    n_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig) signatures via explode → xxhash64 → n_hashes min
+    aggregates. Everything is whole-stage-codegen'd vectorized
+    aggregation with map-side partial combine — the scalable shape
+    (the HOF column-expression variant runs interpreted)."""
+    a, b = _minhash_coeffs(n_hashes)
+    ex = shingled.select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("_s")
+    ).select(
+        F.col(id_col), F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)).alias("_h")
+    )
+    aggs = [
+        F.min(
+            F.pmod(F.lit(a[i]) * F.col("_h") + F.lit(b[i]), F.lit(_MERSENNE))
+        ).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
+    per = ex.groupBy(id_col).agg(*aggs)
+    return per.select(
+        F.col(id_col), F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig")
     )
 
 
@@ -83,6 +154,8 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded LSH: equal band-slices become bucket keys; the self-join
     happens per (band, bucket) — distinct candidate pairs (a < b)."""
+    # materialize band keys once — the self-join would otherwise
+    # recompute the full signature expression on both sides
     bands = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
@@ -99,7 +172,7 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("band", "bucket"),
-    )
+    ).persist()
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -145,14 +218,23 @@ def minhash_dedup_pairs(
     n_hashes: int = 64,
     n_bands: int = 16,
     threshold: float = 0.7,
+    mode: str = "word",
 ) -> DataFrame:
-    """End-to-end near-dup pair detection: (a, b, jaccard)."""
+    """End-to-end near-dup pair detection: (a, b, jaccard).
+
+    mode='word' (default, Broder-style word shingles) for documents;
+    mode='char' for short strings like entity surface forms."""
+    mk = word_shingles if mode == "word" else char_shingles
+    # persist the shingle sets EAGERLY: they feed the signature pass
+    # and BOTH sides of the Jaccard verification join — left lazy, a
+    # single downstream action would recompute them once per branch
+    # (at 100 TB these land in a table instead of the block cache)
     shingled = df.select(
-        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("shingles")
-    ).where(F.size("shingles") > 0)
-    sigs = shingled.select(
-        F.col(id_col), minhash_signature(F.col("shingles"), n_hashes).alias("sig")
-    )
+        F.col(id_col), mk(F.col(text_col), shingle_k).alias("shingles")
+    ).where(F.size("shingles") > 0).persist()
+    shingled.count()
+    sigs = minhash_signatures_df(shingled, id_col, n_hashes=n_hashes).persist()
+    sigs.count()
     pairs = lsh_candidate_pairs(
         sigs, id_col, n_bands=n_bands, rows_per_band=n_hashes // n_bands
     )
@@ -322,8 +404,13 @@ def entity_dedup_mapping(
 
     Identity rows (entity == canonical) are omitted — the map is the
     small side of a broadcast join."""
-    surf = entity_surface_forms(triples, iri_prefix).groupBy("entity").agg(
-        F.min("name").alias("name")
+    # the entity list is tiny vs the triples table; materialize it so
+    # the LSH + connected-components actions don't re-scan the triples
+    surf = (
+        entity_surface_forms(triples, iri_prefix)
+        .groupBy("entity")
+        .agg(F.min("name").alias("name"))
+        .localCheckpoint(eager=True)
     )
     keyed = surf.select(
         F.col("entity"),
@@ -339,7 +426,7 @@ def entity_dedup_mapping(
     )
     pairs = minhash_dedup_pairs(
         keyed, "entity", "surface", shingle_k=shingle_k,
-        n_hashes=32, n_bands=16, threshold=threshold,
+        n_hashes=16, n_bands=8, threshold=threshold, mode="char",
     )
     comps = connected_components(pairs.select("a", "b"))
     return comps.where(F.col("id") != F.col("comp")).select(
@@ -383,4 +470,4 @@ def apply_entity_mapping(triples: DataFrame, mapping: DataFrame) -> DataFrame:
         )
         .drop("_s_canon", "_o_canon")
     )
-    return out
+    return out.select(*triples.columns)

@@ -38,7 +38,7 @@ def test_exact_dedup(spark):
 
 
 def test_minhash_pairs_find_near_dups(spark):
-    pairs = minhash_dedup_pairs(docs(spark), "doc_id", "text", threshold=0.6)
+    pairs = minhash_dedup_pairs(docs(spark), "doc_id", "text", threshold=0.4)
     got = {(r.a, r.b) for r in pairs.collect()}
     assert (0, 1) in got  # exact dup
     assert (0, 5) in got or (1, 5) in got  # near dup
