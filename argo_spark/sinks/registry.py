@@ -24,6 +24,12 @@ class Format:
     writer: Optional[Callable] = None  # (df, path, ...) -> None
 
 
+def _read_rdfxml(spark, path):
+    from argo_spark.extract.rdfxml import read_rdfxml
+
+    return read_rdfxml(spark, path)
+
+
 def _load():
     from argo_spark import ntriples
     from argo_spark.sinks import writers
@@ -51,6 +57,7 @@ def _load():
         "rdfxml": Format(
             "rdfxml", "RDF/XML", "application/rdf+xml", ".rdf",
             other_exts=[".xml"],
+            reader=_read_rdfxml,
         ),
         "rdfa": Format(
             "rdfa", "RDFA", "text/html", ".html",

@@ -1,0 +1,133 @@
+"""RDF/XML parser (S2) state-machine semantics + the CLI pipeline (E1)."""
+
+from __future__ import annotations
+
+from argo_spark.extract.rdfxml import parse_rdfxml, read_rdfxml
+from argo_spark.namespaces import RDF_TYPE
+from argo_spark.terms import KIND_BLANK, KIND_IRI, KIND_LITERAL, skolem_id
+
+RDF_OPEN = (
+    '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+    'xmlns:foaf="http://xmlns.com/foaf/0.1/">'
+)
+FOAF = "http://xmlns.com/foaf/0.1/"
+
+
+def test_description_about_and_properties():
+    doc = (
+        RDF_OPEN
+        + '<rdf:Description rdf:about="http://e/s">'
+        + "<foaf:name>Bob</foaf:name>"
+        + '<foaf:knows rdf:resource="http://e/o"/>'
+        + "</rdf:Description></rdf:RDF>"
+    )
+    triples, err = parse_rdfxml(doc)
+    assert err is None
+    assert triples == [
+        (KIND_IRI, "http://e/s", FOAF + "name", KIND_LITERAL, "Bob", None, None),
+        (KIND_IRI, "http://e/s", FOAF + "knows", KIND_IRI, "http://e/o", None, None),
+    ]
+
+
+def test_typed_element_and_extra_attrs():
+    doc = (
+        RDF_OPEN
+        + '<foaf:Person rdf:about="http://e/s" foaf:nick="bobby"/>'
+        + "</rdf:RDF>"
+    )
+    triples, err = parse_rdfxml(doc)
+    assert err is None
+    # non-Description element name -> rdf:type (rdfxml.go:120-122);
+    # extra attrs -> literal triples (rdfxml.go:124-126)
+    assert (KIND_IRI, "http://e/s", RDF_TYPE, KIND_IRI, FOAF + "Person", None, None) in triples
+    assert (KIND_IRI, "http://e/s", FOAF + "nick", KIND_LITERAL, "bobby", None, None) in triples
+
+
+def test_nodeid_lang_datatype_and_anon():
+    doc = (
+        RDF_OPEN
+        + '<rdf:Description rdf:nodeID="b1">'
+        + '<foaf:name xml:lang="fr">Robert</foaf:name>'
+        + '<foaf:age rdf:datatype="http://www.w3.org/2001/XMLSchema#int">42</foaf:age>'
+        + "</rdf:Description>"
+        + "<rdf:Description><foaf:name>Anon</foaf:name></rdf:Description>"
+        + "</rdf:RDF>"
+    )
+    triples, err = parse_rdfxml(doc, skolem_key="k")
+    assert err is None
+    assert (KIND_BLANK, "b1", FOAF + "name", KIND_LITERAL, "Robert", "fr", None) in triples
+    assert (
+        KIND_BLANK, "b1", FOAF + "age", KIND_LITERAL, "42", None,
+        "http://www.w3.org/2001/XMLSchema#int",
+    ) in triples
+    anon = skolem_id("k", "", 0)
+    assert (KIND_BLANK, anon, FOAF + "name", KIND_LITERAL, "Anon", None, None) in triples
+
+
+def test_errors():
+    t, err = parse_rdfxml("<notrdf/>")
+    assert err == "Syntax error: expected <rdf:RDF>"
+    doc = (
+        RDF_OPEN
+        + '<rdf:Description rdf:about="http://e/s">'
+        + '<foaf:name foaf:bogus="x">B</foaf:name></rdf:Description></rdf:RDF>'
+    )
+    t, err = parse_rdfxml(doc)
+    assert err is not None and "Invalid attribute" in err
+
+
+def test_read_rdfxml_distributed_and_writer_roundtrip(spark, tmp_path):
+    from argo_spark.ops.graph import TripleGraph
+    from argo_spark.sinks.writers import rdfxml_string
+    from argo_spark.terms import TripleT, iri, literal
+
+    gr = TripleGraph.of(
+        spark,
+        [
+            TripleT(iri("http://e/s"), iri(RDF_TYPE), iri(FOAF + "Person")),
+            TripleT(iri("http://e/s"), iri(FOAF + "name"), literal("Bob")),
+            TripleT(iri("http://e/s"), iri(FOAF + "desc"), literal("été", lang="fr")),
+        ],
+    )
+    doc = rdfxml_string(gr.df, {"foaf": FOAF, "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#"})
+    f = tmp_path / "g.rdf"
+    f.write_text(doc)
+    triples, errors = read_rdfxml(spark, str(f))
+    assert errors.count() == 0
+    got = {
+        (r.s_kind, r.s_value, r.p_value, r.o_kind, r.o_value, r.o_lang, r.o_dt)
+        for r in triples.collect()
+    }
+    assert got == {
+        (0, "http://e/s", RDF_TYPE, 0, FOAF + "Person", None, None),
+        (0, "http://e/s", FOAF + "name", 2, "Bob", None, None),
+        (0, "http://e/s", FOAF + "desc", 2, "été", "fr", None),
+    }
+
+
+def test_cli_pipeline(spark, tmp_path):
+    from argo_spark.cli import run_pipeline
+    from argo_spark.ntriples import parse_document
+
+    src = tmp_path / "in.nt"
+    src.write_text(
+        "<http://e/s1> <http://e/p> <http://e/o> .\n"
+        '<http://e/s2> <http://e/p> "lit" .\n'
+        "<http://e/s1> <http://e/p> <http://e/o> .\n"  # dup
+    )
+    out = str(tmp_path / "out.nt")
+    n = run_pipeline(
+        spark,
+        [str(src)],
+        out,
+        rewrites=[(r"^http://e/(s[0-9])$", r"http://kb/$1")],
+        squish=True,
+    )
+    assert n == 2
+    import glob
+
+    text = "".join(open(f).read() for f in sorted(glob.glob(out + "/part-*")))
+    triples, err = parse_document(text)
+    assert err is None
+    subs = {t.s.value for t in triples}
+    assert subs == {"http://kb/s1", "http://kb/s2"}
