@@ -498,10 +498,12 @@ def oracle_sql() -> dict[str, str]:
                      'http://corpus.example/' || source || '#doc' || doc_id AS iri
               FROM documents)
             SELECT doc_id, iri,
-                   regexp_extract(iri, '^(.*[#/])([^#/]*)$', 1) AS base,
-                   CASE WHEN regexp_extract(iri, '^(.*[#/])([^#/]*)$', 1) = ''
-                        THEN iri
-                        ELSE regexp_extract(iri, '^(.*[#/])([^#/]*)$', 2) END AS local
+                   CASE WHEN regexp_extract(iri, '^(.*#)', 1) != ''
+                        THEN regexp_extract(iri, '^(.*#)', 1)
+                        ELSE regexp_extract(iri, '^(.*/)', 1) END AS base,
+                   CASE WHEN regexp_extract(iri, '^(.*#)', 1) != ''
+                        THEN regexp_extract(iri, '([^#]*)$', 1)
+                        ELSE regexp_extract(iri, '([^/]*)$', 1) END AS local
             FROM t
         """,
         "g6_filter_pattern": f"""

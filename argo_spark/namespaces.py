@@ -88,19 +88,23 @@ def split_prefix(uri: str) -> tuple[str, str]:
 
 # Column-expression variant of split_prefix; usable in pure-SQL plans
 # (the Turtle writer and the predicate dictionary need it at scale).
-_SPLIT_RE = r"^(.*[#/])([^#/]*)$"
+# '#' splits FIRST like the reference (argo.go:221-225) — a '/' after
+# the last '#' belongs to the local name.
 
 
 def split_prefix_base(uri: Column) -> Column:
     """Base part of split_prefix as a column expression ('' if no # or /)."""
-    return F.regexp_extract(uri, _SPLIT_RE, 1)
+    hash_base = F.regexp_extract(uri, r"^(.*#)", 1)
+    slash_base = F.regexp_extract(uri, r"^(.*/)", 1)
+    return F.when(hash_base != "", hash_base).otherwise(slash_base)
 
 
 def split_prefix_local(uri: Column) -> Column:
     """Local part of split_prefix as a column expression."""
     return F.when(
-        F.regexp_extract(uri, _SPLIT_RE, 1) == F.lit(""), uri
-    ).otherwise(F.regexp_extract(uri, _SPLIT_RE, 2))
+        F.regexp_extract(uri, r"^(.*#)", 1) != "",
+        F.regexp_extract(uri, r"([^#]*)$", 1),
+    ).otherwise(F.regexp_extract(uri, r"([^/]*)$", 1))
 
 
 def prefixes_df(spark):

@@ -1,0 +1,74 @@
+"""Property-based round-trip tests (pure Python — no Spark session),
+modeling the reference's own round-trip notion
+(/root/reference/ntriples_test.go:139-167)."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from argo_spark.namespaces import split_prefix
+from argo_spark.ntriples import parse_line
+from argo_spark.terms import (
+    TripleT,
+    blank,
+    escape_literal,
+    format_triple,
+    iri,
+    literal,
+    unescape_literal,
+)
+
+# IRI charset accepted by the reference parser (ntriples.go:207)
+_iri_chars = "".join(
+    c for c in (chr(i) for i in range(0x21, 0x7F)) if c not in ' <>"'
+)
+iris = st.text(_iri_chars, min_size=1, max_size=40).map(
+    lambda s: iri("http://e/" + s)
+)
+blanks = st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,15}", fullmatch=True).map(blank)
+# literal values: any printable + the escaped control chars
+lit_values = st.text(
+    string.ascii_letters + string.digits + " \\\"\n\r\t'éλ中",
+    max_size=60,
+)
+langs = st.from_regex(r"[a-z][a-z0-9-]{0,7}", fullmatch=True)
+literals = st.one_of(
+    lit_values.map(literal),
+    st.tuples(lit_values, langs).map(lambda t: literal(t[0], lang=t[1])),
+    st.tuples(lit_values, iris).map(lambda t: literal(t[0], dt=t[1].value)),
+)
+subjects = st.one_of(iris, blanks)
+objects = st.one_of(iris, blanks, literals)
+
+
+@given(lit_values)
+def test_escape_unescape_inverse(v):
+    assert unescape_literal(escape_literal(v)) == v
+
+
+@given(subjects, iris, objects)
+@settings(max_examples=300, deadline=None)
+def test_nt_round_trip(s, p, o):
+    """parse(serialize(t)) == t for every representable triple —
+    modulo the reference's non-ASCII IRI restriction (our generator
+    stays within its charset) and raw-unicode literals (argo emits
+    raw runes, term.go:93-110, and the parser accepts them)."""
+    line = format_triple(s, p, o)
+    t = parse_line(line, final_newline=True)
+    assert t == TripleT(s, p, o), line
+
+
+@given(iris)
+def test_split_prefix_reassembles(t):
+    base, local = split_prefix(t.value)
+    assert base + local == t.value
+    if base:
+        assert base[-1] in "#/"
+        # '#' splits first (argo.go:221-225): local never contains '#',
+        # and contains '/' only when the split was at a '#'
+        assert "#" not in local
+        if base.endswith("/"):
+            assert "/" not in local

@@ -97,6 +97,30 @@ def test_rdfxml_layout(spark):
     assert out.endswith("  </ex:Thing>\n</rdf:RDF>\n")
 
 
+def test_split_prefix_columns_match_python(spark):
+    from pyspark.sql import functions as F
+
+    from argo_spark.namespaces import split_prefix, split_prefix_base, split_prefix_local
+
+    uris = [
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://schema.org/name",
+        "urn:no-separator",
+        "http://e/a#b/c",  # '/' after last '#': '#' wins (argo.go:221-225)
+        "http://e/#",
+        "http://e/a#b#c",
+        "x/",
+    ]
+    df = spark.createDataFrame([(u,) for u in uris], "uri string")
+    rows = df.select(
+        "uri",
+        split_prefix_base(F.col("uri")).alias("b"),
+        split_prefix_local(F.col("uri")).alias("l"),
+    ).collect()
+    for r in rows:
+        assert (r.b, r.l) == split_prefix(r.uri), r.uri
+
+
 def test_format_registry():
     assert format_from_filename("x/y/graph.nt").id == "ntriples"
     assert format_from_filename("a.ttl").id == "turtle"
