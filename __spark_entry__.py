@@ -383,6 +383,35 @@ def q_events_window_agg(spark, sf_dir):
     )
 
 
+def q_topk_per_group(spark, sf_dir):
+    """Top-K per group (§2.4): 3 longest docs per source, id tiebreak."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("source", "doc_id", "n_chars", "rank")
+    )
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization (§2.4): gap > 30 min starts a new session;
+    output sessions per user."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.select("user_id", "ts", "event_id", new_sess.alias("ns"))
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def q_agg_lineitem(spark, sf_dir):
     """Group-by aggregation (§2.4): TPC-H Q1-style, decimal-exact."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -465,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": q_ann_topk_cosine,
         "events_window_agg": q_events_window_agg,
         "agg_lineitem": q_agg_lineitem,
+        "topk_per_group": q_topk_per_group,
+        "sessionize_events": q_sessionize_events,
         # rows-only:
         "rdfa_pipeline": q_rdfa_pipeline,
         "simhash_pairs": q_simhash_pairs,
@@ -686,6 +717,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    sum(round(value * 100)::BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "topk_per_group": """
+            WITH r AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rank
+              FROM documents)
+            SELECT source, doc_id, n_chars, rank FROM r WHERE rank <= 3
+        """,
+        "sessionize_events": """
+            WITH g AS (
+              SELECT user_id, event_id,
+                     epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)) AS gap
+              FROM events)
+            SELECT user_id,
+                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
         """,
         "agg_lineitem": """
             SELECT l_returnflag, l_linestatus,
