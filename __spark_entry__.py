@@ -383,6 +383,22 @@ def q_events_window_agg(spark, sf_dir):
     )
 
 
+def q_embedding_neardup_exact(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact baseline (oracle-able);
+    the LSH scale path is q_embedding_dedup_lsh (rows-only)."""
+    from argo_spark.ops.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.4, dim=64, exact=True)
+
+
+def q_embedding_dedup_lsh(spark, sf_dir):
+    from argo_spark.ops.similarity import embedding_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dedup(emb, threshold=0.4, dim=64).select("vec_id", "label")
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-K per group (§2.4): 3 longest docs per source, id tiebreak."""
     from pyspark.sql.window import Window
@@ -496,8 +512,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_lineitem": q_agg_lineitem,
         "topk_per_group": q_topk_per_group,
         "sessionize_events": q_sessionize_events,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
         # rows-only:
         "rdfa_pipeline": q_rdfa_pipeline,
+        "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "multimodal_features": q_multimodal_features,
@@ -717,6 +735,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    sum(round(value * 100)::BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "embedding_neardup_exact": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     round(
+                       list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+                       / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+                          * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))),
+                     6) AS cos
+              FROM e a JOIN e b ON b.vec_id > a.vec_id)
+            SELECT a, b, cos FROM p WHERE cos >= 0.4
         """,
         "topk_per_group": """
             WITH r AS (

@@ -95,6 +95,83 @@ def hyperplane_buckets(
     return bucket
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 6,
+    n_tables: int = 3,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
+
+    Scale path (default): multi-table random-hyperplane LSH — a pair
+    is a candidate if it collides in ANY of n_tables bucketings
+    (recall ≈ 1-(1-p^k)^L), then exact cosine verifies. ``exact=True``
+    is the O(n²) cross-join baseline for oracles/small inputs."""
+    e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    if exact:
+        l = e.select(F.col(id_col).alias("a"), F.col("_v").alias("_va"))
+        r = e.select(F.col(id_col).alias("b"), F.col("_v").alias("_vb"))
+        cand = l.crossJoin(r).where(F.col("a") < F.col("b"))
+    else:
+        tabs = e.select(
+            id_col, "_v",
+            F.posexplode(
+                F.array(
+                    *[
+                        hyperplane_buckets(F.col("_v"), dim, n_planes, seed=11 + t)
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tab", "bucket"),
+        ).persist()
+        l, r = tabs.alias("l"), tabs.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l.tab") == F.col("r.tab"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("a"),
+                F.col(f"r.{id_col}").alias("b"),
+                F.col("l._v").alias("_va"),
+                F.col("r._v").alias("_vb"),
+            )
+            .dropDuplicates(["a", "b"])
+        )
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
+def embedding_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kw,
+) -> DataFrame:
+    """Near-dup embedding removal: LSH pairs -> connected components ->
+    keep the min-id representative of each cluster."""
+    from argo_spark.ops.dedup import connected_components
+
+    pairs = embedding_neardup_pairs(emb, threshold, id_col, vec_col, **kw)
+    comps = connected_components(pairs.select("a", "b"))
+    losers = comps.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return emb.join(losers, id_col, "left_anti")
+
+
 def lsh_topk(
     emb: DataFrame,
     k: int = 10,

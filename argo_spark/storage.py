@@ -1,0 +1,96 @@
+"""Pluggable table-format layer (SURVEY §2.5 — the reference's custom
+``Store`` implementations, /root/reference/argo.go:40-61, mapped to
+table formats).
+
+Parquet directories are the default (this sandbox bundles no Iceberg
+runtime jar — BASELINE.md); the Iceberg backend activates when a
+catalog is configured, giving real snapshot isolation in place of the
+manifest emulation in ``argo_spark.manifest``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class ParquetBackend:
+    """Directory-per-table parquet with dynamic partition overwrite —
+    the bucket-idempotent layout KgPipeline relies on."""
+
+    name: str = "parquet"
+
+    def write(
+        self,
+        df: DataFrame,
+        target: str,
+        mode: str = "overwrite",
+        partition_by: Sequence[str] = (),
+    ) -> None:
+        w = df.write.mode(mode).option("partitionOverwriteMode", "dynamic")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(target)
+
+    def read(self, spark: SparkSession, target: str) -> DataFrame:
+        return spark.read.parquet(target)
+
+
+@dataclass
+class IcebergBackend:
+    """Iceberg tables via a configured catalog. Requires the
+    iceberg-spark-runtime jar on the classpath; ``available`` reports
+    whether this session can use it."""
+
+    catalog: str = "local"
+    name: str = "iceberg"
+
+    @staticmethod
+    def available(spark: SparkSession, catalog: str = "local") -> bool:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+        if not impl:
+            return False
+        try:
+            spark._jvm.java.lang.Class.forName(impl)  # jar present?
+            return True
+        except Exception:
+            return False
+
+    def write(
+        self,
+        df: DataFrame,
+        target: str,
+        mode: str = "overwrite",
+        partition_by: Sequence[str] = (),
+    ) -> None:
+        w = df.writeTo(f"{self.catalog}.{target}")
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "append":
+            w.append()
+        else:
+            w.createOrReplace()
+
+    def read(self, spark: SparkSession, target: str) -> DataFrame:
+        return spark.read.table(f"{self.catalog}.{target}")
+
+
+def get_backend(spark: SparkSession, prefer: Optional[str] = None):
+    """Auto-select: Iceberg when a catalog + jar are live, else parquet."""
+    if prefer == "parquet":
+        return ParquetBackend()
+    if prefer == "iceberg" or (
+        prefer is None and IcebergBackend.available(spark)
+    ):
+        if not IcebergBackend.available(spark):
+            raise RuntimeError(
+                "Iceberg requested but no spark.sql.catalog.local catalog/jar "
+                "is configured in this session"
+            )
+        return IcebergBackend()
+    return ParquetBackend()

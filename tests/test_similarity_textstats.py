@@ -52,6 +52,23 @@ def test_lsh_topk_recall_on_planted(spark):
     assert hits >= 4  # LSH is approximate; planted pairs are near-identical
 
 
+def test_embedding_neardup_and_dedup(spark):
+    from argo_spark.ops.similarity import embedding_dedup, embedding_neardup_pairs
+
+    e = emb(spark)
+    exact = embedding_neardup_pairs(e, threshold=0.99, dim=8, exact=True)
+    got = {(r.a, r.b) for r in exact.collect()}
+    assert {(i, 1000 + i) for i in range(5)} <= got
+    # LSH path finds (almost) the same planted pairs
+    lsh = embedding_neardup_pairs(e, threshold=0.99, dim=8, n_planes=4, n_tables=4)
+    got_lsh = {(r.a, r.b) for r in lsh.collect()}
+    assert len(got_lsh & {(i, 1000 + i) for i in range(5)}) >= 4
+    assert got_lsh <= got  # verification: never a false positive
+    # dedup keeps the min-id representative
+    kept = {r.vec_id for r in embedding_dedup(e, threshold=0.99, dim=8, exact=True).collect()}
+    assert all(i in kept and (1000 + i) not in kept for i in range(5))
+
+
 def test_document_stats(spark):
     df = spark.createDataFrame(
         [

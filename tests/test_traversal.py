@@ -1,0 +1,54 @@
+"""Iterative self-join traversal + distributed list iteration."""
+
+from __future__ import annotations
+
+from argo_spark.ops.graph import TripleGraph, encode_list
+from argo_spark.ops.traversal import iter_lists_distributed, reachable
+from argo_spark.terms import KIND_BLANK, KIND_IRI, TripleT, blank, iri, literal
+
+P = iri("http://e/p")
+
+
+def test_reachable_bfs(spark):
+    gr = TripleGraph.of(
+        spark,
+        [
+            TripleT(iri("http://e/a"), P, iri("http://e/b")),
+            TripleT(iri("http://e/b"), P, iri("http://e/c")),
+            TripleT(iri("http://e/c"), P, blank("d")),
+            TripleT(iri("http://e/b"), P, literal("leaf")),  # literal: no path
+            TripleT(iri("http://e/x"), P, iri("http://e/y")),  # disconnected
+            TripleT(iri("http://e/c"), P, iri("http://e/a")),  # cycle back
+        ],
+    )
+    seeds = spark.createDataFrame([(0, "http://e/a")], "kind tinyint, value string")
+    got = {(r.kind, r.value): r.hop for r in reachable(gr.df, seeds).collect()}
+    assert got == {
+        (KIND_IRI, "http://e/a"): 0,
+        (KIND_IRI, "http://e/b"): 1,
+        (KIND_IRI, "http://e/c"): 2,
+        (KIND_BLANK, "d"): 3,
+    }  # cycle doesn't loop, literals and disconnected nodes excluded
+
+
+def test_iter_lists_distributed(spark):
+    m1 = [literal("x"), literal("y"), iri("http://e/z")]
+    m2 = [literal("only")]
+    df = encode_list(spark, blank("h1"), m1).unionByName(
+        encode_list(spark, blank("h2"), m2)
+    )
+    heads = spark.createDataFrame(
+        [(1, "h1"), (1, "h2")], "kind tinyint, value string"
+    )
+    rows = iter_lists_distributed(df, heads).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.head_value, []).append(
+            (r.pos, r.o_kind, r.o_value, r.o_lang, r.o_dt)
+        )
+    assert sorted(got["h1"]) == [
+        (0, 2, "x", None, None),
+        (1, 2, "y", None, None),
+        (2, 0, "http://e/z", None, None),
+    ]
+    assert got["h2"] == [(0, 2, "only", None, None)]
