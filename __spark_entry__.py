@@ -475,6 +475,18 @@ def q_multimodal_features(spark, sf_dir):
     return extract_media_features(synthesize_media(spark, 200))
 
 
+def q_clean_corpus(spark, sf_dir):
+    """Composed training-corpus cleaning: exact dedup -> MinHash-LSH
+    near-dup removal -> language/quality/length gates (rows-only)."""
+    from argo_spark.ops.corpus import clean_corpus
+
+    kept, _audit = clean_corpus(
+        _docs(spark, sf_dir), min_quality=0.3, min_tokens=5,
+        neardup_threshold=0.8,
+    )
+    return kept
+
+
 def q_nt_parse_roundtrip(spark, sf_dir):
     """S1: NT parser on serialized doc triples (char-level parse —
     rows-only; correctness pinned by the fixture suite)."""
@@ -520,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "multimodal_features": q_multimodal_features,
         "nt_parse_roundtrip": q_nt_parse_roundtrip,
+        "clean_corpus": q_clean_corpus,
     }
 
 

@@ -1,0 +1,76 @@
+"""Composed training-corpus cleaning (driver brief: what a large-scale
+training-data pipeline needs, as one operator).
+
+    docs → exact dedup → near-dup removal (MinHash-LSH + CC)
+         → language filter → quality/length gates
+
+Each stage is the already-tested primitive; the composition keeps the
+winner-selection deterministic (min doc id) and returns both the kept
+corpus and a per-stage audit of how many rows each gate removed —
+silent-truncation-free by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from argo_spark.ops.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_dedup_pairs,
+)
+from argo_spark.ops.textstats import lang_id, quality_score, token_count
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    languages: Optional[tuple[str, ...]] = None,
+    min_quality: float = 0.5,
+    min_tokens: int = 10,
+    max_tokens: int = 1_000_000,
+    neardup_threshold: float = 0.85,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Returns (kept_docs, audit). audit maps stage -> rows removed."""
+    audit: dict[str, int] = {}
+    n0 = docs.count()
+
+    d1 = exact_dedup(docs, [text_col], id_col)
+    n1 = d1.count()
+    audit["exact_dup"] = n0 - n1
+
+    pairs = minhash_dedup_pairs(
+        d1, id_col, text_col, threshold=neardup_threshold
+    )
+    comps = connected_components(pairs.select("a", "b"))
+    losers = comps.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    d2 = d1.join(F.broadcast(losers), id_col, "left_anti")
+    n2 = d2.count()
+    audit["near_dup"] = n1 - n2
+
+    c = F.col(text_col)
+    d3 = d2.withColumns(
+        {
+            "_lang": lang_id(c),
+            "_quality": quality_score(c),
+            "_tokens": token_count(c),
+        }
+    )
+    if languages:
+        d3 = d3.where(F.col("_lang").isin(list(languages)))
+    d3 = d3.where(
+        (F.col("_quality") >= min_quality)
+        & (F.col("_tokens") >= min_tokens)
+        & (F.col("_tokens") <= max_tokens)
+    )
+    kept = d3.drop("_lang", "_quality", "_tokens")
+    n3 = kept.count()
+    audit["lang_quality_length"] = n2 - n3
+    audit["kept"] = n3
+    return kept, audit
