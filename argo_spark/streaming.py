@@ -75,6 +75,82 @@ def windowed_predicate_counts(
     )
 
 
+DEDUP_OUT_SCHEMA = "doc_id long, text string, content_hash long"
+DEDUP_STATE_SCHEMA = "hashes array<long>"
+
+
+def dedup_stream(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Streaming exact dedup across micro-batches: a custom stateful
+    operator via applyInPandasWithState. State = content hashes seen
+    per hash-bucket key; only first-seen documents are emitted, across
+    batches and restarts (state lives in the checkpoint).
+
+    Keying by ``xxhash64(text) % n_buckets`` spreads state uniformly
+    over the cluster; memory per group is bounded by the distinct-hash
+    count in that bucket (production: RocksDB state store + TTL)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = docs_stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.xxhash64(text_col).alias("content_hash"),
+    ).withColumn("bucket", F.pmod(F.col("content_hash"), F.lit(n_buckets)))
+
+    def fn(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            fresh_mask = []
+            for h in pdf["content_hash"]:
+                if h in seen:
+                    fresh_mask.append(False)
+                else:
+                    seen.add(h)
+                    fresh_mask.append(True)
+            out = pdf.loc[fresh_mask, ["doc_id", "text", "content_hash"]]
+            if len(out):
+                yield out
+        state.update((list(seen),))
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_dedup_to_parquet(
+    spark: SparkSession,
+    input_path: str,
+    input_schema: str,
+    output_path: str,
+    checkpoint_path: str,
+):
+    """Continuous exact-dedup of a documents directory; exactly-once +
+    cross-restart state via the checkpoint."""
+    src = (
+        spark.readStream.schema(input_schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_path)
+    )
+    deduped = dedup_stream(src)
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_predicate_stats(
     spark: SparkSession,
     input_path: str,

@@ -40,6 +40,33 @@ def test_streaming_extract_exactly_once(spark, tmp_path):
     assert got.select(*cols).exceptAll(batch.select(*cols)).count() == 0
 
 
+def test_stateful_streaming_dedup(spark, tmp_path):
+    from argo_spark.streaming import stream_dedup_to_parquet
+
+    docs_dir = str(tmp_path / "docs")
+    out = str(tmp_path / "deduped")
+    cp = str(tmp_path / "cp")
+    schema = "doc_id long, text string"
+
+    # batch 1: 3 docs, one internal dup
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], schema
+    ).write.mode("append").parquet(docs_dir)
+    q = stream_dedup_to_parquet(spark, docs_dir, schema, out, cp)
+    q.awaitTermination()
+    got1 = {(r.doc_id, r.text) for r in spark.read.parquet(out).collect()}
+    assert got1 == {(1, "alpha"), (2, "beta")}  # min-id wins the dup
+
+    # batch 2 re-sends "alpha" and adds "gamma": state survives restart
+    spark.createDataFrame(
+        [(4, "alpha"), (5, "gamma")], schema
+    ).write.mode("append").parquet(docs_dir)
+    q = stream_dedup_to_parquet(spark, docs_dir, schema, out, cp)
+    q.awaitTermination()
+    got2 = {(r.doc_id, r.text) for r in spark.read.parquet(out).collect()}
+    assert got2 == {(1, "alpha"), (2, "beta"), (5, "gamma")}
+
+
 def test_streaming_windowed_stats(spark, tmp_path):
     pages_dir = str(tmp_path / "pages")
     synthesize_pages(spark, 50).write.mode("append").parquet(pages_dir)
