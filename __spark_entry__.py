@@ -303,7 +303,10 @@ def q_text_token_count(spark, sf_dir):
     from argo_spark.ops.textstats import token_count
 
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    # cast: Spark size() is INT, DuckDB len() is BIGINT
+    return d.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
 
 
 def q_text_lang_id(spark, sf_dir):
@@ -365,7 +368,7 @@ def q_ann_topk_cosine(spark, sf_dir):
                            F.round(cos, 6).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
@@ -406,7 +409,7 @@ def q_topk_per_group(spark, sf_dir):
     d = _docs(spark, sf_dir)
     w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (
-        d.withColumn("rank", F.row_number().over(w))
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 3)
         .select("source", "doc_id", "n_chars", "rank")
     )
@@ -746,7 +749,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start,
                    count(*) AS n,
-                   sum(round(value * 100)::BIGINT) AS sum_cents
+                   sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
             FROM events GROUP BY 1, 2
         """,
         "embedding_neardup_exact": """
@@ -776,7 +779,7 @@ def oracle_sql() -> dict[str, str]:
                                                      ORDER BY ts, event_id)) AS gap
               FROM events)
             SELECT user_id,
-                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
         """,
