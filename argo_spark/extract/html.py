@@ -110,7 +110,12 @@ def extract_text(html: str) -> str:
     single spaces (element boundaries are word boundaries), collapses
     all whitespace runs to single spaces.
     """
-    root = parse_html(html)
+    return extract_text_from_tree(parse_html(html))
+
+
+def extract_text_from_tree(root: Node) -> str:
+    """extract_text over an already-parsed tree (the extractor parses
+    each page once and feeds both the RDFa walk and this strip)."""
     parts: List[str] = []
 
     def walk(node: Node) -> None:

@@ -43,7 +43,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from argo_spark.extract.gazetteer import detect_mentions
-from argo_spark.extract.html import ELEMENT, Node, extract_text, parse_html
+from argo_spark.extract.html import (
+    ELEMENT,
+    Node,
+    extract_text_from_tree,
+    parse_html,
+)
 from argo_spark.namespaces import RDF_TYPE, SCHEMA
 from argo_spark.terms import KIND_BLANK, KIND_IRI, KIND_LITERAL, Term, skolem_id
 
@@ -64,7 +69,12 @@ def extract_rdfa(
     html: str, doc_uri: str, skolem_key: str
 ) -> List[FlatTriple]:
     """Extract RDFa triples from one page, reference walk semantics."""
-    root = parse_html(html)
+    return extract_rdfa_tree(parse_html(html), doc_uri, skolem_key)
+
+
+def extract_rdfa_tree(
+    root: Node, doc_uri: str, skolem_key: str
+) -> List[FlatTriple]:
     out: List[FlatTriple] = []
     prefix_map: dict = {}  # shared across the whole document
     anon_ordinal = 0
@@ -149,9 +159,13 @@ def extract_page(
     html: str, doc_uri: str, skolem_key: str, with_mentions: bool = True
 ) -> Tuple[List[FlatTriple], str]:
     """Full per-page extraction: RDFa triples + boilerplate-stripped
-    text + mention/entity-link triples. Returns (triples, text)."""
-    triples = extract_rdfa(html, doc_uri, skolem_key)
-    text = extract_text(html)
+    text + mention/entity-link triples. Returns (triples, text).
+
+    The HTML is parsed ONCE; the tree feeds both the RDFa walk and the
+    text strip (parsing dominates per-page cost — measured 2x win)."""
+    root = parse_html(html)
+    triples = extract_rdfa_tree(root, doc_uri, skolem_key)
+    text = extract_text_from_tree(root)
     if with_mentions:
         for iri, _score in detect_mentions(text):
             triples.append(

@@ -285,12 +285,45 @@ def simhash64(text: Column) -> Column:
     )
 
 
+def simhash_signatures_df(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, sh) 64-bit SimHash via explode → 64 codegen'd sign-sum
+    aggregates (same scalable shape as minhash_signatures_df; the HOF
+    column-expression simhash64 runs interpreted)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    ex = df.select(F.col(id_col), F.explode(toks).alias("_t")).select(
+        F.col(id_col), F.xxhash64("_t").alias("_h")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_v{j}")
+        for j in range(64)
+    ]
+    votes = ex.groupBy(id_col).agg(*aggs)
+    bit_terms = [
+        F.when(
+            F.col(f"_v{j}") > 0,
+            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ]
+    sh = bit_terms[0]
+    for t in bit_terms[1:]:
+        sh = sh + t  # distinct bits: addition == OR, stays in codegen
+    return votes.select(F.col(id_col), sh.alias("sh"))
+
+
 def simhash_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str, n_blocks: int = 4
 ) -> DataFrame:
     """Hamming-LSH: split the 64-bit simhash into n_blocks 16-bit
     blocks; near-dups (distance < n_blocks) share at least one block."""
-    with_sh = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("sh"))
+    with_sh = simhash_signatures_df(df, id_col, text_col).select(
+        F.col(id_col).alias("_id"), "sh"
+    ).persist()
     bits = 64 // n_blocks
     blocks = with_sh.select(
         "_id",
