@@ -24,4 +24,18 @@ from argo_spark.terms import (  # noqa: F401
     escape_literal,
     format_term,
     format_triple,
+    iri,
+    blank,
+    literal,
+    skolem_id,
+    triple_nt_col,
 )
+
+__all__ = [
+    # term model
+    "KIND_IRI", "KIND_BLANK", "KIND_LITERAL",
+    "iri", "blank", "literal",
+    "escape_literal", "format_term", "format_triple",
+    "skolem_id", "triple_nt_col",
+]
+

@@ -95,6 +95,10 @@ def _kg_job(spark, sf_dir: str, workdir: str, n_pages: int) -> int:
     from argo_spark.pages import synthesize_pages
     from argo_spark.schema import TRIPLE_COLS
 
+    from pyspark.sql import functions as F
+
+    from argo_spark.ntriples import nt_lines
+
     pages = synthesize_pages(spark, n_pages)
     extract_triples_df(pages).select(*TRIPLE_COLS).write.mode("overwrite").parquet(
         f"{workdir}/triples"
@@ -102,8 +106,14 @@ def _kg_job(spark, sf_dir: str, workdir: str, n_pages: int) -> int:
     triples = spark.read.parquet(f"{workdir}/triples")
     mapping = entity_dedup_mapping(triples)
     squished = apply_entity_mapping(triples, mapping).dropDuplicates(TRIPLE_COLS)
-    write_ntriples(squished, f"{workdir}/nt")
-    return spark.read.text(f"{workdir}/nt").count()
+    # observe: emitted-line count rides along with the write — no
+    # post-hoc re-read of the output
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = nt_lines(squished).observe(obs, F.count(F.lit(1)).alias("n"))
+    observed.write.mode("overwrite").text(f"{workdir}/nt")
+    return obs.get["n"]
 
 
 def run_bench(spark, sf_dir: str, workdir: str) -> dict:
@@ -230,7 +240,7 @@ def main():
             # scheduling, entity-dedup's ~20 tiny jobs) don't scale
             # with cores and would otherwise swamp the signal;
             # best-of-2 to damp host noise
-            n_pages = 25_000 * 4 * n
+            n_pages = 50_000 * 4 * n
             dt, n_triples = None, 0
             for _ in range(2):
                 t0 = time.time()
