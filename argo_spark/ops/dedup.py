@@ -210,6 +210,32 @@ def jaccard_verify(
     return out
 
 
+def word_shingles_exploded(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Distinct (id, shingle-hash) rows via posexplode + window lead —
+    fully codegen'd (the array-HOF shingler runs interpreted and was
+    60% of the dedup bench). The window shuffle doubles as the
+    id-partitioning every downstream agg reuses."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("_pos", "_w"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    gram = F.concat_ws(" ", F.col("_w"), *[F.lead("_w", i).over(w) for i in range(1, k)])
+    last = F.lead("_w", k - 1).over(w)
+    return (
+        toks.select(F.col(id_col), gram.alias("_gram"), last.alias("_last"))
+        .where(F.col("_last").isNotNull() | (F.col("_pos") == 0))
+        .select(F.col(id_col), F.xxhash64("_gram").alias("_gh"))
+        .dropDuplicates()
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -222,23 +248,57 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """End-to-end near-dup pair detection: (a, b, jaccard).
 
-    mode='word' (default, Broder-style word shingles) for documents;
-    mode='char' for short strings like entity surface forms."""
-    mk = word_shingles if mode == "word" else char_shingles
-    # persist the shingle sets EAGERLY: they feed the signature pass
-    # and BOTH sides of the Jaccard verification join — left lazy, a
-    # single downstream action would recompute them once per branch
-    # (at 100 TB these land in a table instead of the block cache)
-    shingled = df.select(
-        F.col(id_col), mk(F.col(text_col), shingle_k).alias("shingles")
-    ).where(F.size("shingles") > 0).persist()
-    shingled.count()
-    sigs = minhash_signatures_df(shingled, id_col, n_hashes=n_hashes).persist()
+    mode='word' (default, Broder-style word shingles) for documents —
+    all-codegen exploded pipeline, exact Jaccard over shingle-hash
+    sets computed ONLY for candidate ids; mode='char' for short
+    strings like entity surface forms (array path)."""
+    if mode == "char":
+        shingled = df.select(
+            F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("shingles")
+        ).where(F.size("shingles") > 0).persist()
+        shingled.count()
+        sigs = minhash_signatures_df(shingled, id_col, n_hashes=n_hashes).persist()
+        sigs.count()
+        pairs = lsh_candidate_pairs(
+            sigs, id_col, n_bands=n_bands, rows_per_band=n_hashes // n_bands
+        )
+        return jaccard_verify(pairs, shingled, id_col, threshold=threshold)
+
+    ex = word_shingles_exploded(df, id_col, text_col, shingle_k).persist()
+    ex.count()
+    a, b = _minhash_coeffs(n_hashes)
+    hashed = ex.select(
+        F.col(id_col), F.pmod(F.col("_gh"), F.lit(_MERSENNE)).alias("_h")
+    )
+    aggs = [
+        F.min(
+            F.pmod(F.lit(a[i]) * F.col("_h") + F.lit(b[i]), F.lit(_MERSENNE))
+        ).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = (
+        hashed.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig"),
+        )
+        .persist()
+    )
     sigs.count()
     pairs = lsh_candidate_pairs(
         sigs, id_col, n_bands=n_bands, rows_per_band=n_hashes // n_bands
+    ).persist()
+    # shingle-hash ARRAYS only for ids that appear in candidate pairs
+    cand_ids = pairs.select(F.col("a").alias(id_col)).union(
+        pairs.select("b")
+    ).distinct()
+    cand_sets = (
+        ex.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("_gh").alias("shingles"))
     )
-    return jaccard_verify(pairs, shingled, id_col, threshold=threshold)
+    return jaccard_verify(pairs, cand_sets, id_col, threshold=threshold)
 
 
 # ---------------------------------------------------------------------------
