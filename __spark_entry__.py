@@ -402,6 +402,18 @@ def q_embedding_dedup_lsh(spark, sf_dir):
     return embedding_dedup(emb, threshold=0.4, dim=64).select("vec_id", "label")
 
 
+def q_bgp_join(spark, sf_dir):
+    """SPARQL-SELECT-shaped conjunctive pattern match (§2.5/E3):
+    { ?d inLanguage "en" . ?src hasDoc ?d } -> (d, src) NT bindings."""
+    from argo_spark.ops.bgp import bgp_match
+    from argo_spark.terms import literal
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return bgp_match(
+        tr, [("?d", INLANG, literal("en")), ("?src", HASDOC, "?d")]
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-K per group (§2.4): 3 longest docs per source, id tiebreak."""
     from pyspark.sql.window import Window
@@ -528,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "sessionize_events": q_sessionize_events,
         "embedding_neardup_exact": q_embedding_neardup_exact,
+        "bgp_join": q_bgp_join,
         # rows-only:
         "rdfa_pipeline": q_rdfa_pipeline,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
@@ -751,6 +764,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "bgp_join": f"""
+            WITH {_DOC_TRIPLES_CTE},
+            p1 AS (SELECT '<' || s_value || '>' AS d FROM doc_triples
+                   WHERE p_value = '{INLANG}' AND o_kind = 2
+                     AND o_value = 'en' AND o_lang IS NULL AND o_dt IS NULL),
+            p2 AS (SELECT '<' || s_value || '>' AS src, '<' || o_value || '>' AS d
+                   FROM doc_triples WHERE p_value = '{HASDOC}')
+            SELECT DISTINCT p1.d, p2.src FROM p1 JOIN p2 USING (d)
         """,
         "embedding_neardup_exact": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
