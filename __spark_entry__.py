@@ -402,6 +402,34 @@ def q_embedding_dedup_lsh(spark, sf_dir):
     return embedding_dedup(emb, threshold=0.4, dim=64).select("vec_id", "label")
 
 
+def q_set_ops(spark, sf_dir):
+    """Set operations (§2.4): event users ∩ customers, and events-only
+    users, as one labeled union."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("id")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id")
+    )
+    both = ev.intersect(cust).withColumn("tag", F.lit("both"))
+    only_ev = ev.distinct().exceptAll(cust.distinct()).withColumn(
+        "tag", F.lit("events_only")
+    )
+    return both.unionByName(only_ev)
+
+
+def q_salted_predicate_counts(spark, sf_dir):
+    """Skew-aware two-phase aggregation (SURVEY §4 item 1) checked
+    against a naive oracle: groupBy(p, salt) partials then merge —
+    same answer, hot keys fanned over 16 reducers."""
+    tr = _doc_triples(spark, sf_dir)
+    salted = tr.withColumn("_salt", F.pmod(F.xxhash64("s_value"), F.lit(16)))
+    partial = salted.groupBy("p_value", "_salt").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return partial.groupBy("p_value").agg(F.sum("_n").cast("long").alias("n"))
+
+
 def q_bgp_join(spark, sf_dir):
     """SPARQL-SELECT-shaped conjunctive pattern match (§2.5/E3):
     { ?d inLanguage "en" . ?src hasDoc ?d } -> (d, src) NT bindings."""
@@ -541,6 +569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "bgp_join": q_bgp_join,
+        "set_ops": q_set_ops,
+        "salted_predicate_counts": q_salted_predicate_counts,
         # rows-only:
         "rdfa_pipeline": q_rdfa_pipeline,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
@@ -764,6 +794,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "set_ops": """
+            SELECT id, 'both' AS tag FROM (
+              SELECT user_id AS id FROM events
+              INTERSECT
+              SELECT c_custkey FROM customer)
+            UNION ALL
+            SELECT id, 'events_only' AS tag FROM (
+              SELECT DISTINCT user_id AS id FROM events
+              EXCEPT
+              SELECT DISTINCT c_custkey FROM customer)
+        """,
+        "salted_predicate_counts": f"""
+            WITH {_DOC_TRIPLES_CTE}
+            SELECT p_value, count(*)::BIGINT AS n FROM doc_triples GROUP BY p_value
         """,
         "bgp_join": f"""
             WITH {_DOC_TRIPLES_CTE},
