@@ -513,9 +513,26 @@ def q_lsh_ann_topk(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (stubbed decode, real Arrow batches).
+
+    The library API returns ``feat array<float>``; the driver contract
+    needs hashable scalar columns, so project the array to a canonical
+    comma-joined string here (6-dp, deterministic)."""
+    from pyspark.sql import functions as F
+
     from argo_spark.ops.multimodal import extract_media_features, synthesize_media
 
-    return extract_media_features(synthesize_media(spark, 200))
+    feats = extract_media_features(synthesize_media(spark, 200))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha256",
+        F.concat_ws(
+            ",", F.transform("feat", lambda x: F.format_number(x, 6))
+        ).alias("feat_csv"),
+        "frames",
+    )
 
 
 def q_clean_corpus(spark, sf_dir):

@@ -43,14 +43,18 @@ def clean_corpus(
     n1 = d1.count()
     audit["exact_dup"] = n0 - n1
 
+    # star-edge LSH: O(k) per bucket — a web-scale boilerplate cluster
+    # of 10^6 docs costs 10^6 edges, not 10^12 pairs
     pairs = minhash_dedup_pairs(
-        d1, id_col, text_col, threshold=neardup_threshold
+        d1, id_col, text_col, threshold=neardup_threshold, pair_mode="star"
     )
     comps = connected_components(pairs.select("a", "b"))
     losers = comps.where(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
     )
-    d2 = d1.join(F.broadcast(losers), id_col, "left_anti")
+    # no broadcast hint: at 100 TB the loser set is most of the corpus;
+    # AQE converts to broadcast when it is actually small
+    d2 = d1.join(losers, id_col, "left_anti")
     n2 = d2.count()
     audit["near_dup"] = n1 - n2
 

@@ -11,20 +11,28 @@ training-data-pipeline dedup family live here:
 * MinHash-LSH *entity* dedup over surface forms with connected
   components and winner-IRI rewrite (the north-star stage).
 
-Scale notes: every self-join is bucketed by a band/bucket key so the
-shuffle key cardinality is high and no O(n²) pair explosion happens
-outside buckets; hot shingles are document-frequency-capped (stop
-shingles cause quadratic bucket blowup at web scale); connected
+Scale notes: every self-join is bucketed by a band/bucket key so no
+O(n²) pair explosion happens outside buckets; WITHIN a bucket the
+default consumer path emits star edges (bucket-min hub → member,
+O(k) per bucket, connected-components-equivalent) instead of C(k,2)
+pairs, so a 10⁶-member boilerplate cluster costs 10⁶ edges, not
+10¹²; all-pairs mode remains for exact verify-threshold contracts
+and supports a ``max_bucket`` cap with a logged (never silent) drop
+count; hot shingles can be document-frequency-capped via
+``max_shingle_df`` (opt-in — it changes signatures); connected
 components is iterative min-label propagation — O(log diameter)
 shuffles, diameters of near-dup clusters are tiny.
 """
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger("argo_spark.dedup")
 
 from argo_spark.namespaces import DBP, FOAF, SCHEMA
 from argo_spark.terms import KIND_IRI
@@ -145,18 +153,16 @@ def minhash_signatures_df(
     )
 
 
-def lsh_candidate_pairs(
+def _band_keys(
     df: DataFrame,
     id_col: str,
-    sig_col: str = "sig",
-    n_bands: int = 16,
-    rows_per_band: int = 4,
+    sig_col: str,
+    n_bands: int,
+    rows_per_band: int,
 ) -> DataFrame:
-    """Banded LSH: equal band-slices become bucket keys; the self-join
-    happens per (band, bucket) — distinct candidate pairs (a < b)."""
-    # materialize band keys once — the self-join would otherwise
-    # recompute the full signature expression on both sides
-    bands = df.select(
+    """(_id, band, bucket) exploded band keys — materialized once so
+    downstream self-joins/windows don't recompute the signature."""
+    return df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
             F.array(
@@ -172,7 +178,55 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("band", "bucket"),
-    ).persist()
+    )
+
+
+def _cap_buckets(
+    memberships: DataFrame, keys: Sequence[str], max_bucket: int, tag: str
+) -> DataFrame:
+    """Drop bucket groups with more than ``max_bucket`` members, with a
+    LOGGED drop count — never a silent truncation. One cheap
+    aggregation job over the (persisted-by-caller) membership rows;
+    the oversize-bucket list is tiny, so the anti-join broadcasts."""
+    sizes = memberships.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("_bsz")
+    )
+    big = sizes.where(F.col("_bsz") > max_bucket).persist()
+    stats = big.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.coalesce(F.sum("_bsz"), F.lit(0)).alias("nm"),
+    ).first()
+    if stats.nb:
+        log.warning(
+            "%s: dropping %d oversize buckets (> %d members, %d memberships total)"
+            " — raise max_bucket or switch to star-edge mode to keep them",
+            tag, stats.nb, max_bucket, stats.nm,
+        )
+    return memberships.join(
+        F.broadcast(big.select(*keys)), list(keys), "left_anti"
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "sig",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
+    """Banded LSH, ALL-PAIRS mode: equal band-slices become bucket
+    keys; the self-join happens per (band, bucket) — distinct
+    candidate pairs (a < b).
+
+    A bucket of k members emits C(k,2) pairs — at web scale giant
+    duplicate clusters make this quadratic, so either set
+    ``max_bucket`` (oversize buckets dropped with a logged count) or
+    use :func:`lsh_candidate_edges` (O(k) star edges, the default for
+    connected-components consumers)."""
+    bands = _band_keys(df, id_col, sig_col, n_bands, rows_per_band).persist()
+    if max_bucket is not None:
+        bands = _cap_buckets(bands, ("band", "bucket"), max_bucket, "lsh_candidate_pairs")
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -183,6 +237,35 @@ def lsh_candidate_pairs(
             & (F.col("l._id") < F.col("r._id")),
         )
         .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .dropDuplicates()
+    )
+
+
+def lsh_candidate_edges(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "sig",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH, STAR-EDGE mode (the 100-TB path): per (band,
+    bucket) emit ``(hub=min id, member)`` edges instead of all pairs —
+    O(k) per bucket vs C(k,2), and the connected components of the
+    edge set equal those of the all-pairs set, so every CC-based dedup
+    consumer gets identical clusters.
+
+    Plan shape: one shuffle (window over (band, bucket)) and NO join —
+    strictly cheaper than the self-join even before the quadratic
+    blowup. No bucket cap is needed: a 10⁷-member cluster costs 10⁷
+    edge rows."""
+    from pyspark.sql.window import Window
+
+    bands = _band_keys(df, id_col, sig_col, n_bands, rows_per_band)
+    w = Window.partitionBy("band", "bucket")
+    return (
+        bands.withColumn("_hub", F.min("_id").over(w))
+        .where(F.col("_id") != F.col("_hub"))
+        .select(F.col("_hub").alias("a"), F.col("_id").alias("b"))
         .dropDuplicates()
     )
 
@@ -245,13 +328,33 @@ def minhash_dedup_pairs(
     n_bands: int = 16,
     threshold: float = 0.7,
     mode: str = "word",
+    pair_mode: str = "pairs",
+    max_bucket: Optional[int] = None,
+    max_shingle_df: Optional[int] = None,
 ) -> DataFrame:
     """End-to-end near-dup pair detection: (a, b, jaccard).
 
     mode='word' (default, Broder-style word shingles) for documents —
     all-codegen exploded pipeline, exact Jaccard over shingle-hash
     sets computed ONLY for candidate ids; mode='char' for short
-    strings like entity surface forms (array path)."""
+    strings like entity surface forms (array path).
+
+    pair_mode='pairs' (exact within-bucket all-pairs; quadratic in
+    bucket size — combine with ``max_bucket`` at scale) or 'star'
+    (hub-spoke edges, O(bucket size); clusters found via connected
+    components are identical pre-verification, and Jaccard then
+    verifies hub→member edges — the web-scale default for CC
+    consumers). ``max_shingle_df`` (word mode) drops shingles present
+    in more than that many documents before signatures — stop-shingle
+    control; opt-in because it changes signatures."""
+    def candidates(sigs: DataFrame) -> DataFrame:
+        rpb = n_hashes // n_bands
+        if pair_mode == "star":
+            return lsh_candidate_edges(sigs, id_col, n_bands=n_bands, rows_per_band=rpb)
+        return lsh_candidate_pairs(
+            sigs, id_col, n_bands=n_bands, rows_per_band=rpb, max_bucket=max_bucket
+        )
+
     if mode == "char":
         shingled = df.select(
             F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("shingles")
@@ -259,12 +362,17 @@ def minhash_dedup_pairs(
         shingled.count()
         sigs = minhash_signatures_df(shingled, id_col, n_hashes=n_hashes).persist()
         sigs.count()
-        pairs = lsh_candidate_pairs(
-            sigs, id_col, n_bands=n_bands, rows_per_band=n_hashes // n_bands
-        )
-        return jaccard_verify(pairs, shingled, id_col, threshold=threshold)
+        return jaccard_verify(candidates(sigs), shingled, id_col, threshold=threshold)
 
-    ex = word_shingles_exploded(df, id_col, text_col, shingle_k).persist()
+    ex = word_shingles_exploded(df, id_col, text_col, shingle_k)
+    if max_shingle_df is not None:
+        from pyspark.sql.window import Window
+
+        wdf = Window.partitionBy("_gh")
+        ex = ex.withColumn("_df", F.count(F.lit(1)).over(wdf)).where(
+            F.col("_df") <= max_shingle_df
+        ).drop("_df")
+    ex = ex.persist()
     ex.count()
     a, b = _minhash_coeffs(n_hashes)
     hashed = ex.select(
@@ -286,15 +394,18 @@ def minhash_dedup_pairs(
         .persist()
     )
     sigs.count()
-    pairs = lsh_candidate_pairs(
-        sigs, id_col, n_bands=n_bands, rows_per_band=n_hashes // n_bands
-    ).persist()
-    # shingle-hash ARRAYS only for ids that appear in candidate pairs
+    pairs = candidates(sigs).persist()
+    # shingle-hash ARRAYS only for ids that appear in candidate pairs.
+    # pairs mode: the candidate set is small — force broadcast. star
+    # mode: cluster membership is unbounded — plain semi-join and let
+    # AQE pick broadcast when it fits.
     cand_ids = pairs.select(F.col("a").alias(id_col)).union(
         pairs.select("b")
     ).distinct()
+    if pair_mode != "star":
+        cand_ids = F.broadcast(cand_ids)
     cand_sets = (
-        ex.join(F.broadcast(cand_ids), id_col, "left_semi")
+        ex.join(cand_ids, id_col, "left_semi")
         .groupBy(id_col)
         .agg(F.collect_set("_gh").alias("shingles"))
     )
@@ -376,16 +487,15 @@ def simhash_signatures_df(
     return votes.select(F.col(id_col), sh.alias("sh"))
 
 
-def simhash_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, n_blocks: int = 4
+def _simhash_blocks(
+    df: DataFrame, id_col: str, text_col: str, n_blocks: int
 ) -> DataFrame:
-    """Hamming-LSH: split the 64-bit simhash into n_blocks 16-bit
-    blocks; near-dups (distance < n_blocks) share at least one block."""
+    """(_id, sh, block, key) Hamming-LSH block memberships."""
     with_sh = simhash_signatures_df(df, id_col, text_col).select(
         F.col(id_col).alias("_id"), "sh"
-    ).persist()
+    )
     bits = 64 // n_blocks
-    blocks = with_sh.select(
+    return with_sh.select(
         "_id",
         "sh",
         F.posexplode(
@@ -399,6 +509,23 @@ def simhash_candidate_pairs(
             )
         ).alias("block", "key"),
     )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_blocks: int = 4,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
+    """Hamming-LSH, all-pairs mode: split the 64-bit simhash into
+    n_blocks 16-bit blocks; near-dups (distance < n_blocks) share at
+    least one block. Quadratic within a block bucket — set
+    ``max_bucket`` (logged drops) or use
+    :func:`simhash_candidate_edges` at web scale."""
+    blocks = _simhash_blocks(df, id_col, text_col, n_blocks).persist()
+    if max_bucket is not None:
+        blocks = _cap_buckets(blocks, ("block", "key"), max_bucket, "simhash_candidate_pairs")
     l, r = blocks.alias("l"), blocks.alias("r")
     pairs = (
         l.join(
@@ -415,6 +542,37 @@ def simhash_candidate_pairs(
         .dropDuplicates(["a", "b"])
     )
     return pairs
+
+
+def simhash_candidate_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_blocks: int = 4,
+    max_hamming: Optional[int] = None,
+) -> DataFrame:
+    """Hamming-LSH, STAR-EDGE mode: per (block, key) bucket emit
+    (hub=min id, member, hamming(hub, member)) — O(k) per bucket, same
+    connected components as the all-pairs set. One window shuffle, no
+    self-join; ``max_hamming`` verifies hub→member edges."""
+    from pyspark.sql.window import Window
+
+    blocks = _simhash_blocks(df, id_col, text_col, n_blocks)
+    w = Window.partitionBy("block", "key")
+    hub = F.min(F.struct("_id", "sh")).over(w)
+    edges = (
+        blocks.withColumn("_hub", hub)
+        .where(F.col("_id") != F.col("_hub._id"))
+        .select(
+            F.col("_hub._id").alias("a"),
+            F.col("_id").alias("b"),
+            F.bit_count(F.col("_hub.sh").bitwiseXOR(F.col("sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    if max_hamming is not None:
+        edges = edges.where(F.col("hamming") <= max_hamming)
+    return edges
 
 
 # ---------------------------------------------------------------------------
@@ -520,6 +678,7 @@ def entity_dedup_mapping(
     pairs = minhash_dedup_pairs(
         keyed, "entity", "surface", shingle_k=shingle_k,
         n_hashes=16, n_bands=8, threshold=threshold, mode="char",
+        pair_mode="star",
     )
     comps = connected_components(pairs.select("a", "b"))
     return comps.where(F.col("id") != F.col("comp")).select(
@@ -527,11 +686,25 @@ def entity_dedup_mapping(
     )
 
 
-def apply_entity_mapping(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+def apply_entity_mapping(
+    triples: DataFrame,
+    mapping: DataFrame,
+    max_broadcast_rows: int = 5_000_000,
+) -> DataFrame:
     """Rewrite subject/object IRIs through the (entity -> canonical)
-    map. The map is tiny relative to the triples — broadcast both
-    joins; no shuffle of the big side."""
-    m = F.broadcast(mapping)
+    map. The map is usually tiny relative to the triples — broadcast
+    both joins so the big side never shuffles — but at 100 TB a dup
+    map can exceed executor/driver broadcast limits, so guard: above
+    ``max_broadcast_rows`` (~a few hundred MB of IRIs) fall back to a
+    plain shuffle join and let AQE pick the strategy."""
+    if mapping.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows:
+        m = F.broadcast(mapping)
+    else:
+        log.warning(
+            "apply_entity_mapping: mapping exceeds %d rows — using shuffle join "
+            "instead of broadcast", max_broadcast_rows,
+        )
+        m = mapping
     out = (
         triples.join(
             m.withColumnRenamed("entity", "s_value").withColumnRenamed(

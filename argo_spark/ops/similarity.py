@@ -104,13 +104,21 @@ def embedding_neardup_pairs(
     n_planes: int = 6,
     n_tables: int = 3,
     exact: bool = False,
+    pair_mode: str = "pairs",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
 
     Scale path (default): multi-table random-hyperplane LSH — a pair
     is a candidate if it collides in ANY of n_tables bucketings
     (recall ≈ 1-(1-p^k)^L), then exact cosine verifies. ``exact=True``
-    is the O(n²) cross-join baseline for oracles/small inputs."""
+    is the O(n²) cross-join baseline for oracles/small inputs.
+
+    pair_mode='pairs' enumerates all pairs within a (table, bucket) —
+    quadratic in bucket size; pair_mode='star' emits only
+    (hub=min id, member) edges per bucket — O(k), same connected
+    components, the web-scale shape for dedup consumers. Star uses a
+    window (min-struct carries the hub vector), so there is NO join
+    at all."""
     e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
@@ -129,23 +137,39 @@ def embedding_neardup_pairs(
                     ]
                 )
             ).alias("tab", "bucket"),
-        ).persist()
-        l, r = tabs.alias("l"), tabs.alias("r")
-        cand = (
-            l.join(
-                r,
-                (F.col("l.tab") == F.col("r.tab"))
-                & (F.col("l.bucket") == F.col("r.bucket"))
-                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-            )
-            .select(
-                F.col(f"l.{id_col}").alias("a"),
-                F.col(f"r.{id_col}").alias("b"),
-                F.col("l._v").alias("_va"),
-                F.col("r._v").alias("_vb"),
-            )
-            .dropDuplicates(["a", "b"])
         )
+        if pair_mode == "star":
+            w = Window.partitionBy("tab", "bucket")
+            hub = F.min(F.struct(F.col(id_col).alias("i"), F.col("_v").alias("v"))).over(w)
+            cand = (
+                tabs.withColumn("_hub", hub)
+                .where(F.col(id_col) != F.col("_hub.i"))
+                .select(
+                    F.col("_hub.i").alias("a"),
+                    F.col(id_col).alias("b"),
+                    F.col("_hub.v").alias("_va"),
+                    F.col("_v").alias("_vb"),
+                )
+                .dropDuplicates(["a", "b"])
+            )
+        else:
+            tabs = tabs.persist()
+            l, r = tabs.alias("l"), tabs.alias("r")
+            cand = (
+                l.join(
+                    r,
+                    (F.col("l.tab") == F.col("r.tab"))
+                    & (F.col("l.bucket") == F.col("r.bucket"))
+                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+                )
+                .select(
+                    F.col(f"l.{id_col}").alias("a"),
+                    F.col(f"r.{id_col}").alias("b"),
+                    F.col("l._v").alias("_va"),
+                    F.col("r._v").alias("_vb"),
+                )
+                .dropDuplicates(["a", "b"])
+            )
     return (
         cand.withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
         .where(F.col("cos") >= threshold)
@@ -160,10 +184,11 @@ def embedding_dedup(
     vec_col: str = "embedding",
     **kw,
 ) -> DataFrame:
-    """Near-dup embedding removal: LSH pairs -> connected components ->
-    keep the min-id representative of each cluster."""
+    """Near-dup embedding removal: LSH star edges -> connected
+    components -> keep the min-id representative of each cluster."""
     from argo_spark.ops.dedup import connected_components
 
+    kw.setdefault("pair_mode", "star")
     pairs = embedding_neardup_pairs(emb, threshold, id_col, vec_col, **kw)
     comps = connected_components(pairs.select("a", "b"))
     losers = comps.where(F.col("id") != F.col("comp")).select(
@@ -179,16 +204,40 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     n_planes: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates only within an LSH
     bucket (the IVF-style scale path — each bucket is a co-partitioned
-    self-join instead of a full cross join)."""
+    self-join instead of a full cross join).
+
+    Top-k genuinely needs all within-bucket candidates, so star edges
+    don't apply; instead ``max_bucket`` caps bucket size (IVF
+    list-truncation analogue) — members of oversize buckets get no
+    neighbors from that bucket, and the drop is LOGGED, not silent.
+    At 100 TB raise n_planes so expected bucket size stays bounded."""
+    import logging
+
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     b = emb.select(
         F.col(id_col), F.col(vec_col),
         hyperplane_buckets(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
+    if max_bucket is not None:
+        b = b.persist()
+        sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+        big = sizes.where(F.col("_bsz") > max_bucket).persist()
+        stats = big.agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.coalesce(F.sum("_bsz"), F.lit(0)).alias("nm"),
+        ).first()
+        if stats.nb:
+            logging.getLogger("argo_spark.similarity").warning(
+                "lsh_topk: dropping %d oversize buckets (> %d members, "
+                "%d vectors affected) — raise n_planes or max_bucket",
+                stats.nb, max_bucket, stats.nm,
+            )
+        b = b.join(F.broadcast(big.select("bucket")), "bucket", "left_anti")
     l, r = b.alias("l"), b.alias("r")
     scored = (
         l.join(
