@@ -298,8 +298,15 @@ def word_shingles_exploded(
 ) -> DataFrame:
     """Distinct (id, shingle-hash) rows via posexplode + window lead —
     fully codegen'd (the array-HOF shingler runs interpreted and was
-    60% of the dedup bench). The window shuffle doubles as the
-    id-partitioning every downstream agg reuses."""
+    60% of the dedup bench). Tokens are hashed to longs BEFORE the
+    window, so the window shuffle moves 8-byte longs instead of token
+    strings and the gram hash combines k longs instead of
+    concatenating strings (measured: 1.4s cold / 0.8s warm vs 7.8s /
+    1.0s for the string-concat form at sf0.1 — smaller generated code
+    JIT-compiles far faster). The window shuffle doubles as the
+    id-partitioning every downstream agg reuses. Like concat_ws,
+    xxhash64 skips nulls, so short documents (< k tokens) keep their
+    single pos-0 gram."""
     from pyspark.sql.window import Window
 
     toks = df.select(
@@ -307,14 +314,15 @@ def word_shingles_exploded(
         F.posexplode(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
         ).alias("_pos", "_w"),
-    )
+    ).select(F.col(id_col), "_pos", F.xxhash64("_w").alias("_wh"))
     w = Window.partitionBy(id_col).orderBy("_pos")
-    gram = F.concat_ws(" ", F.col("_w"), *[F.lead("_w", i).over(w) for i in range(1, k)])
-    last = F.lead("_w", k - 1).over(w)
+    leads = [F.lead("_wh", i).over(w) for i in range(1, k)]
+    gram = F.xxhash64(F.col("_wh"), *leads)
+    last = leads[-1]
     return (
-        toks.select(F.col(id_col), gram.alias("_gram"), last.alias("_last"))
+        toks.select(F.col(id_col), "_pos", gram.alias("_gram_h"), last.alias("_last"))
         .where(F.col("_last").isNotNull() | (F.col("_pos") == 0))
-        .select(F.col(id_col), F.xxhash64("_gram").alias("_gh"))
+        .select(F.col(id_col), F.col("_gram_h").alias("_gh"))
         .dropDuplicates()
     )
 
