@@ -499,17 +499,73 @@ def q_rdfa_pipeline(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    from argo_spark.ops.dedup import simhash_candidate_pairs
+    """SimHash Hamming-LSH through the real library operator with the
+    PORTABLE md5-nibble token-bit function (16-bit simhash, 2 blocks)
+    so DuckDB can replay it — xxhash64 stays the production default."""
+    from argo_spark.ops.dedup import md5_token_bit, simhash_candidate_pairs
 
     d = _docs(spark, sf_dir)
-    return simhash_candidate_pairs(d, "doc_id", "text").where("hamming <= 8")
+    pairs = simhash_candidate_pairs(
+        d, "doc_id", "text", n_blocks=2, n_bits=16, bit_fn=md5_token_bit
+    )
+    return pairs.where("hamming <= 3").select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_lsh_ann_topk(spark, sf_dir):
-    from argo_spark.ops.similarity import lsh_topk
+    """Bucketed ANN top-3 through the real lsh_topk operator with
+    PORTABLE md5-derived hyperplanes (6 planes, seed 7)."""
+    from argo_spark.ops.similarity import lsh_topk, md5_planes
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(emb, k=3, dim=64, n_planes=6)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = lsh_topk(emb, k=3, dim=64, n_planes=6, planes=md5_planes(64, 6, seed=7))
+    return out.select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_embedding_neardup_star(spark, sf_dir):
+    """Star-edge (hub→member) embedding near-dup pairs through the
+    library scale path with PORTABLE md5 hyperplanes — the oracle for
+    the O(k)-per-bucket web-scale contract."""
+    from argo_spark.ops.similarity import embedding_neardup_pairs, md5_planes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planes = [md5_planes(64, 4, seed=11 + t) for t in range(2)]
+    return embedding_neardup_pairs(
+        emb, threshold=0.3, dim=64, n_planes=4, n_tables=2,
+        pair_mode="star", planes=planes,
+    )
+
+
+def q_dedup_minhash_star(spark, sf_dir):
+    """Star-edge variant of the MinHash-LSH bucket contract: per
+    bucket emit (hub=min doc_id, member) — the O(k) shape, oracled."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", _word_shingles(F.col("text")).alias("sh"))
+    def seeded(j):
+        return lambda s: F.md5(F.concat(F.lit(str(j)), s))
+
+    sigs = [
+        F.array_min(F.transform(F.col("sh"), seeded(j))).alias(f"sig{j}")
+        for j in range(4)
+    ]
+    sig = sh.select("doc_id", *sigs)
+    bucket = F.md5(F.concat("sig0", "sig1", "sig2", "sig3")).alias("bucket")
+    w = Window.partitionBy("bucket")
+    return (
+        sig.select("doc_id", bucket)
+        .withColumn("hub", F.min("doc_id").over(w))
+        .where(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("a"), F.col("doc_id").alias("b"))
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -588,15 +644,119 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_join": q_bgp_join,
         "set_ops": q_set_ops,
         "salted_predicate_counts": q_salted_predicate_counts,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "embedding_neardup_star": q_embedding_neardup_star,
+        "dedup_minhash_star": q_dedup_minhash_star,
         # rows-only:
         "rdfa_pipeline": q_rdfa_pipeline,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
-        "simhash_pairs": q_simhash_pairs,
-        "lsh_ann_topk": q_lsh_ann_topk,
         "multimodal_features": q_multimodal_features,
         "nt_parse_roundtrip": q_nt_parse_roundtrip,
         "clean_corpus": q_clean_corpus,
     }
+
+
+_HX = "0123456789abcdef"
+
+
+def _simhash_pairs_sql() -> str:
+    """16-bit md5-nibble simhash, 2 blocks of 8 bits, hamming <= 3 —
+    mirrors simhash_candidate_pairs(n_bits=16, bit_fn=md5_token_bit)."""
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN ((strpos('{_HX}', substr(md5(t), {j // 4 + 1}, 1)) - 1)"
+        f" >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(16)
+    )
+    sh = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    t -> t != '')) AS t
+          FROM documents),
+        votes AS (SELECT doc_id,
+                   {votes}
+                  FROM toks GROUP BY doc_id),
+        sh_t AS (SELECT doc_id, ({sh})::BIGINT AS sh FROM votes),
+        mem AS (
+          SELECT doc_id, sh, 0 AS block, sh & 255 AS key FROM sh_t
+          UNION ALL
+          SELECT doc_id, sh, 1, (sh >> 8) & 255 FROM sh_t),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                 bit_count(xor(l.sh, r.sh))::BIGINT AS hamming
+          FROM mem l JOIN mem r
+            ON l.block = r.block AND l.key = r.key AND l.doc_id < r.doc_id)
+        SELECT a, b, hamming FROM pairs WHERE hamming <= 3
+    """
+
+
+def _md5_coef_sql(seed: int, p: int, j: int) -> str:
+    key = f"{seed}_{p}_{j}"
+    return (
+        f"((strpos('{_HX}', substr(md5('{key}'), 1, 1)) - 1) * 16 + "
+        f"(strpos('{_HX}', substr(md5('{key}'), 2, 1)) - 1) - 127.5)"
+    )
+
+
+def _bucket_sql(vec: str, seed: int, n_planes: int, dim: int = 64) -> str:
+    """Sign-pattern hyperplane bucket, md5-derived coefficients —
+    mirrors hyperplane_buckets(planes=md5_planes(dim, n_planes, seed)).
+    Sequential left-assoc addition matches Spark's aggregate fold."""
+    parts = []
+    for p in range(n_planes):
+        terms = " + ".join(f"{vec}[{j + 1}] * {_md5_coef_sql(seed, p, j)}" for j in range(dim))
+        parts.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")::BIGINT"
+
+
+_COS_SQL = (
+    "round(list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i] * {b}[i])))), 6)"
+)
+
+
+def _ann_lsh_sql() -> str:
+    bucket = _bucket_sql("v", seed=7, n_planes=6)
+    cos = _COS_SQL.format(a="l.v", b="r.v")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+        scored AS (
+          SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+                 {cos} AS cos
+          FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id != r.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3
+    """
+
+
+def _embedding_star_sql() -> str:
+    b11 = _bucket_sql("v", seed=11, n_planes=4)
+    b12 = _bucket_sql("v", seed=12, n_planes=4)
+    cos = _COS_SQL.format(a="hv.v", b="h.v")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        mem AS (
+          SELECT vec_id, v, 0 AS tab, {b11} AS bucket FROM e
+          UNION ALL
+          SELECT vec_id, v, 1, {b12} FROM e),
+        hubbed AS (
+          SELECT tab, bucket, vec_id, v,
+                 min(vec_id) OVER (PARTITION BY tab, bucket) AS hub
+          FROM mem),
+        scored AS (
+          SELECT h.hub AS a, h.vec_id AS b, {cos} AS cos
+          FROM hubbed h JOIN e hv ON hv.vec_id = h.hub
+          WHERE h.vec_id != h.hub)
+        SELECT DISTINCT a, b, cos FROM scored WHERE cos >= 0.3
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -875,5 +1035,30 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "simhash_pairs": _simhash_pairs_sql(),
+        "lsh_ann_topk": _ann_lsh_sql(),
+        "embedding_neardup_star": _embedding_star_sql(),
+        "dedup_minhash_star": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS} AS w FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(w) - 2, 1) + 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+              FROM toks),
+            sig AS (
+              SELECT doc_id,
+                     list_min(list_transform(shingles, s -> md5('0' || s))) AS sig0,
+                     list_min(list_transform(shingles, s -> md5('1' || s))) AS sig1,
+                     list_min(list_transform(shingles, s -> md5('2' || s))) AS sig2,
+                     list_min(list_transform(shingles, s -> md5('3' || s))) AS sig3
+              FROM sh),
+            bk AS (
+              SELECT doc_id, md5(sig0 || sig1 || sig2 || sig3) AS bucket,
+                     min(doc_id) OVER (PARTITION BY md5(sig0 || sig1 || sig2 || sig3)) AS hub
+              FROM sig)
+            SELECT hub AS a, doc_id AS b FROM bk WHERE doc_id != hub
         """,
     }

@@ -464,22 +464,43 @@ def simhash64(text: Column) -> Column:
     )
 
 
+def md5_token_bit(col: Column, j: int) -> Column:
+    """Bit j of md5(token), nibble-decoded — the PORTABLE token-bit
+    function for DuckDB-checkable simhash contracts (xxhash64 does not
+    exist outside Spark). Hex digit j//4 of the digest, bit j%4."""
+    nib = F.conv(F.substring(F.md5(col), j // 4 + 1, 1), 16, 10).cast("int")
+    return F.shiftright(nib, j % 4).bitwiseAND(F.lit(1))
+
+
 def simhash_signatures_df(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 64,
+    bit_fn=None,
 ) -> DataFrame:
-    """(id, sh) 64-bit SimHash via explode → 64 codegen'd sign-sum
-    aggregates (same scalable shape as minhash_signatures_df; the HOF
-    column-expression simhash64 runs interpreted)."""
+    """(id, sh) n_bits-wide SimHash via explode → n_bits codegen'd
+    sign-sum aggregates (same scalable shape as
+    minhash_signatures_df; the HOF column-expression simhash64 runs
+    interpreted).
+
+    ``bit_fn(token_col, j) -> 0/1 Column`` selects bit j of the token
+    hash; default is bit j of xxhash64 (fast path). Pass
+    :func:`md5_token_bit` (with n_bits <= 32) for the
+    DuckDB-portable oracle contract — the operator structure is
+    identical, only the hash primitive changes."""
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    ex = df.select(F.col(id_col), F.explode(toks).alias("_t")).select(
-        F.col(id_col), F.xxhash64("_t").alias("_h")
-    )
+    ex = df.select(F.col(id_col), F.explode(toks).alias("_t"))
+    if bit_fn is None:
+        ex = ex.select(F.col(id_col), F.xxhash64("_t").alias("_h"))
+        def bit(j: int) -> Column:
+            return F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))
+    else:
+        def bit(j: int) -> Column:
+            return bit_fn(F.col("_t"), j)
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"_v{j}")
-        for j in range(64)
+        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"_v{j}")
+        for j in range(n_bits)
     ]
     votes = ex.groupBy(id_col).agg(*aggs)
     bit_terms = [
@@ -487,7 +508,7 @@ def simhash_signatures_df(
             F.col(f"_v{j}") > 0,
             F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-        for j in range(64)
+        for j in range(n_bits)
     ]
     sh = bit_terms[0]
     for t in bit_terms[1:]:
@@ -496,13 +517,18 @@ def simhash_signatures_df(
 
 
 def _simhash_blocks(
-    df: DataFrame, id_col: str, text_col: str, n_blocks: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_blocks: int,
+    n_bits: int = 64,
+    bit_fn=None,
 ) -> DataFrame:
     """(_id, sh, block, key) Hamming-LSH block memberships."""
-    with_sh = simhash_signatures_df(df, id_col, text_col).select(
+    with_sh = simhash_signatures_df(df, id_col, text_col, n_bits, bit_fn).select(
         F.col(id_col).alias("_id"), "sh"
     )
-    bits = 64 // n_blocks
+    bits = n_bits // n_blocks
     return with_sh.select(
         "_id",
         "sh",
@@ -525,13 +551,15 @@ def simhash_candidate_pairs(
     text_col: str,
     n_blocks: int = 4,
     max_bucket: Optional[int] = None,
+    n_bits: int = 64,
+    bit_fn=None,
 ) -> DataFrame:
-    """Hamming-LSH, all-pairs mode: split the 64-bit simhash into
-    n_blocks 16-bit blocks; near-dups (distance < n_blocks) share at
+    """Hamming-LSH, all-pairs mode: split the n_bits simhash into
+    n_blocks blocks; near-dups (distance < n_blocks) share at
     least one block. Quadratic within a block bucket — set
     ``max_bucket`` (logged drops) or use
     :func:`simhash_candidate_edges` at web scale."""
-    blocks = _simhash_blocks(df, id_col, text_col, n_blocks).persist()
+    blocks = _simhash_blocks(df, id_col, text_col, n_blocks, n_bits, bit_fn).persist()
     if max_bucket is not None:
         blocks = _cap_buckets(blocks, ("block", "key"), max_bucket, "simhash_candidate_pairs")
     l, r = blocks.alias("l"), blocks.alias("r")
@@ -558,6 +586,8 @@ def simhash_candidate_edges(
     text_col: str,
     n_blocks: int = 4,
     max_hamming: Optional[int] = None,
+    n_bits: int = 64,
+    bit_fn=None,
 ) -> DataFrame:
     """Hamming-LSH, STAR-EDGE mode: per (block, key) bucket emit
     (hub=min id, member, hamming(hub, member)) — O(k) per bucket, same
@@ -565,7 +595,7 @@ def simhash_candidate_edges(
     self-join; ``max_hamming`` verifies hub→member edges."""
     from pyspark.sql.window import Window
 
-    blocks = _simhash_blocks(df, id_col, text_col, n_blocks)
+    blocks = _simhash_blocks(df, id_col, text_col, n_blocks, n_bits, bit_fn)
     w = Window.partitionBy("block", "key")
     hub = F.min(F.struct("_id", "sh")).over(w)
     edges = (

@@ -66,25 +66,47 @@ def brute_force_topk(
     )
 
 
+def md5_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic hyperplane coefficients derived from md5 — the
+    PORTABLE derivation for DuckDB-checkable contracts: coefficient
+    (p, j) = first-byte-of md5("{seed}_{p}_{j}") - 127.5, exactly
+    reproducible in SQL as nibble-decoded substr(md5(...), 1, 2)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}_{p}_{j}".encode()).hexdigest()[:2], 16) - 127.5
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def hyperplane_buckets(
-    vec: Column, dim: int, n_planes: int = 12, seed: int = 7
+    vec: Column,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 7,
+    planes: list[list[float]] | None = None,
 ) -> Column:
     """Random-hyperplane LSH bucket id: sign pattern of n_planes
     pseudo-random projections. Plane coefficients are a deterministic
     hash of (seed, plane, coordinate) — reproducible on any executor
-    with no broadcast state."""
+    with no broadcast state. Pass explicit ``planes`` (e.g. from
+    :func:`md5_planes`) for a portable contract; coefficients become
+    plan literals either way (constant-folded)."""
     def plane_dot(p: int) -> Column:
+        if planes is not None:
+            coefs = F.array(*[F.lit(float(c)) for c in planes[p]])
+        else:
+            coefs = F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (
+                    F.pmod(F.xxhash64(F.lit(seed), F.lit(p), j), F.lit(2001)) - 1000
+                ).cast("double"),
+            )
         return F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda j: (
-                        F.pmod(F.xxhash64(F.lit(seed), F.lit(p), j), F.lit(2001)) - 1000
-                    ).cast("double"),
-                ),
-                lambda x, c: x * c,
-            ),
+            F.zip_with(vec, coefs, lambda x, c: x * c),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -105,6 +127,7 @@ def embedding_neardup_pairs(
     n_tables: int = 3,
     exact: bool = False,
     pair_mode: str = "pairs",
+    planes: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
 
@@ -132,7 +155,10 @@ def embedding_neardup_pairs(
             F.posexplode(
                 F.array(
                     *[
-                        hyperplane_buckets(F.col("_v"), dim, n_planes, seed=11 + t)
+                        hyperplane_buckets(
+                            F.col("_v"), dim, n_planes, seed=11 + t,
+                            planes=planes[t] if planes is not None else None,
+                        )
                         for t in range(n_tables)
                     ]
                 )
@@ -205,6 +231,7 @@ def lsh_topk(
     dim: int | None = None,
     n_planes: int = 8,
     max_bucket: int | None = None,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates only within an LSH
     bucket (the IVF-style scale path — each bucket is a co-partitioned
@@ -221,7 +248,7 @@ def lsh_topk(
         dim = len(emb.select(vec_col).first()[0])
     b = emb.select(
         F.col(id_col), F.col(vec_col),
-        hyperplane_buckets(F.col(vec_col), dim, n_planes).alias("bucket"),
+        hyperplane_buckets(F.col(vec_col), dim, n_planes, planes=planes).alias("bucket"),
     )
     if max_bucket is not None:
         b = b.persist()
