@@ -442,6 +442,25 @@ def q_bgp_join(spark, sf_dir):
     )
 
 
+def q_sparql_select(spark, sf_dir):
+    """§2.5 E3: the same conjunctive BGP as q_bgp_join, but entering
+    through SPARQL TEXT (the reference client's surface,
+    sparql/sparqlservice.go:43-54) — parser -> bgp_match -> bindings
+    named per sparql/result.go."""
+    from argo_spark.ops.sparql import sparql_select
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return sparql_select(
+        tr,
+        f"""PREFIX s: <http://schema.org/>
+            PREFIX v: <http://corpus.example/vocab#>
+            SELECT DISTINCT ?d ?src WHERE {{
+              ?d s:inLanguage "en" .
+              ?src v:hasDoc ?d .
+            }}""",
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-K per group (§2.4): 3 longest docs per source, id tiebreak."""
     from pyspark.sql.window import Window
@@ -644,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_join": q_bgp_join,
         "set_ops": q_set_ops,
         "salted_predicate_counts": q_salted_predicate_counts,
+        "sparql_select": q_sparql_select,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "embedding_neardup_star": q_embedding_neardup_star,
@@ -1035,6 +1055,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "sparql_select": f"""
+            WITH {_DOC_TRIPLES_CTE},
+            p1 AS (SELECT '<' || s_value || '>' AS d FROM doc_triples
+                   WHERE p_value = '{INLANG}' AND o_kind = 2
+                     AND o_value = 'en' AND o_lang IS NULL AND o_dt IS NULL),
+            p2 AS (SELECT '<' || s_value || '>' AS src, '<' || o_value || '>' AS d
+                   FROM doc_triples WHERE p_value = '{HASDOC}')
+            SELECT DISTINCT p1.d, p2.src FROM p1 JOIN p2 USING (d)
         """,
         "simhash_pairs": _simhash_pairs_sql(),
         "lsh_ann_topk": _ann_lsh_sql(),

@@ -14,17 +14,50 @@ Throughput is printed in the reference's own figure of merit
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+import tempfile
 import time
+import urllib.parse
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 
 from argo_spark.schema import TRIPLE_COLS
-from argo_spark.sinks.registry import FORMATS, format_from_filename
+from argo_spark.sinks.registry import FORMATS, format_from_filename, format_from_mime
 
 
-def read_source(spark: SparkSession, path: str, fmt_id: str | None = None) -> DataFrame:
+def _fetch_url(url: str) -> tuple[str, str | None]:
+    """Fetch one http(s) source to a local temp file (driver-side, like
+    the reference's per-source goroutine fetch, rdf.go:89-237).
+    Returns (local_path, mime_or_None); the URL's extension is
+    preserved so extension dispatch still works."""
+    suffix = os.path.splitext(urllib.parse.urlparse(url).path)[1] or ".tmp"
+    with urllib.request.urlopen(url) as resp:
+        mime = resp.headers.get("Content-Type")
+        fd, local = tempfile.mkstemp(prefix="argo_url_", suffix=suffix)
+        with os.fdopen(fd, "wb") as f:
+            f.write(resp.read())
+    return local, mime
+
+
+def fetch_urls(urls: list[str], max_workers: int = 8) -> dict[str, tuple[str, str | None]]:
+    """Concurrent URL fetch (the reference spawns one goroutine per
+    source; here a thread pool — I/O-bound, GIL-free)."""
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return dict(zip(urls, ex.map(_fetch_url, urls)))
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt_id: str | None = None,
+    mime: str | None = None,
+) -> DataFrame:
     fmt = FORMATS.get(fmt_id) if fmt_id else format_from_filename(path)
+    if fmt is None and mime:
+        fmt = format_from_mime(mime)  # URL sources: fall back to Content-Type
     if fmt is None or fmt.reader is None:
         raise SystemExit(f"no reader for source {path!r} (format {fmt_id or 'auto'})")
     out = fmt.reader(spark, path)
@@ -47,7 +80,15 @@ def run_pipeline(
     from argo_spark.ops.rewrite import rewrite_terms
 
     t0 = time.time()
-    dfs = [read_source(spark, p, in_format) for p in inputs]
+    url_inputs = [p for p in inputs if p.startswith(("http://", "https://"))]
+    fetched = fetch_urls(url_inputs) if url_inputs else {}
+    dfs = []
+    for p in inputs:
+        if p in fetched:
+            local, mime = fetched[p]
+            dfs.append(read_source(spark, local, in_format, mime=mime))
+        else:
+            dfs.append(read_source(spark, p, in_format))
     df = dfs[0]
     for other in dfs[1:]:
         df = df.unionByName(other)
@@ -69,9 +110,16 @@ def run_pipeline(
     ofmt = FORMATS.get(out_format) if out_format else format_from_filename(output)
     if ofmt is None or ofmt.writer is None:
         raise SystemExit(f"no writer for output {output!r}")
-    ofmt.writer(df, output)
+    # triple count rides along with the write via the Observation API —
+    # no second full pass over the sink (reference counts in-stream,
+    # rdf.go:414-424)
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
 
-    n = spark.read.text(output).count()
+    obs = Observation()
+    ofmt.writer(df.observe(obs, F.count(F.lit(1)).alias("n")), output)
+
+    n = obs.get["n"]
     dt = time.time() - t0
     print(f"{n} triples processed in {dt:.3f} seconds", file=sys.stderr)
     return n
@@ -105,6 +153,26 @@ def main(argv: list[str] | None = None) -> None:
             predicate_rewrites=[tuple(x) for x in args.rewrite_predicate],
             object_rewrites=[tuple(x) for x in args.rewrite_object],
             squish=args.squish,
+        )
+    finally:
+        spark.stop()
+
+
+def rdfaparse_main(argv: list[str] | None = None) -> None:
+    """``rdfaparse`` tool equivalent (/root/reference/rdfaparser/
+    rdfaparse/rdfaparse.go:29-49): HTML file(s) in, N-Triples out."""
+    p = argparse.ArgumentParser(description="Extract RDFa from HTML into N-Triples.")
+    p.add_argument("files", nargs="+", help="HTML files/globs")
+    p.add_argument("-o", "--output", required=True)
+    args = p.parse_args(argv)
+
+    from argo_spark.session import get_spark
+
+    spark = get_spark("argo_spark-rdfaparse")
+    try:
+        run_pipeline(
+            spark, args.files, args.output,
+            in_format="rdfa", out_format="ntriples",
         )
     finally:
         spark.stop()

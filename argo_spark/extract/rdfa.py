@@ -231,3 +231,22 @@ def extract_text_df(pages: DataFrame) -> DataFrame:
         return _extract_batches(batches, with_mentions=False, emit_text=True)
 
     return src.mapInPandas(fn, schema=TEXT_SCHEMA)
+
+
+def read_rdfa(spark, path: str) -> DataFrame:
+    """HTML file(s)/glob -> RDFa triples — the ``rdfaparse`` tool path
+    (/root/reference/rdfaparser/rdfaparse/rdfaparse.go:29-49: file in,
+    N-Triples out). The input file name is the document URI (the
+    reference passes the filename as the base URI); mentions are off
+    (rdfaparse emits pure RDFa). One wholetext scan + one Arrow stage."""
+    from pyspark.sql import functions as F
+
+    pages = (
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.input_file_name().alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.col("value").alias("html"),
+        )
+    )
+    return extract_triples_df(pages, with_mentions=False).drop("url", "warc_ts")

@@ -30,6 +30,18 @@ def _read_rdfxml(spark, path):
     return read_rdfxml(spark, path)
 
 
+def _read_rdfa(spark, path):
+    from argo_spark.extract.rdfa import read_rdfa
+
+    return read_rdfa(spark, path)
+
+
+def _write_rdfxml(df, path, mode="overwrite"):
+    from argo_spark.sinks.writers import write_rdfxml
+
+    return write_rdfxml(df, path, mode=mode)
+
+
 def _load():
     from argo_spark import ntriples
     from argo_spark.sinks import writers
@@ -57,11 +69,14 @@ def _load():
         "rdfxml": Format(
             "rdfxml", "RDF/XML", "application/rdf+xml", ".rdf",
             other_exts=[".xml"],
-            reader=_read_rdfxml,
+            reader=_read_rdfxml, writer=_write_rdfxml,
         ),
         "rdfa": Format(
             "rdfa", "RDFA", "text/html", ".html",
             other_mimes=["text/xhtml"], other_exts=[".htm"],
+            # reader registered by side-effect in the reference
+            # (rdfaparser.go:30-41); HTML is read-only (no writer)
+            reader=_read_rdfa,
         ),
     }
 

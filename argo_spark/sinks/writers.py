@@ -297,3 +297,26 @@ def rdfxml_header(prefixes: Optional[dict[str, str]] = None) -> str:
 def rdfxml_string(df: DataFrame, prefixes: Optional[dict[str, str]] = None) -> str:
     blocks = sorted(r.block for r in rdfxml_blocks(df, prefixes).collect())
     return rdfxml_header(prefixes) + "".join(blocks) + "</rdf:RDF>\n"
+
+
+def write_rdfxml(
+    df: DataFrame, path: str, prefixes: Optional[dict[str, str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Distributed RDF/XML: every output part file is a COMPLETE
+    ``<rdf:RDF>`` document (header + that partition's subject blocks +
+    footer), so a directory of parts round-trips through
+    ``read_rdfxml`` (one document per file) — the sharded analogue of
+    the reference's single serialized stream (rdfxml.go:181-333).
+    Empty partitions emit a valid empty document."""
+    header = rdfxml_header(prefixes).rstrip("\n")
+    footer = "</rdf:RDF>"
+    blocks = rdfxml_blocks(df, prefixes)
+
+    def wrap(batches):
+        yield pd.DataFrame({"value": [header]})
+        for pdf in batches:
+            yield pd.DataFrame({"value": pdf["block"].str.rstrip("\n")})
+        yield pd.DataFrame({"value": [footer]})
+
+    blocks.mapInPandas(wrap, schema="value string").write.mode(mode).text(path)

@@ -75,8 +75,10 @@ def windowed_predicate_counts(
     )
 
 
-DEDUP_OUT_SCHEMA = "doc_id long, text string, content_hash long"
-DEDUP_STATE_SCHEMA = "hashes array<long>"
+DEDUP_OUT_SCHEMA = (
+    "doc_id long, text string, content_hash long, bucket_evictions long"
+)
+DEDUP_STATE_SCHEMA = "hashes array<long>, evicted long"
 
 
 def dedup_stream(
@@ -84,15 +86,28 @@ def dedup_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    max_hashes_per_bucket: int | None = None,
+    idle_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming exact dedup across micro-batches: a custom stateful
     operator via applyInPandasWithState. State = content hashes seen
-    per hash-bucket key; only first-seen documents are emitted, across
-    batches and restarts (state lives in the checkpoint).
+    per hash-bucket key (insertion-ordered); only first-seen documents
+    are emitted, across batches and restarts (state lives in the
+    checkpoint).
 
     Keying by ``xxhash64(text) % n_buckets`` spreads state uniformly
-    over the cluster; memory per group is bounded by the distinct-hash
-    count in that bucket (production: RocksDB state store + TTL)."""
+    over the cluster. Unbounded state is a leak on an endless stream,
+    so two eviction knobs exist:
+
+    * ``max_hashes_per_bucket`` — FIFO cap per bucket; the OLDEST
+      hashes are evicted and the cumulative eviction count rides on
+      every output row as ``bucket_evictions`` (an audit column — the
+      drop is observable in the sink, never silent). A re-arriving doc
+      whose hash was evicted is re-emitted (documented trade:
+      exactly-once within the retention capacity).
+    * ``idle_ttl_ms`` — processing-time TTL; a bucket that receives
+      nothing for the duration has its whole state dropped
+      (GroupStateTimeout, the production RocksDB-TTL analogue)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     keyed = docs_stream.select(
@@ -102,7 +117,14 @@ def dedup_stream(
     ).withColumn("bucket", F.pmod(F.col("content_hash"), F.lit(n_buckets)))
 
     def fn(key, pdfs, state: GroupState):
-        seen = set(state.get[0]) if state.exists else set()
+        if idle_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ordered, evicted = list(state.get[0]), int(state.get[1])
+        else:
+            ordered, evicted = [], 0
+        seen = set(ordered)
         for pdf in pdfs:
             pdf = pdf.sort_values("doc_id")
             fresh_mask = []
@@ -111,18 +133,29 @@ def dedup_stream(
                     fresh_mask.append(False)
                 else:
                     seen.add(h)
+                    ordered.append(h)
                     fresh_mask.append(True)
             out = pdf.loc[fresh_mask, ["doc_id", "text", "content_hash"]]
             if len(out):
-                yield out
-        state.update((list(seen),))
+                yield out.assign(bucket_evictions=evicted)
+        if max_hashes_per_bucket is not None and len(ordered) > max_hashes_per_bucket:
+            n_evict = len(ordered) - max_hashes_per_bucket
+            ordered = ordered[n_evict:]
+            evicted += n_evict
+        state.update((ordered, evicted))
+        if idle_ttl_ms is not None:
+            state.setTimeoutDuration(idle_ttl_ms)
 
     return keyed.groupBy("bucket").applyInPandasWithState(
         fn,
         outputStructType=DEDUP_OUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -132,15 +165,22 @@ def stream_dedup_to_parquet(
     input_schema: str,
     output_path: str,
     checkpoint_path: str,
+    max_hashes_per_bucket: int | None = None,
+    idle_ttl_ms: int | None = None,
 ):
     """Continuous exact-dedup of a documents directory; exactly-once +
-    cross-restart state via the checkpoint."""
+    cross-restart state via the checkpoint (bounded by the eviction
+    knobs — see dedup_stream)."""
     src = (
         spark.readStream.schema(input_schema)
         .option("maxFilesPerTrigger", 8)
         .parquet(input_path)
     )
-    deduped = dedup_stream(src)
+    deduped = dedup_stream(
+        src,
+        max_hashes_per_bucket=max_hashes_per_bucket,
+        idle_ttl_ms=idle_ttl_ms,
+    )
     return (
         deduped.writeStream.format("parquet")
         .option("path", output_path)

@@ -131,3 +131,91 @@ def test_cli_pipeline(spark, tmp_path):
     assert err is None
     subs = {t.s.value for t in triples}
     assert subs == {"http://kb/s1", "http://kb/s2"}
+
+
+def test_cli_html_to_rdfxml_roundtrip(spark, tmp_path):
+    """S7 full wiring: .html in (rdfa reader) -> -O rdfxml out
+    (write_rdfxml) -> read_rdfxml parses every part back to the same
+    triples."""
+    from argo_spark.cli import run_pipeline
+    from argo_spark.extract.rdfxml import read_rdfxml
+
+    page = tmp_path / "page.html"
+    page.write_text(
+        '<html xmlns:foaf="http://xmlns.com/foaf/0.1/"><body>'
+        '<div typeof="foaf:Person" resource="http://e/alice">'
+        '<span property="foaf:name">Alice</span>'
+        '<a rel="foaf:knows" href="http://e/bob">bob</a>'
+        "</div></body></html>"
+    )
+    out = str(tmp_path / "out.rdf")
+    n = run_pipeline(spark, [str(page)], out, out_format="rdfxml")
+    assert n == 3
+    triples, errors = read_rdfxml(spark, out)
+    assert errors.count() == 0
+    got = {
+        (r.s_kind, r.s_value, r.p_value, r.o_kind, r.o_value)
+        for r in triples.collect()
+    }
+    assert got == {
+        (0, "http://e/alice", RDF_TYPE, 0, FOAF + "Person"),
+        (0, "http://e/alice", FOAF + "name", 2, "Alice"),
+        (0, "http://e/alice", FOAF + "knows", 0, "http://e/bob"),
+    }
+
+
+def test_rdfaparse_tool(spark, tmp_path, monkeypatch):
+    """rdfaparse equivalent: HTML -> N-Triples file."""
+    from argo_spark import cli
+    from argo_spark.ntriples import parse_document
+
+    page = tmp_path / "p.html"
+    page.write_text(
+        '<html><body><div vocab="http://s/" typeof="T" resource="http://e/x">'
+        '<span property="name">X</span></div></body></html>'
+    )
+    out = str(tmp_path / "out.nt")
+    # call run_pipeline the way rdfaparse_main wires it (no new session)
+    n = cli.run_pipeline(
+        spark, [str(page)], out, in_format="rdfa", out_format="ntriples"
+    )
+    assert n == 2
+    import glob
+
+    text = "".join(open(f).read() for f in sorted(glob.glob(out + "/part-*")))
+    triples, err = parse_document(text)
+    assert err is None
+    assert {t.s.value for t in triples} == {"http://e/x"}
+
+
+def test_cli_url_source(spark, tmp_path):
+    """http(s) inputs are fetched driver-side (rdf.go:89-237 parity)
+    and dispatched by extension/Content-Type."""
+    import http.server
+    import threading
+
+    src = tmp_path / "remote.nt"
+    src.write_text('<http://e/u1> <http://e/p> "from-url" .\n')
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(tmp_path), **kw
+    )
+    httpd = http.server.HTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        from argo_spark.cli import run_pipeline
+
+        out = str(tmp_path / "out.nt")
+        n = run_pipeline(
+            spark, [f"http://127.0.0.1:{port}/remote.nt"], out,
+            out_format="ntriples",
+        )
+        assert n == 1
+        import glob
+
+        text = "".join(open(f).read() for f in sorted(glob.glob(out + "/part-*")))
+        assert '"from-url"' in text
+    finally:
+        httpd.shutdown()

@@ -1,0 +1,90 @@
+"""SPARQL SELECT/ASK text front-end (§2.5 E3): the conjunctive subset
+the reference's HTTP clients send, planned through bgp_match with
+binding columns named per sparql/result.go SelectResult keys."""
+
+from __future__ import annotations
+
+import pytest
+
+from argo_spark.namespaces import RDF_TYPE, SCHEMA
+from argo_spark.ops.graph import TripleGraph
+from argo_spark.ops.sparql import (
+    SparqlSyntaxError,
+    parse_select,
+    sparql_ask,
+    sparql_select,
+)
+from argo_spark.terms import KIND_LITERAL, Term, TripleT, iri, literal
+
+
+def graph(spark):
+    return TripleGraph.of(
+        spark,
+        [
+            TripleT(iri("http://e/a"), iri(RDF_TYPE), iri(SCHEMA + "Person")),
+            TripleT(iri("http://e/a"), iri(SCHEMA + "name"), literal("Ada")),
+            TripleT(iri("http://e/b"), iri(RDF_TYPE), iri(SCHEMA + "Person")),
+            TripleT(iri("http://e/b"), iri(SCHEMA + "name"), literal("Bob", lang="en")),
+            TripleT(iri("http://e/c"), iri(SCHEMA + "name"), literal("Cat")),
+        ],
+    ).df
+
+
+def test_parse_select_terms():
+    variables, patterns, distinct, limit = parse_select(
+        """PREFIX s: <http://schema.org/>
+           SELECT DISTINCT ?x ?n WHERE {
+             ?x a s:Person .
+             ?x s:name "Bob"@en .
+             ?x <http://e/p> "4"^^s:Integer
+           } LIMIT 7"""
+    )
+    assert variables == ["x", "n"] and distinct and limit == 7
+    assert patterns[0] == ("?x", RDF_TYPE, SCHEMA + "Person")
+    assert patterns[1] == ("?x", SCHEMA + "name", Term(KIND_LITERAL, "Bob", lang="en"))
+    assert patterns[2] == ("?x", "http://e/p", Term(KIND_LITERAL, "4", dt=SCHEMA + "Integer"))
+
+
+def test_select_bindings(spark):
+    out = sparql_select(
+        graph(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who ?n WHERE { ?who a s:Person . ?who s:name ?n }""",
+    )
+    assert out.columns == ["who", "n"]
+    got = {(r.who, r.n) for r in out.collect()}
+    assert got == {
+        ("<http://e/a>", '"Ada"'),
+        ("<http://e/b>", '"Bob"@en'),
+    }
+
+
+def test_select_star_and_limit(spark):
+    out = sparql_select(
+        graph(spark),
+        'SELECT * WHERE { ?s <http://schema.org/name> ?n } LIMIT 2',
+    )
+    assert sorted(out.columns) == ["n", "s"]
+    assert out.count() == 2
+
+
+def test_ask(spark):
+    g = graph(spark)
+    assert sparql_ask(g, 'ASK { ?x <http://schema.org/name> "Ada" }')
+    assert not sparql_ask(g, 'ASK { ?x <http://schema.org/name> "Zed" }')
+
+
+def test_errors():
+    with pytest.raises(SparqlSyntaxError):
+        parse_select("SELECT ?x WHERE { }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_select("SELECT WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_select("SELECT ?x WHERE { ?s undeclared:p ?o }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_select('SELECT ?x WHERE { ?s "lit-as-pred" ?o }')
+
+
+def test_unbound_select_var(spark):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(graph(spark), "SELECT ?nope WHERE { ?s ?p ?o }")

@@ -86,3 +86,50 @@ def test_streaming_windowed_stats(spark, tmp_path):
     got = spark.sql("SELECT * FROM pstats_test").count()
     assert 0 <= got <= expected
     assert expected > 0
+
+
+def test_streaming_dedup_eviction_bound(spark, tmp_path):
+    """State bound: FIFO cap evicts oldest hashes with an audit counter
+    on output rows; an evicted hash re-arriving is re-emitted
+    (exactly-once holds within the retention capacity)."""
+    from argo_spark.streaming import dedup_stream
+
+    docs_dir = str(tmp_path / "docs_ev")
+    out = str(tmp_path / "deduped_ev")
+    cp = str(tmp_path / "cp_ev")
+    schema = "doc_id long, text string"
+
+    def run():
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(docs_dir)
+        )
+        q = (
+            dedup_stream(src, n_buckets=1, max_hashes_per_bucket=2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: 3 distinct docs -> cap 2 evicts the oldest ("alpha")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], schema
+    ).write.mode("append").parquet(docs_dir)
+    run()
+    got1 = {(r.doc_id, r.bucket_evictions) for r in spark.read.parquet(out).collect()}
+    assert got1 == {(1, 0), (2, 0), (3, 0)}
+
+    # batch 2: evicted "alpha" re-emits (audit=1); retained "gamma" suppressed
+    spark.createDataFrame(
+        [(4, "alpha"), (5, "gamma")], schema
+    ).write.mode("append").parquet(docs_dir)
+    run()
+    got2 = {(r.doc_id, r.text, r.bucket_evictions)
+            for r in spark.read.parquet(out).collect()}
+    assert (4, "alpha", 1) in got2          # re-emitted, eviction visible
+    assert not any(r[0] == 5 for r in got2)  # within-capacity exactly-once
