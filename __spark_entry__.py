@@ -442,6 +442,40 @@ def q_bgp_join(spark, sf_dir):
     )
 
 
+def q_k5_squirtle_blocks(spark, sf_dir):
+    """K5: Squirtle subject-block serialization (squirtleserializer.go
+    layout, flat distributed variant) over the hasDoc link triples —
+    deterministic sorted p-o lines, oracled as string construction."""
+    from argo_spark.sinks.writers import squirtle_blocks
+
+    tr = _doc_triples(spark, sf_dir).where(F.col("p_value") == HASDOC).drop("doc_id")
+    return squirtle_blocks(tr)
+
+
+def q_loop_eval(spark, sf_dir):
+    """§2.5 loop interpreter: evaluate the reference's own test program
+    (loop/runloop/test.rdf — loop:Add(3, 6.1)) and return the result as
+    a one-row frame; the oracle pins the arithmetic."""
+    from argo_spark.ops.loop import LOOP, LoopInterpreter
+    from argo_spark.terms import TripleT, Term, iri
+
+    XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+    root = iri("http://example.org/add")
+    rdf_type = iri(RDF_TYPE)
+    prog = [
+        TripleT(root, rdf_type, iri(LOOP + "Add")),
+        TripleT(root, iri(LOOP + "a"),
+                Term(2, "3", None, XSD_NS + "positiveInteger")),
+        TripleT(root, iri(LOOP + "b"), Term(2, "6.1", None, XSD_NS + "float")),
+        TripleT(iri(LOOP + "Add"), rdf_type, iri(LOOP + "Function")),
+    ]
+    value = LoopInterpreter(prog).evaluate(root)
+    return spark.createDataFrame(
+        [("http://example.org/add", round(float(value), 6))],
+        "root string, value double",
+    )
+
+
 def q_sparql_select(spark, sf_dir):
     """§2.5 E3: the same conjunctive BGP as q_bgp_join, but entering
     through SPARQL TEXT (the reference client's surface,
@@ -664,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "salted_predicate_counts": q_salted_predicate_counts,
         "sparql_select": q_sparql_select,
+        "k5_squirtle_blocks": q_k5_squirtle_blocks,
+        "loop_eval": q_loop_eval,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "embedding_neardup_star": q_embedding_neardup_star,
@@ -1064,6 +1100,21 @@ def oracle_sql() -> dict[str, str]:
             p2 AS (SELECT '<' || s_value || '>' AS src, '<' || o_value || '>' AS d
                    FROM doc_triples WHERE p_value = '{HASDOC}')
             SELECT DISTINCT p1.d, p2.src FROM p1 JOIN p2 USING (d)
+        """,
+        "k5_squirtle_blocks": f"""
+            WITH {_DOC_TRIPLES_CTE},
+            lines AS (
+              SELECT '<' || s_value || '>' AS s_enc,
+                     '  <' || p_value || '> <' || o_value || '>' AS line
+              FROM doc_triples WHERE p_value = '{HASDOC}')
+            SELECT s_enc || ' {{' || chr(10)
+                   || string_agg(line, chr(10) ORDER BY line)
+                   || chr(10) || '}}' || chr(10) AS block
+            FROM lines GROUP BY s_enc
+        """,
+        "loop_eval": """
+            SELECT 'http://example.org/add' AS root,
+                   round(3 + 6.1::DOUBLE, 6) AS value
         """,
         "simhash_pairs": _simhash_pairs_sql(),
         "lsh_ann_topk": _ann_lsh_sql(),

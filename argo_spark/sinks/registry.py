@@ -42,6 +42,18 @@ def _write_rdfxml(df, path, mode="overwrite"):
     return write_rdfxml(df, path, mode=mode)
 
 
+def _read_squirtle(spark, path):
+    from argo_spark.extract.squirtle import read_squirtle
+
+    return read_squirtle(spark, path)
+
+
+def _write_squirtle(df, path, mode="overwrite"):
+    from argo_spark.sinks.writers import write_squirtle
+
+    return write_squirtle(df, path, mode=mode)
+
+
 def _load():
     from argo_spark import ntriples
     from argo_spark.sinks import writers
@@ -77,6 +89,10 @@ def _load():
             # reader registered by side-effect in the reference
             # (rdfaparser.go:30-41); HTML is read-only (no writer)
             reader=_read_rdfa,
+        ),
+        "squirtle": Format(
+            "squirtle", "Squirtle", "text/x-squirtle", ".squirtle",
+            reader=_read_squirtle, writer=_write_squirtle,
         ),
     }
 

@@ -320,3 +320,148 @@ def write_rdfxml(
         yield pd.DataFrame({"value": [footer]})
 
     blocks.mapInPandas(wrap, schema="value string").write.mode(mode).text(path)
+
+
+# ---------------------------------------------------------------------------
+# Squirtle (K5) — /root/reference/squirtleserializer.go:8-104
+# ---------------------------------------------------------------------------
+
+def _squirtle_term(t_kind: int, value: str, lang, dt, pmap: dict) -> str:
+    """encodeTerm: IRIs as prefix:local when the split-prefix base is
+    bound, else <uri>; literals/bnodes as their NT forms
+    (squirtleserializer.go:13-34)."""
+    from argo_spark.terms import Term, format_term
+
+    if t_kind == KIND_IRI:
+        base, local = split_prefix(value)
+        prefix = pmap.get(base)
+        if prefix is not None:
+            return f"{prefix}:{local}"
+        return f"<{value}>"
+    return format_term(Term(t_kind, value, lang, dt))
+
+
+def squirtle_string(
+    df: DataFrame, prefixes: Optional[dict[str, str]] = None
+) -> str:
+    """Whole document, recursive-inlining layout
+    (squirtleserializer.go:36-78): an object that has its own subject
+    block is inlined as a nested description and removed from the
+    top level. Go map iteration is random; ours sorts names and
+    subjects (the repo-wide determinism divergence)."""
+    p = prefixes if prefixes is not None else NAMESPACES
+    pmap = {base: prefix for prefix, base in p.items()}
+
+    by_subject: dict[str, list] = {}
+    order: list[str] = []
+    for r in df.collect():
+        s_enc = _squirtle_term(r.s_kind, r.s_value, None, None, pmap)
+        if s_enc not in by_subject:
+            by_subject[s_enc] = []
+            order.append(s_enc)
+        by_subject[s_enc].append(r)
+
+    out: list[str] = []
+    for prefix, base in sorted(p.items()):
+        out.append(f"name <{base}> as {prefix}\n")
+    out.append("\n")
+
+    def describe(subject: str, rows: list, ind: str) -> None:
+        out.append(f"{subject} {{\n")
+        for r in rows:
+            pe = _squirtle_term(KIND_IRI, r.p_value, None, None, pmap)
+            oe = _squirtle_term(r.o_kind, r.o_value, r.o_lang, r.o_dt, pmap)
+            out.append(f"{ind}  {pe} ")
+            nested = by_subject.pop(oe, None)
+            if nested is not None:
+                describe(oe, nested, ind + "  ")
+            else:
+                out.append(oe + "\n")
+        out.append(f"{ind}}}\n")
+
+    for s_enc in sorted(order):
+        rows = by_subject.pop(s_enc, None)
+        if rows is not None:
+            describe(s_enc, rows, "")
+    return "".join(out)
+
+
+def squirtle_blocks(
+    df: DataFrame, prefixes: Optional[dict[str, str]] = None
+) -> DataFrame:
+    """Distributed flat variant: one ``subject { ... }`` block row per
+    subject, no cross-subject inlining (inlining needs the whole graph
+    on one node; flat blocks parse back identically)."""
+    p = prefixes if prefixes is not None else NAMESPACES
+    pmap_col = _prefix_map_col(p)
+
+    def enc(kind, value, lang=None, dt=None):
+        base = split_prefix_base(value)
+        local = split_prefix_local(value)
+        prefix = F.element_at(pmap_col, base)
+        as_iri = F.when(
+            prefix.isNotNull(), F.concat(prefix, F.lit(":"), local)
+        ).otherwise(F.concat(F.lit("<"), value, F.lit(">")))
+        if lang is None:
+            return F.when(kind == KIND_IRI, as_iri).otherwise(
+                F.concat(F.lit("_:"), value)
+            )
+        return (
+            F.when(kind == KIND_IRI, as_iri)
+            .when(kind == KIND_BLANK, F.concat(F.lit("_:"), value))
+            .otherwise(
+                F.concat(
+                    F.lit('"'), escape_literal_col(value), F.lit('"'),
+                    F.when(
+                        lang.isNotNull() & (lang != F.lit("")),
+                        F.concat(F.lit("@"), lang),
+                    )
+                    .when(dt.isNotNull(), F.concat(F.lit("^^<"), dt, F.lit(">")))
+                    .otherwise(F.lit("")),
+                )
+            )
+        )
+
+    s_enc = enc(F.col("s_kind"), F.col("s_value"))
+    line = F.concat(
+        F.lit("  "),
+        enc(F.lit(KIND_IRI).cast("tinyint"), F.col("p_value")),
+        F.lit(" "),
+        enc(F.col("o_kind"), F.col("o_value"), F.col("o_lang"), F.col("o_dt")),
+    )
+    return (
+        df.select(s_enc.alias("s_enc"), line.alias("line"))
+        .groupBy("s_enc")
+        .agg(F.array_sort(F.collect_list("line")).alias("lines"))
+        .select(
+            F.concat(
+                F.col("s_enc"), F.lit(" {\n"),
+                F.array_join("lines", "\n"), F.lit("\n}\n"),
+            ).alias("block")
+        )
+    )
+
+
+def squirtle_header(prefixes: Optional[dict[str, str]] = None) -> str:
+    p = prefixes if prefixes is not None else NAMESPACES
+    return "".join(
+        f"name <{base}> as {prefix}\n" for prefix, base in sorted(p.items())
+    ) + "\n"
+
+
+def write_squirtle(
+    df: DataFrame, path: str, prefixes: Optional[dict[str, str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Distributed Squirtle: every part file is a complete document —
+    name headers + that partition's flat subject blocks — so a
+    directory of parts round-trips through read_squirtle."""
+    header = squirtle_header(prefixes).rstrip("\n")
+    blocks = squirtle_blocks(df, prefixes)
+
+    def wrap(batches):
+        yield pd.DataFrame({"value": [header]})
+        for pdf in batches:
+            yield pd.DataFrame({"value": pdf["block"].str.rstrip("\n")})
+
+    blocks.mapInPandas(wrap, schema="value string").write.mode(mode).text(path)
