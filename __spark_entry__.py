@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
     # persist: entity dedup runs several actions over the triples
     triples = extract_triples_df(pages).select(*TRIPLE_COLS).persist()
     mapping = entity_dedup_mapping(triples)
-    squished = apply_entity_mapping(triples, mapping).dropDuplicates(TRIPLE_COLS)
+    squished = apply_entity_mapping(triples, mapping, broadcast=True).dropDuplicates(TRIPLE_COLS)
     doc_triples = _doc_triples(spark, SF0001).select(*TRIPLE_COLS)
     return squished.unionByName(doc_triples)
 
@@ -644,6 +644,23 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN scale path (k-means coarse quantizer + nprobe probe) —
+    iterative clustering is not SQL-expressible; rows-only. Exactness
+    of the scoring kernel is pinned by ann_topk_cosine's oracle."""
+    from argo_spark.ops.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, q, k=5, n_clusters=8, nprobe=2, dim=64).select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_clean_corpus(spark, sf_dir):
     """Composed training-corpus cleaning: exact dedup -> MinHash-LSH
     near-dup removal -> language/quality/length gates (rows-only)."""
@@ -707,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only:
         "rdfa_pipeline": q_rdfa_pipeline,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
         "nt_parse_roundtrip": q_nt_parse_roundtrip,
         "clean_corpus": q_clean_corpus,

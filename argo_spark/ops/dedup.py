@@ -364,12 +364,14 @@ def minhash_dedup_pairs(
         )
 
     if mode == "char":
+        # char mode serves SMALL side-inputs (entity surface forms):
+        # persist without eager counts — scheduling overhead of extra
+        # jobs dominates any duplicate-compute risk at this size, and
+        # the flagship's serial fraction is exactly these small jobs
         shingled = df.select(
             F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("shingles")
         ).where(F.size("shingles") > 0).persist()
-        shingled.count()
         sigs = minhash_signatures_df(shingled, id_col, n_hashes=n_hashes).persist()
-        sigs.count()
         return jaccard_verify(candidates(sigs), shingled, id_col, threshold=threshold)
 
     ex = word_shingles_exploded(df, id_col, text_col, shingle_k)
@@ -624,15 +626,17 @@ def connected_components(
 
     O(log diameter) joins; each iteration localCheckpoints to cut
     lineage. Near-dup clusters have tiny diameters, so this converges
-    in 2-4 rounds; convergence is detected by an aggregate signature
-    (one cheap action per round)."""
-    edges = edges.select("a", "b").dropDuplicates().localCheckpoint(eager=True)
+    in 2-4 rounds; convergence is detected by an aggregate signature.
+    The per-round checkpoint is LAZY and materialized by the same
+    action that computes the signature — one job per round, not two
+    (the serial fraction of the flagship is exactly these jobs)."""
+    edges = edges.select("a", "b").dropDuplicates().localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("a").alias("id"))
         .union(edges.select("b"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sig = None
     for _ in range(max_iter):
@@ -649,7 +653,7 @@ def connected_components(
             labels.union(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         sig = labels.agg(
             F.bit_xor(F.xxhash64("id", "comp")).alias("s")
@@ -693,13 +697,14 @@ def entity_dedup_mapping(
 
     Identity rows (entity == canonical) are omitted — the map is the
     small side of a broadcast join."""
-    # the entity list is tiny vs the triples table; materialize it so
+    # the entity list is tiny vs the triples table; checkpoint it so
     # the LSH + connected-components actions don't re-scan the triples
+    # (lazy: the first downstream job materializes it — no extra job)
     surf = (
         entity_surface_forms(triples, iri_prefix)
         .groupBy("entity")
         .agg(F.min("name").alias("name"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     keyed = surf.select(
         F.col("entity"),
@@ -728,14 +733,20 @@ def apply_entity_mapping(
     triples: DataFrame,
     mapping: DataFrame,
     max_broadcast_rows: int = 5_000_000,
+    broadcast: Optional[bool] = None,
 ) -> DataFrame:
     """Rewrite subject/object IRIs through the (entity -> canonical)
     map. The map is usually tiny relative to the triples — broadcast
     both joins so the big side never shuffles — but at 100 TB a dup
     map can exceed executor/driver broadcast limits, so guard: above
     ``max_broadcast_rows`` (~a few hundred MB of IRIs) fall back to a
-    plain shuffle join and let AQE pick the strategy."""
-    if mapping.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows:
+    plain shuffle join and let AQE pick the strategy. A caller that
+    already knows the map's size class passes ``broadcast`` explicitly
+    and skips the guard's counting job (the flagship does — the guard
+    job is pure serial fraction there)."""
+    if broadcast is None:
+        broadcast = mapping.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
+    if broadcast:
         m = F.broadcast(mapping)
     else:
         log.warning(

@@ -7,6 +7,9 @@ Embeddings are ``array<float>`` columns; all math is JVM-side
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -281,6 +284,144 @@ def lsh_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _nearest_centroids_udf(centroids: list[list[float]], n: int):
+    """Vectorized (Arrow-batched numpy) n-nearest-centroid lookup.
+    HOF column expressions (aggregate/zip_with) run INTERPRETED —
+    measured 23s vs <1s for this matmul on 5k×64 vectors — so the
+    quantizer is the one place similarity search drops to a pandas_udf
+    (sanctioned: per-element math over wide arrays)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype="float64")  # (k, d)
+    c2 = (C * C).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def fn(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.to_numpy())  # (batch, d)
+        # argmin of |v - c|^2 == argmin of (-2 v·c + |c|^2)
+        scores = -2.0 * (V @ C.T) + c2
+        idx = np.argsort(scores, axis=1, kind="stable")[:, :n]
+        return pd.Series([r for r in idx.astype("int32")])
+
+    return fn
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_clusters: int,
+    dim: int,
+    vec_col: str = "embedding",
+    n_iter: int = 4,
+    seed: int = 7,
+    train_fraction: float | None = None,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer:
+    seed centroids are the vectors of the n_clusters smallest
+    xxhash64(vector-string) keys (stable across runs/partitioning);
+    each iteration is one Arrow-batched assignment pass + ONE shuffle
+    (groupBy centroid -> per-dimension sums). Centroids come back to
+    the driver (n_clusters × dim floats — broadcast-sized by
+    construction).
+
+    n_iter is FIXED (no convergence check) so the operator costs a
+    known n_iter passes at any scale. ``train_fraction`` subsamples
+    the training set (standard IVF practice — the quantizer needs a
+    sample, not the corpus; at 10^10 vectors train on ~100k)."""
+    e = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    if train_fraction is not None and train_fraction < 1.0:
+        e = e.sample(fraction=train_fraction, seed=seed)
+    e = e.persist()
+    seeds = (
+        e.select("_v", F.xxhash64(F.concat_ws(",", F.col("_v").cast("array<string>")), F.lit(seed)).alias("_h"))
+        .orderBy("_h")
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = [list(r._v) for r in seeds]
+
+    for _ in range(n_iter):
+        nearest = _nearest_centroids_udf(centroids, 1)
+        assigned = e.select(
+            F.element_at(nearest(F.col("_v")), 1).alias("_c"), "_v"
+        )
+        sums = assigned.groupBy("_c").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.element_at("_v", j + 1)).alias(f"_s{j}")
+                for j in range(dim)
+            ],
+        )
+        rows = {r._c: r for r in sums.collect()}
+        centroids = [
+            [rows[ci][f"_s{j}"] / rows[ci]._n for j in range(dim)]
+            if ci in rows
+            else centroids[ci]
+            for ci in range(len(centroids))
+        ]
+    e.unpersist()
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k (the production ANN scale path): a
+    k-means coarse quantizer assigns every base vector to its nearest
+    centroid (inverted list); each query probes only its ``nprobe``
+    nearest lists. The scored join is equi on the list id — candidates
+    per query are ~nprobe/n_clusters of the base, and the plan is
+    scan × (broadcast of queries×nprobe) with one final top-k window,
+    never an all-pairs cross join.
+
+    At 100 TB: n_clusters grows with the corpus (√N rule), centroids
+    stay driver/broadcast-sized, the inverted-list assignment is one
+    map-only pass, and recall tunes with nprobe."""
+    from pyspark.sql.window import Window
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    if centroids is None:
+        centroids = kmeans_centroids(emb, n_clusters, dim, vec_col)
+
+    e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    assign1 = _nearest_centroids_udf(centroids, 1)
+    base = e.select(
+        id_col, "_v",
+        F.element_at(assign1(F.col("_v")), 1).alias("_list"),
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    assign_n = _nearest_centroids_udf(centroids, nprobe)
+    probes = q.select(
+        query_id_col, "_qv",
+        F.explode(assign_n(F.col("_qv"))).alias("_list"),
+    )
+    scored = (
+        base.join(F.broadcast(probes), "_list")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -66,7 +66,7 @@ def _warmup(spark, sf_dir: str, workdir: str) -> None:
     )
     tr = spark.read.parquet(f"{workdir}/warm_triples")
     m = entity_dedup_mapping(tr)
-    sq = apply_entity_mapping(tr, m).dropDuplicates(TRIPLE_COLS)
+    sq = apply_entity_mapping(tr, m, broadcast=True).dropDuplicates(TRIPLE_COLS)
     write_ntriples(sq, f"{workdir}/warm_nt")
     parse_ntriples_col(spark.read.text(f"{workdir}/warm_nt")).where(
         F.col("error").isNull()
@@ -78,11 +78,14 @@ def _warmup(spark, sf_dir: str, workdir: str) -> None:
     # runs at full size; tiny-input repeats buy most of that for free)
     for _ in range(3):
         minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7).count()
+    minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7, pair_mode="star").count()
     simhash_candidate_pairs(docs, "doc_id", "text").count()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
     q = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
     brute_force_topk(emb, q, k=3).count()
     lsh_topk(emb, k=3, dim=64, n_planes=6).count()
+    from argo_spark.ops.similarity import ivf_topk
+    ivf_topk(emb, q, k=3, n_clusters=4, nprobe=2, dim=64).count()
     em.q_agg_lineitem(spark, sf_dir).collect()
     em.q_events_window_agg(spark, sf_dir).count()
     em.q_g8_semi_join(spark, sf_dir).count()
@@ -109,7 +112,7 @@ def _kg_job(spark, sf_dir: str, workdir: str, n_pages: int) -> int:
     )
     triples = spark.read.parquet(f"{workdir}/triples")
     mapping = entity_dedup_mapping(triples)
-    squished = apply_entity_mapping(triples, mapping).dropDuplicates(TRIPLE_COLS)
+    squished = apply_entity_mapping(triples, mapping, broadcast=True).dropDuplicates(TRIPLE_COLS)
     # observe: emitted-line count rides along with the write — no
     # post-hoc re-read of the output
     from pyspark.sql import Observation
@@ -195,6 +198,9 @@ def run_bench(spark, sf_dir: str, workdir: str) -> dict:
         F.sum("n_tokens"), F.avg("quality")).collect())
     timed("dedup_minhash", lambda: minhash_dedup_pairs(
         docs, "doc_id", "text", threshold=0.7).count())
+    # the web-scale star-edge path (O(k) per bucket, no self-join)
+    timed("dedup_minhash_star", lambda: minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.7, pair_mode="star").count())
     timed("dedup_simhash", lambda: simhash_candidate_pairs(
         docs, "doc_id", "text").count())
 
@@ -202,6 +208,9 @@ def run_bench(spark, sf_dir: str, workdir: str) -> dict:
     q = emb.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
     timed("ann_brute_topk", lambda: brute_force_topk(emb, q, k=10).count())
     timed("ann_lsh_topk", lambda: lsh_topk(emb, k=5, dim=64, n_planes=6).count())
+    from argo_spark.ops.similarity import ivf_topk
+    timed("ann_ivf_topk", lambda: ivf_topk(
+        emb, q, k=10, n_clusters=8, nprobe=2, dim=64).count())
 
     timed("agg_lineitem", lambda: em.q_agg_lineitem(spark, sf_dir).collect())
     timed("events_window_agg", lambda: em.q_events_window_agg(spark, sf_dir).count())

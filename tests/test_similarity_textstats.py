@@ -109,3 +109,33 @@ def test_multimodal_stub_plumbing(spark):
     assert all(by_id[i].sha256 == again[i].sha256 for i in by_id)
     # image rows have exactly one frame; av rows have >= 1
     assert all(r.frames == 1 for r in rows if r.kind == "image")
+
+
+def test_ivf_topk_matches_brute_force_on_clustered_data(spark):
+    """IVF coarse-quantizer ANN: on well-separated clusters the probe
+    of the nearest inverted lists recovers the exact top-k."""
+    import math
+
+    from argo_spark.ops.similarity import brute_force_topk, ivf_topk, kmeans_centroids
+
+    rows = []
+    for i in range(60):
+        c = i % 3  # three well-separated direction clusters
+        base = [math.cos(2.1 * c + 0.02 * j) + 3 * (c == (j % 3)) for j in range(8)]
+        rows.append((i, [x + 0.01 * (i % 5) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    exact = brute_force_topk(emb, queries, k=5)
+    cents = kmeans_centroids(emb, n_clusters=3, dim=8)
+    assert len(cents) == 3 and all(len(c) == 8 for c in cents)
+    approx = ivf_topk(emb, queries, k=5, n_clusters=3, nprobe=1, dim=8,
+                      centroids=cents)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.9, f"IVF recall {recall}"
+    # determinism: second build gives identical centroids
+    assert kmeans_centroids(emb, n_clusters=3, dim=8) == cents
