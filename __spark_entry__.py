@@ -622,25 +622,27 @@ def q_dedup_minhash_star(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing (stubbed decode, real Arrow batches).
+    """Multimodal plumbing (stubbed decode, real Arrow batches),
+    ORACLED: the deterministic fake decode is reproduced in SQL from
+    range(200) — payloads, sha256, features and frame counts all
+    hash-match DuckDB.
 
-    The library API returns ``feat array<float>``; the driver contract
-    needs hashable scalar columns, so project the array to a canonical
-    comma-joined string here (6-dp, deterministic)."""
-    from pyspark.sql import functions as F
-
+    The library API returns ``feat array<float>`` (bytes/255); the
+    driver contract needs hashable scalar columns with no float-
+    formatting ambiguity, so the array is projected back to its exact
+    integer bytes (round(x*255)) joined as a csv string."""
     from argo_spark.ops.multimodal import extract_media_features, synthesize_media
 
     feats = extract_media_features(synthesize_media(spark, 200))
     return feats.select(
         "media_id",
         "kind",
-        "n_bytes",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
         "sha256",
         F.concat_ws(
-            ",", F.transform("feat", lambda x: F.format_number(x, 6))
-        ).alias("feat_csv"),
-        "frames",
+            ",", F.transform("feat", lambda x: F.round(x * 255).cast("int").cast("string"))
+        ).alias("feat_bytes"),
+        F.col("frames").cast("long").alias("frames"),
     )
 
 
@@ -674,15 +676,23 @@ def q_clean_corpus(spark, sf_dir):
 
 
 def q_nt_parse_roundtrip(spark, sf_dir):
-    """S1: NT parser on serialized doc triples (char-level parse —
-    rows-only; correctness pinned by the fixture suite)."""
+    """S1, ORACLED round-trip identity: doc triples → NT lines →
+    full char-level parse must reproduce the generating relation
+    exactly (the oracle is the doc_triples CTE itself)."""
     from argo_spark.ntriples import parse_ntriples_col
     from argo_spark.terms import triple_nt_col
 
     tr = _doc_triples(spark, sf_dir).drop("doc_id")
     lines = tr.select(triple_nt_col().alias("value"))
-    return parse_ntriples_col(lines).where(F.col("error").isNull()).drop(
-        "error", "err_column", "line"
+    parsed = parse_ntriples_col(lines).where(F.col("error").isNull())
+    return parsed.select(
+        F.col("s_kind").cast("int").alias("s_kind"),
+        "s_value",
+        "p_value",
+        F.col("o_kind").cast("int").alias("o_kind"),
+        "o_value",
+        "o_lang",
+        "o_dt",
     )
 
 
@@ -830,6 +840,36 @@ def _embedding_star_sql() -> str:
           FROM hubbed h JOIN e hv ON hv.vec_id = h.hub
           WHERE h.vec_id != h.hub)
         SELECT DISTINCT a, b, cos FROM scored WHERE cos >= 0.3
+    """
+
+
+def _multimodal_sql() -> str:
+    """Reproduce the deterministic fake decode in SQL: payload = hex
+    digest of '42:i' repeated 1+i%7 times; features/frames come from
+    the sha256 of that payload, nibble-decoded to exact bytes."""
+    def nib(h: str, pos: int) -> str:
+        return f"(strpos('{_HX}', substr({h}, {pos}, 1)) - 1)"
+
+    def byte(h: str, j: int) -> str:  # 0-based byte j of hex string h
+        return f"({nib(h, 2 * j + 1)} * 16 + {nib(h, 2 * j + 2)})"
+
+    feat = ", ".join(f"{byte('sha', j)}::VARCHAR" for j in range(8))
+    return f"""
+        WITH m AS (
+          SELECT i::BIGINT AS media_id,
+                 CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+                 repeat(sha256('42:' || i), 1 + i % 7) AS payload,
+                 (1 + i % 7) AS k
+          FROM range(0, 200) t(i)),
+        d AS (SELECT media_id, kind, 64 * k AS n_bytes,
+                     sha256(payload) AS sha
+              FROM m)
+        SELECT media_id, kind, n_bytes::BIGINT AS n_bytes, sha AS sha256,
+               concat_ws(',', {feat}) AS feat_bytes,
+               (CASE WHEN kind = 'image' THEN 1
+                     ELSE 1 + ({byte('sha', 8)} % 32) END)::BIGINT AS frames
+        FROM d
     """
 
 
@@ -1137,6 +1177,14 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(),
         "lsh_ann_topk": _ann_lsh_sql(),
         "embedding_neardup_star": _embedding_star_sql(),
+        "multimodal_features": _multimodal_sql(),
+        "nt_parse_roundtrip": f"""
+            WITH {_DOC_TRIPLES_CTE}
+            SELECT s_kind::INTEGER AS s_kind, s_value, p_value,
+                   o_kind::INTEGER AS o_kind, o_value,
+                   o_lang::VARCHAR AS o_lang, o_dt::VARCHAR AS o_dt
+            FROM doc_triples
+        """,
         "dedup_minhash_star": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKENS} AS w FROM documents),

@@ -82,7 +82,10 @@ def extract_media_features(
 
 
 def synthesize_media(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests/benches."""
+    """Deterministic fake media table for tests/benches. Payload bytes
+    are the ASCII hex digest repeated (still an opaque ``binary``
+    column through the Arrow plumbing, but reproducible by a SQL
+    oracle — DuckDB's sha256 only accepts VARCHAR)."""
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
         for pdf in batches:
@@ -90,9 +93,10 @@ def synthesize_media(spark, n: int, seed: int = 42) -> DataFrame:
             for i in pdf["id"]:
                 i = int(i)
                 kind = kinds[i % 3]
-                payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (
-                    1 + i % 7
-                )
+                payload = (
+                    hashlib.sha256(f"{seed}:{i}".encode()).hexdigest()
+                    * (1 + i % 7)
+                ).encode("ascii")
                 rows.append(
                     (
                         i,
