@@ -72,3 +72,43 @@ def test_split_prefix_reassembles(t):
         assert "#" not in local
         if base.endswith("/"):
             assert "/" not in local
+
+
+# ---------------------------------------------------------------------------
+# Parser robustness: untrusted text must yield (triples, error), never
+# an unhandled exception
+# ---------------------------------------------------------------------------
+
+from hypothesis import strategies as st
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_squirtle_parser_total(text):
+    from argo_spark.extract.squirtle import parse_squirtle
+
+    triples, err = parse_squirtle(text, file_opener=lambda p: (_ for _ in ()).throw(OSError("no includes")))
+    assert isinstance(triples, list)
+    assert err is None or isinstance(err, str)
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_sparql_parser_total(text):
+    from argo_spark.ops.sparql import SparqlSyntaxError, parse_select
+
+    try:
+        variables, patterns, distinct, limit = parse_select(text)
+        assert patterns
+    except SparqlSyntaxError:
+        pass
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_rdfxml_parser_total(text):
+    from argo_spark.extract.rdfxml import parse_rdfxml
+
+    triples, err = parse_rdfxml(text)
+    assert isinstance(triples, list)
+    assert err is None or isinstance(err, str)

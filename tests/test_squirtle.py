@@ -245,3 +245,19 @@ def test_cli_squirtle_format(spark, tmp_path):
     out = str(tmp_path / "out.squirtle")
     n = run_pipeline(spark, [str(src)], out)
     assert n == 1
+
+
+def test_nested_description_inside_template_contributes():
+    """Documented divergence: nested descriptions in a template body
+    ADD their triples to the template (the reference drops them via a
+    Go slice-aliasing bug, squirtleparser.y:244-259)."""
+    t = ok(
+        "template T() {\n"
+        "  foaf:knows <http://e/inner> {\n"
+        '    foaf:name "Nested"\n'
+        "  }\n"
+        "}\n"
+        "<http://e/s> is T()\n"
+    )
+    assert (0, "http://e/s", FOAF + "knows", 0, "http://e/inner", None, None) in t
+    assert (0, "http://e/inner", FOAF + "name", 2, "Nested", None, None) in t
