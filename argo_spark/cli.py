@@ -32,13 +32,17 @@ def _fetch_url(url: str) -> tuple[str, str | None]:
     """Fetch one http(s) source to a local temp file (driver-side, like
     the reference's per-source goroutine fetch, rdf.go:89-237).
     Returns (local_path, mime_or_None); the URL's extension is
-    preserved so extension dispatch still works."""
+    preserved so extension dispatch still works. The body is STREAMED
+    to disk (never buffered whole in driver memory); callers own the
+    temp file and should remove it after the pipeline's final action."""
+    import shutil
+
     suffix = os.path.splitext(urllib.parse.urlparse(url).path)[1] or ".tmp"
     with urllib.request.urlopen(url) as resp:
         mime = resp.headers.get("Content-Type")
         fd, local = tempfile.mkstemp(prefix="argo_url_", suffix=suffix)
         with os.fdopen(fd, "wb") as f:
-            f.write(resp.read())
+            shutil.copyfileobj(resp, f)
     return local, mime
 
 
@@ -77,18 +81,35 @@ def run_pipeline(
     object_rewrites: list[tuple[str, str]] | None = None,
     squish: bool = False,
 ) -> int:
-    from argo_spark.ops.rewrite import rewrite_terms
-
     t0 = time.time()
     url_inputs = [p for p in inputs if p.startswith(("http://", "https://"))]
     fetched = fetch_urls(url_inputs) if url_inputs else {}
-    dfs = []
-    for p in inputs:
-        if p in fetched:
-            local, mime = fetched[p]
-            dfs.append(read_source(spark, local, in_format, mime=mime))
-        else:
-            dfs.append(read_source(spark, p, in_format))
+    try:
+        dfs = []
+        for p in inputs:
+            if p in fetched:
+                local, mime = fetched[p]
+                dfs.append(read_source(spark, local, in_format, mime=mime))
+            else:
+                dfs.append(read_source(spark, p, in_format))
+        return _run_pipeline_on(
+            spark, dfs, output, out_format, rewrites, subject_rewrites,
+            predicate_rewrites, object_rewrites, squish, t0,
+        )
+    finally:
+        for local, _mime in fetched.values():
+            try:
+                os.unlink(local)
+            except OSError:
+                pass
+
+
+def _run_pipeline_on(
+    spark, dfs, output, out_format, rewrites, subject_rewrites,
+    predicate_rewrites, object_rewrites, squish, t0,
+) -> int:
+    from argo_spark.ops.rewrite import rewrite_terms
+
     df = dfs[0]
     for other in dfs[1:]:
         df = df.unionByName(other)

@@ -35,8 +35,10 @@ contribute their triples to the template — the reference drops them
 via a Go slice-aliasing bug (y:244-259 writes back only the top stack
 entry); (2) an unbound variable reaching an emitted triple raises
 instead of emitting a dangling var term (y:204-218 would emit nil and
-crash downstream); (3) string literals follow the lexer exactly: no
-escape sequences, a ``"`` always terminates (y:495-504).
+crash downstream); (3) string literals decode the five NT short
+escapes — the reference lexer has none (a ``"`` always terminates,
+y:495-504) while its serializer NT-escapes values, so reference
+output cannot round-trip through the reference parser; ours can.
 
 Strings are parsed whole-file (one doc per file) — ``read_squirtle``
 distributes via the same wholetext + Arrow-stage shape as RDF/XML.
@@ -172,13 +174,26 @@ def tokenize(text: str) -> Iterator[Tok]:
             yield Tok("IRIREF", uri, sl, sc)
             continue
         if c == '"':
+            # DIVERGENCE: the reference lexer has no escapes (a '"'
+            # always terminates, y:495-504) yet its serializer
+            # NT-escapes literal values — reference output cannot
+            # round-trip through the reference parser. We decode the
+            # five NT short escapes so serializer output parses back
+            # byte-identically.
             advance()
-            j = i
+            buf = []
             while i < n and text[i] != '"':
+                if text[i] == "\\" and i + 1 < n:
+                    nxt = text[i + 1]
+                    rep = {"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t"}.get(nxt)
+                    if rep is not None:
+                        buf.append(rep)
+                        advance(2)
+                        continue
+                buf.append(text[i])
                 advance()
-            s = text[j:i]
             advance()  # consume closing quote
-            yield Tok("STRING", s, sl, sc)
+            yield Tok("STRING", "".join(buf), sl, sc)
             continue
         if c == "^" and i + 1 < n and text[i + 1] == "^":
             advance(2)
@@ -374,7 +389,13 @@ class _Parser:
             prefixes=self.prefixes,
             _anon=self._anon,
         )
-        self.out.extend(sub.parse())
+        try:
+            self.out.extend(sub.parse())
+        except SquirtleError:
+            # stream semantics (y:110-120): triples emitted before the
+            # included file's error are kept
+            self.out.extend(sub.out)
+            raise
 
     def template_decl(self):
         name = self.expect("IDENT").text
@@ -479,18 +500,22 @@ class _Parser:
             self.next()
             return Term(KIND_LITERAL, t.text, dt=XSD + "boolean")
         if t.kind == "VAR":
+            # a var object may itself head a nested description or
+            # template application (object: description; raw_subject:
+            # var, y:234-239)
             self.next()
-            return SqtlVar(t.text)
-        if t.kind == "BNODE":
+            node: TermOrVar = SqtlVar(t.text)
+        elif t.kind == "BNODE":
             self.next()
             node = Term(KIND_BLANK, self.expect("IDENT").text)
         elif t.kind in ("IRIREF", "IDENT"):
             node = Term(KIND_IRI, self.raw_iriref())
+        elif t.kind == "PUNCT" and t.text == "{":
+            node = self.anon()  # empty-subject nested description
+        elif t.kind == "KEYWORD" and t.text in ("is", "new"):
+            node = self.anon()  # empty-subject template application
         else:
-            if t.kind == "PUNCT" and t.text == "{":
-                node = self.anon()
-            else:
-                self.err(f"unexpected object {t.text!r}", t)
+            self.err(f"unexpected object {t.text!r}", t)
         # nested description / template application as object
         nxt = self.peek()
         if nxt.kind == "PUNCT" and nxt.text == "{":

@@ -181,30 +181,47 @@ def _band_keys(
     )
 
 
+_CAP_COLLECT_LIMIT = 100_000
+
+
 def _cap_buckets(
     memberships: DataFrame, keys: Sequence[str], max_bucket: int, tag: str
 ) -> DataFrame:
     """Drop bucket groups with more than ``max_bucket`` members, with a
     LOGGED drop count — never a silent truncation. One cheap
-    aggregation job over the (persisted-by-caller) membership rows;
-    the oversize-bucket list is tiny, so the anti-join broadcasts."""
+    aggregation job over the (persisted-by-caller) membership rows.
+    The oversize-bucket list is tiny by construction, so it is
+    collected once into a local relation (no persist to leak, the
+    anti-join side is a broadcast literal); if the data is so skewed
+    that >100k buckets exceed the cap, fall back to a persisted
+    DF-side anti-join (cached until session end — logged)."""
     sizes = memberships.groupBy(*[F.col(k) for k in keys]).agg(
         F.count(F.lit(1)).alias("_bsz")
     )
-    big = sizes.where(F.col("_bsz") > max_bucket).persist()
-    stats = big.agg(
-        F.count(F.lit(1)).alias("nb"),
-        F.coalesce(F.sum("_bsz"), F.lit(0)).alias("nm"),
-    ).first()
-    if stats.nb:
+    big = sizes.where(F.col("_bsz") > max_bucket)
+    rows = big.limit(_CAP_COLLECT_LIMIT + 1).collect()
+    if not rows:
+        return memberships
+    if len(rows) > _CAP_COLLECT_LIMIT:
         log.warning(
-            "%s: dropping %d oversize buckets (> %d members, %d memberships total)"
-            " — raise max_bucket or switch to star-edge mode to keep them",
-            tag, stats.nb, max_bucket, stats.nm,
+            "%s: more than %d oversize buckets (> %d members) — keeping the "
+            "cap as a DF anti-join (persisted until session end)",
+            tag, _CAP_COLLECT_LIMIT, max_bucket,
         )
-    return memberships.join(
-        F.broadcast(big.select(*keys)), list(keys), "left_anti"
+        bigp = big.persist()
+        return memberships.join(bigp.select(*keys), list(keys), "left_anti")
+    n_memberships = sum(r._bsz for r in rows)
+    log.warning(
+        "%s: dropping %d oversize buckets (> %d members, %d memberships total)"
+        " — raise max_bucket or switch to star-edge mode to keep them",
+        tag, len(rows), max_bucket, n_memberships,
     )
+    spark = memberships.sparkSession
+    local = spark.createDataFrame(
+        [tuple(r[k] for k in keys) for r in rows],
+        memberships.select(*keys).schema,
+    )
+    return memberships.join(F.broadcast(local), list(keys), "left_anti")
 
 
 def lsh_candidate_pairs(
@@ -251,8 +268,13 @@ def lsh_candidate_edges(
     """Banded LSH, STAR-EDGE mode (the 100-TB path): per (band,
     bucket) emit ``(hub=min id, member)`` edges instead of all pairs —
     O(k) per bucket vs C(k,2), and the connected components of the
-    edge set equal those of the all-pairs set, so every CC-based dedup
-    consumer gets identical clusters.
+    edge set equal those of the all-pairs CANDIDATE set. A consumer
+    that threshold-verifies edges BEFORE components (minhash/simhash
+    similarity dedup) only tests hub→member similarity, so two
+    members similar to each other but not to the hub may stay
+    unmerged — the documented recall trade of the star mode; use
+    all-pairs (+ max_bucket) when exact verified-pair semantics
+    matter more than the quadratic risk.
 
     Plan shape: one shuffle (window over (band, bucket)) and NO join —
     strictly cheaper than the self-join even before the quadratic
@@ -315,6 +337,10 @@ def word_shingles_exploded(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
         ).alias("_pos", "_w"),
     ).select(F.col(id_col), "_pos", F.xxhash64("_w").alias("_wh"))
+    if k == 1:  # unigram shingles: no window needed at all
+        return toks.select(
+            F.col(id_col), F.xxhash64("_wh").alias("_gh")
+        ).dropDuplicates()
     w = Window.partitionBy(id_col).orderBy("_pos")
     leads = [F.lead("_wh", i).over(w) for i in range(1, k)]
     gram = F.xxhash64(F.col("_wh"), *leads)

@@ -256,18 +256,16 @@ def lsh_topk(
     if max_bucket is not None:
         b = b.persist()
         sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
-        big = sizes.where(F.col("_bsz") > max_bucket).persist()
-        stats = big.agg(
-            F.count(F.lit(1)).alias("nb"),
-            F.coalesce(F.sum("_bsz"), F.lit(0)).alias("nm"),
-        ).first()
-        if stats.nb:
+        rows = sizes.where(F.col("_bsz") > max_bucket).collect()
+        if rows:
             logging.getLogger("argo_spark.similarity").warning(
                 "lsh_topk: dropping %d oversize buckets (> %d members, "
                 "%d vectors affected) — raise n_planes or max_bucket",
-                stats.nb, max_bucket, stats.nm,
+                len(rows), max_bucket, sum(r._bsz for r in rows),
             )
-        b = b.join(F.broadcast(big.select("bucket")), "bucket", "left_anti")
+            # oversize-bucket ids as a literal filter: no persisted
+            # side table to leak (bucket count is bounded by 2^n_planes)
+            b = b.where(~F.col("bucket").isin([r.bucket for r in rows]))
     l, r = b.alias("l"), b.alias("r")
     scored = (
         l.join(

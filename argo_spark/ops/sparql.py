@@ -218,6 +218,11 @@ def parse_select(query: str):
         if nk != "num":
             raise SparqlSyntaxError(f"bad LIMIT {nv!r}")
         limit = int(nv)
+    kind, val = p.peek()
+    if kind is not None:
+        # never silently drop solution modifiers (ORDER BY, OFFSET,
+        # GROUP BY, ...) — an ignored modifier is a WRONG result
+        raise SparqlSyntaxError(f"unsupported trailing clause at {val!r}")
     return variables, patterns, distinct, limit
 
 
@@ -225,7 +230,11 @@ def parse_ask(query: str) -> list[tuple]:
     p = _Parser(query)
     p.parse_prefixes()
     p.expect_kw("ASK")
-    return p.parse_group()
+    patterns = p.parse_group()
+    kind, val = p.peek()
+    if kind is not None:
+        raise SparqlSyntaxError(f"unsupported trailing clause at {val!r}")
+    return patterns
 
 
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:

@@ -174,6 +174,7 @@ def bulk_add_dataframe(
     for loading a Spark triples table into a Redis farm — the
     reference's Add loop, distributed). ``client_factory`` must be
     picklable and is invoked on the executor."""
+    from argo_spark.terms import KIND_IRI as _KIND_IRI
     from argo_spark.terms import Term as _Term
 
     def load(rows):
@@ -182,7 +183,7 @@ def bulk_add_dataframe(
             store.add(
                 TripleT(
                     _Term(r.s_kind, r.s_value),
-                    _Term(0, r.p_value),
+                    _Term(_KIND_IRI, r.p_value),
                     _Term(r.o_kind, r.o_value, r.o_lang, r.o_dt),
                 )
             )

@@ -96,8 +96,14 @@ def dedup_stream(
     checkpoint).
 
     Keying by ``xxhash64(text) % n_buckets`` spreads state uniformly
-    over the cluster. Unbounded state is a leak on an endless stream,
-    so two eviction knobs exist:
+    over the cluster. NOTE: the state schema gained an ``evicted``
+    field in round 2 — checkpoints written by the earlier single-field
+    schema fail Spark's state-compatibility check on restart and need
+    a fresh checkpoint location (one-time migration; Spark does not
+    evolve applyInPandasWithState schemas in place).
+
+    Unbounded state is a leak on an endless stream, so two eviction
+    knobs exist:
 
     * ``max_hashes_per_bucket`` — FIFO cap per bucket; the OLDEST
       hashes are evicted and the cumulative eviction count rides on

@@ -173,3 +173,18 @@ def test_apply_entity_mapping_shuffle_fallback(spark, caplog):
     # the guard fired (the optimizer may still pick broadcast on tiny
     # stats — the point is the hint is no longer FORCED)
     assert any("shuffle join" in m for m in caplog.messages)
+
+
+def test_word_shingles_k1(spark):
+    """k=1 unigram shingles must not crash (regression: leads[-1] on
+    an empty list) and behave as distinct-token sets."""
+    from argo_spark.ops.dedup import minhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta alpha"), (2, "gamma delta")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", shingle_k=1, threshold=0.9)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (0, 1) in got  # same token set
+    assert not any(2 in p for p in got)

@@ -88,3 +88,10 @@ def test_errors():
 def test_unbound_select_var(spark):
     with pytest.raises(SparqlSyntaxError):
         sparql_select(graph(spark), "SELECT ?nope WHERE { ?s ?p ?o }")
+
+
+def test_trailing_clauses_rejected_not_ignored():
+    with pytest.raises(SparqlSyntaxError, match="trailing"):
+        parse_select("SELECT ?d WHERE { ?d ?p ?o } ORDER BY ?d LIMIT 5")
+    with pytest.raises(SparqlSyntaxError, match="trailing"):
+        parse_select("SELECT ?d WHERE { ?d ?p ?o } LIMIT 5 OFFSET 2")

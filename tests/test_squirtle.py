@@ -261,3 +261,51 @@ def test_nested_description_inside_template_contributes():
     )
     assert (0, "http://e/s", FOAF + "knows", 0, "http://e/inner", None, None) in t
     assert (0, "http://e/inner", FOAF + "name", 2, "Nested", None, None) in t
+
+
+def test_string_escape_roundtrip():
+    """Divergence 3: NT short escapes decode, so serializer output
+    round-trips (the reference's own lexer cannot read its serializer's
+    escaping)."""
+    t = ok('<http://e/s> { <http://e/p> "say \\"hi\\"\\nline2\\t\\\\" }')
+    assert t[0][4] == 'say "hi"\nline2\t\\'
+
+
+def test_include_partial_triples_kept_on_error(tmp_path):
+    """y:110-120 stream semantics: triples emitted before an included
+    file's syntax error are kept."""
+    inc = tmp_path / "broken.squirtle"
+    inc.write_text(
+        '<http://e/good> { <http://e/p> "kept" }\n'
+        "<http://e/bad> { this is missing-parens\n"
+    )
+    triples, err = parse_squirtle(f'include "{inc}"')
+    assert err is not None
+    assert (0, "http://e/good", "http://e/p", 2, "kept", None, None) in triples
+
+
+def test_var_subject_nested_description_in_template():
+    """raw_subject: var (y:234-239) — `?x { ... }` inside a template
+    body collects triples with the var subject, bound at apply time."""
+    t = ok(
+        "template T(?x) {\n"
+        "  foaf:knows ?x {\n"
+        '    foaf:name "Bound"\n'
+        "  }\n"
+        "}\n"
+        "<http://e/s> is T(<http://e/o>)\n"
+    )
+    assert (0, "http://e/s", FOAF + "knows", 0, "http://e/o", None, None) in t
+    assert (0, "http://e/o", FOAF + "name", 2, "Bound", None, None) in t
+
+
+def test_empty_subject_apply_as_object():
+    """object: apply_template with empty raw_subject mints an anon."""
+    t = ok(
+        "template T() { a foaf:Agent }\n"
+        "<http://e/s> { foaf:knows is T() }\n"
+    )
+    knows = [x for x in t if x[2] == FOAF + "knows"]
+    assert len(knows) == 1 and knows[0][3] == KIND_BLANK
+    anon = knows[0][4]
+    assert (1, anon, RDF_TYPE, 0, FOAF + "Agent", None, None) in t
