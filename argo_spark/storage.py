@@ -94,3 +94,34 @@ def get_backend(spark: SparkSession, prefer: Optional[str] = None):
             )
         return IcebergBackend()
     return ParquetBackend()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 64,
+    sort_cols: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (the co-located-join layout for the
+    100-TB plan): rows are hash-distributed into ``n_buckets`` files
+    by ``bucket_cols`` at WRITE time, so every later equi-join or
+    aggregation on those keys skips its Exchange entirely — the
+    shuffle is paid once at ingest instead of once per query. This is
+    the parquet analogue of the reference stores' keyed layouts
+    (redisstore.go composite keys / mysqlstore indexes); with the
+    Iceberg backend the same intent is expressed as a bucket(N, col)
+    partition transform.
+
+    At 100 TB: bucket the triples table by s_value (subject-keyed
+    traversals + squish) and dimension tables by their join keys;
+    n_buckets should be a multiple of the executor count."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.read.table(table)

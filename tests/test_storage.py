@@ -18,3 +18,31 @@ def test_iceberg_unavailable_is_detected(spark):
 
     with pytest.raises(RuntimeError):
         get_backend(spark, prefer="iceberg")
+
+
+def test_bucketed_join_and_agg_skip_exchange(spark, tmp_path):
+    """write_bucketed co-locates rows so equi-joins AND aggregations
+    on the bucket key plan with NO Exchange (the shuffle is paid once
+    at write time — the 100-TB co-location story)."""
+    from argo_spark.storage import read_table, write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_li")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(o, "bt_orders", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    write_bucketed(li, "bt_li", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    a, b = read_table(spark, "bt_orders"), read_table(spark, "bt_li")
+
+    j = a.hint("merge").join(b, "o_orderkey")
+    jplan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in jplan and "Exchange" not in jplan
+    # same answer as the plain shuffled join
+    assert j.count() == o.join(li, "o_orderkey").count()
+
+    agg = b.groupBy("o_orderkey").count()
+    aplan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in aplan
+    assert agg.count() == li.select("o_orderkey").distinct().count()
