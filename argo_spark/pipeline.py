@@ -133,10 +133,17 @@ class KgPipeline:
         nt_path: Optional[str] = None,
         squished_path: Optional[str] = None,
         dedup_entities: bool = True,
+        bucketed_table: Optional[str] = None,
+        n_subject_buckets: int = 64,
     ) -> DataFrame:
         """The squish + entity-dedup materialization: committed triples
         → winner-IRI rewrite → global dropDuplicates over the canonical
-        key → N-Triples text and/or parquet."""
+        key → N-Triples text and/or parquet.
+
+        ``bucketed_table`` additionally saves the squished triples as a
+        managed table bucketed+sorted by ``s_value`` — subject-keyed
+        traversals, squish re-runs, and BGP self-joins on the table
+        then plan with zero Exchange (docs/PLANS.md §8)."""
         t = self.triples()
         if dedup_entities:
             mapping = entity_dedup_mapping(t)
@@ -146,6 +153,13 @@ class KgPipeline:
             write_ntriples(squished.select(*TRIPLE_COLS), nt_path)
         if squished_path:
             squished.drop("bucket").write.mode("overwrite").parquet(squished_path)
+        if bucketed_table:
+            from argo_spark.storage import write_bucketed
+
+            write_bucketed(
+                squished.drop("bucket"), bucketed_table,
+                ["s_value"], n_subject_buckets, sort_cols=["s_value"],
+            )
         return squished
 
 
