@@ -24,10 +24,17 @@ def test_bucketed_join_and_agg_skip_exchange(spark, tmp_path):
     """write_bucketed co-locates rows so equi-joins AND aggregations
     on the bucket key plan with NO Exchange (the shuffle is paid once
     at write time — the 100-TB co-location story)."""
+    import shutil
+
     from argo_spark.storage import read_table, write_bucketed
 
-    spark.sql("DROP TABLE IF EXISTS bt_orders")
-    spark.sql("DROP TABLE IF EXISTS bt_li")
+    # a fresh in-memory catalog doesn't know tables from earlier
+    # sessions — clear both the catalog entries AND their warehouse
+    # locations or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bt_orders", "bt_li"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").withColumnRenamed(
         "l_orderkey", "o_orderkey"
