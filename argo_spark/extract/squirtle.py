@@ -38,7 +38,11 @@ instead of emitting a dangling var term (y:204-218 would emit nil and
 crash downstream); (3) string literals decode the five NT short
 escapes — the reference lexer has none (a ``"`` always terminates,
 y:495-504) while its serializer NT-escapes values, so reference
-output cannot round-trip through the reference parser; ours can.
+output cannot round-trip through the reference parser; ours can;
+(4) keyword-shaped words are accepted as blank-node labels in their
+original case (``_:As``) — again something the reference serializer
+emits but its own parser rejects. Round-trip is pinned by a
+300-example hypothesis property (test_properties.py).
 
 Strings are parsed whole-file (one doc per file) — ``read_squirtle``
 distributes via the same wholetext + Arrow-stage shape as RDF/XML.
@@ -127,7 +131,11 @@ def tokenize(text: str) -> Iterator[Tok]:
             elif low == "nan":
                 yield Tok("DOUBLE", "NaN", sl, sc)
             elif low in _KEYWORDS:
-                yield Tok("KEYWORD", low, sl, sc)
+                # keyword MATCHING is case-insensitive but the token
+                # keeps its original text (lval.s in the reference) —
+                # needed when a keyword-shaped word is used as a
+                # postfix identifier or blank-node label
+                yield Tok("KEYWORD", word, sl, sc)
             else:
                 yield Tok("IDENT", word, sl, sc)
             continue
@@ -271,7 +279,8 @@ class _Parser:
 
     def expect(self, kind: str, text: Optional[str] = None) -> Tok:
         t = self.next()
-        if t.kind != kind or (text is not None and t.text != text):
+        got = t.text.lower() if kind == "KEYWORD" else t.text
+        if t.kind != kind or (text is not None and got != text):
             self.err(f"expected {text or kind}, got {t.text!r}", t)
         return t
 
@@ -292,7 +301,7 @@ class _Parser:
         t = self.next()
         if t.kind == "IDENT" or (
             t.kind == "KEYWORD"
-            and t.text in ("a", "as", "false", "is", "name", "template", "true")
+            and t.text.lower() in ("a", "as", "false", "is", "name", "template", "true")
         ):
             return t.text
         self.err("expected identifier", t)
@@ -348,7 +357,7 @@ class _Parser:
 
     def statement(self):
         t = self.peek()
-        if t.kind == "KEYWORD" and t.text == "name":
+        if t.kind == "KEYWORD" and t.text.lower() == "name":
             self.next()
             uri = self.raw_iriref()
             self.expect("KEYWORD", "as")
@@ -356,11 +365,11 @@ class _Parser:
             self.names[ident] = uri
             self.prefixes[uri] = ident
             return
-        if t.kind == "KEYWORD" and t.text == "include":
+        if t.kind == "KEYWORD" and t.text.lower() == "include":
             self.next()
             self.include()
             return
-        if t.kind == "KEYWORD" and t.text == "template":
+        if t.kind == "KEYWORD" and t.text.lower() == "template":
             self.next()
             self.template_decl()
             return
@@ -418,13 +427,22 @@ class _Parser:
         t = self.peek()
         if t.kind == "BNODE":
             self.next()
-            return Term(KIND_BLANK, self.expect("IDENT").text)
+            return Term(KIND_BLANK, self._bnode_label())
         if t.kind == "VAR":
             self.next()
             return SqtlVar(t.text)
         if t.kind in ("IRIREF", "IDENT"):
             return Term(KIND_IRI, self.raw_iriref())
         return self.anon()
+
+    def _bnode_label(self) -> str:
+        """IDENT or (DIVERGENCE) a keyword-shaped word in original
+        case — the reference serializer emits e.g. ``_:As`` labels its
+        own parser rejects."""
+        t = self.next()
+        if t.kind in ("IDENT", "KEYWORD"):
+            return t.text
+        self.err("expected blank node label", t)
 
     def subject_tail(self, subj: TermOrVar, collecting, allow_plain: bool):
         """After a subject: '{...}' description or is/new template
@@ -433,7 +451,7 @@ class _Parser:
         if t.kind == "PUNCT" and t.text == "{":
             self.description_body(subj, collecting, counter=[1])
             return subj
-        if t.kind == "KEYWORD" and t.text in ("is", "new"):
+        if t.kind == "KEYWORD" and t.text.lower() in ("is", "new"):
             self.next()
             self.apply_template(subj)
             return subj
@@ -461,7 +479,7 @@ class _Parser:
 
     def predicate(self, counter) -> TermOrVar:
         t = self.peek()
-        if t.kind == "KEYWORD" and t.text == "a":
+        if t.kind == "KEYWORD" and t.text.lower() == "a":
             self.next()
             return Term(KIND_IRI, RDF_TYPE)
         if t.kind == "PUNCT" and t.text == "*":
@@ -496,9 +514,10 @@ class _Parser:
         if t.kind == "DOUBLE":
             self.next()
             return Term(KIND_LITERAL, t.text, dt=XSD + "double")
-        if t.kind == "KEYWORD" and t.text in ("true", "false"):
+        if t.kind == "KEYWORD" and t.text.lower() in ("true", "false"):
+            # hardcoded lexical forms (y:284-287), whatever the case
             self.next()
-            return Term(KIND_LITERAL, t.text, dt=XSD + "boolean")
+            return Term(KIND_LITERAL, t.text.lower(), dt=XSD + "boolean")
         if t.kind == "VAR":
             # a var object may itself head a nested description or
             # template application (object: description; raw_subject:
@@ -507,12 +526,12 @@ class _Parser:
             node: TermOrVar = SqtlVar(t.text)
         elif t.kind == "BNODE":
             self.next()
-            node = Term(KIND_BLANK, self.expect("IDENT").text)
+            node = Term(KIND_BLANK, self._bnode_label())
         elif t.kind in ("IRIREF", "IDENT"):
             node = Term(KIND_IRI, self.raw_iriref())
         elif t.kind == "PUNCT" and t.text == "{":
             node = self.anon()  # empty-subject nested description
-        elif t.kind == "KEYWORD" and t.text in ("is", "new"):
+        elif t.kind == "KEYWORD" and t.text.lower() in ("is", "new"):
             node = self.anon()  # empty-subject template application
         else:
             self.err(f"unexpected object {t.text!r}", t)
@@ -520,7 +539,7 @@ class _Parser:
         nxt = self.peek()
         if nxt.kind == "PUNCT" and nxt.text == "{":
             self.description_body(node, collecting, counter=[1])
-        elif nxt.kind == "KEYWORD" and nxt.text in ("is", "new"):
+        elif nxt.kind == "KEYWORD" and nxt.text.lower() in ("is", "new"):
             self.next()
             self.apply_template(node)
         return node

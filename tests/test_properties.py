@@ -112,3 +112,23 @@ def test_rdfxml_parser_total(text):
     triples, err = parse_rdfxml(text)
     assert isinstance(triples, list)
     assert err is None or isinstance(err, str)
+
+
+@given(subjects, iris, objects)
+@settings(max_examples=300, deadline=None)
+def test_squirtle_block_round_trip(s, p, o):
+    """parse(squirtle-block(t)) == t: the flat block layout written by
+    squirtle_blocks/write_squirtle parses back exactly (escape decode
+    divergence makes this hold — the reference's own pair doesn't)."""
+    from argo_spark.extract.squirtle import parse_squirtle
+    from argo_spark.sinks.writers import _squirtle_term
+
+    def enc(t):
+        return _squirtle_term(t.kind, t.value, t.lang, t.dt, {})
+
+    block = f"{enc(s)} {{\n  {enc(p)} {enc(o)}\n}}\n"
+    triples, err = parse_squirtle(block)
+    assert err is None, (err, block)
+    assert triples == [
+        (s.kind, s.value, p.value, o.kind, o.value, o.lang or None, o.dt)
+    ], block
