@@ -58,15 +58,23 @@ def read_source(
     path: str,
     fmt_id: str | None = None,
     mime: str | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame | None]:
+    """-> (triples, errors_or_None). Parse errors are QUARANTINED, not
+    dropped: the reference CLI aborts the stream on the first parse
+    error (rdf.go errChan); at web scale one broken document must not
+    kill a 10^12-page job, so bad rows land in an error frame the
+    pipeline reports after the write."""
     fmt = FORMATS.get(fmt_id) if fmt_id else format_from_filename(path)
     if fmt is None and mime:
         fmt = format_from_mime(mime)  # URL sources: fall back to Content-Type
     if fmt is None or fmt.reader is None:
         raise SystemExit(f"no reader for source {path!r} (format {fmt_id or 'auto'})")
     out = fmt.reader(spark, path)
-    df = out[0] if isinstance(out, tuple) else out
-    return df.select(*TRIPLE_COLS)
+    if isinstance(out, tuple):
+        df, errors = out
+    else:
+        df, errors = out, None
+    return df.select(*TRIPLE_COLS), errors
 
 
 def run_pipeline(
@@ -85,16 +93,19 @@ def run_pipeline(
     url_inputs = [p for p in inputs if p.startswith(("http://", "https://"))]
     fetched = fetch_urls(url_inputs) if url_inputs else {}
     try:
-        dfs = []
+        dfs, err_frames = [], []
         for p in inputs:
             if p in fetched:
                 local, mime = fetched[p]
-                dfs.append(read_source(spark, local, in_format, mime=mime))
+                df, errors = read_source(spark, local, in_format, mime=mime)
             else:
-                dfs.append(read_source(spark, p, in_format))
+                df, errors = read_source(spark, p, in_format)
+            dfs.append(df)
+            if errors is not None:
+                err_frames.append(errors)
         return _run_pipeline_on(
             spark, dfs, output, out_format, rewrites, subject_rewrites,
-            predicate_rewrites, object_rewrites, squish, t0,
+            predicate_rewrites, object_rewrites, squish, t0, err_frames,
         )
     finally:
         for local, _mime in fetched.values():
@@ -106,7 +117,7 @@ def run_pipeline(
 
 def _run_pipeline_on(
     spark, dfs, output, out_format, rewrites, subject_rewrites,
-    predicate_rewrites, object_rewrites, squish, t0,
+    predicate_rewrites, object_rewrites, squish, t0, err_frames=(),
 ) -> int:
     from argo_spark.ops.rewrite import rewrite_terms
 
@@ -142,6 +153,15 @@ def _run_pipeline_on(
 
     n = obs.get["n"]
     dt = time.time() - t0
+    # quarantine report AFTER the write (one small job per errored
+    # source; never silent — reference aborts, we report and continue)
+    n_err = 0
+    for ef in err_frames:
+        for r in ef.limit(5).collect():
+            print(f"parse error: {r}", file=sys.stderr)
+        n_err += ef.count()
+    if n_err:
+        print(f"{n_err} input rows quarantined (parse errors)", file=sys.stderr)
     print(f"{n} triples processed in {dt:.3f} seconds", file=sys.stderr)
     return n
 

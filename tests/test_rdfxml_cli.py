@@ -219,3 +219,22 @@ def test_cli_url_source(spark, tmp_path):
         assert '"from-url"' in text
     finally:
         httpd.shutdown()
+
+
+def test_cli_quarantines_parse_errors(spark, tmp_path, capsys):
+    """Bad rows are quarantined and REPORTED, good rows flow through
+    (the reference CLI aborts on first error; at web scale one broken
+    doc must not kill the job — documented divergence)."""
+    src = tmp_path / "mixed.nt"
+    src.write_text(
+        "<http://e/s1> <http://e/p> <http://e/o> .\n"
+        "this line is not a triple at all\n"
+        '<http://e/s2> <http://e/p> "ok" .\n'
+    )
+    out = str(tmp_path / "outq.nt")
+    from argo_spark.cli import run_pipeline
+
+    n = run_pipeline(spark, [str(src)], out, out_format="ntriples")
+    assert n == 2
+    err = capsys.readouterr().err
+    assert "1 input rows quarantined" in err
