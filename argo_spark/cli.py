@@ -77,6 +77,28 @@ def read_source(
     return df.select(*TRIPLE_COLS), errors
 
 
+def parse_http(
+    spark: SparkSession, url: str, fmt_id: str | None = None
+) -> tuple[DataFrame, DataFrame | None]:
+    """Graph.ParseHTTP analogue (/root/reference/graph.go:310-335):
+    fetch one URL and parse it by explicit format, extension, or
+    Content-Type. Returns (triples, errors_or_None); the temp file is
+    removed after the frames are materialized via localCheckpoint so
+    no lazy scan outlives it."""
+    local, mime = _fetch_url(url)
+    try:
+        df, errors = read_source(spark, local, fmt_id, mime=mime)
+        df = df.localCheckpoint(eager=True)
+        if errors is not None:
+            errors = errors.localCheckpoint(eager=True)
+        return df, errors
+    finally:
+        try:
+            os.unlink(local)
+        except OSError:
+            pass
+
+
 def run_pipeline(
     spark: SparkSession,
     inputs: list[str],

@@ -238,3 +238,30 @@ def test_cli_quarantines_parse_errors(spark, tmp_path, capsys):
     assert n == 2
     err = capsys.readouterr().err
     assert "1 input rows quarantined" in err
+
+
+def test_parse_http(spark, tmp_path):
+    """Graph.ParseHTTP analogue: one URL -> (triples, errors), temp
+    file cleaned up after materialization."""
+    import glob
+    import http.server
+    import os
+    import threading
+
+    (tmp_path / "g.nt").write_text('<http://e/h1> <http://e/p> "via-http" .\n')
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(tmp_path), **kw
+    )
+    httpd = http.server.HTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        from argo_spark.cli import parse_http
+
+        port = httpd.server_address[1]
+        before = set(glob.glob("/tmp/argo_url_*"))
+        triples, errors = parse_http(spark, f"http://127.0.0.1:{port}/g.nt")
+        assert [r.o_value for r in triples.collect()] == ["via-http"]
+        assert errors is not None and errors.count() == 0
+        assert set(glob.glob("/tmp/argo_url_*")) == before  # no temp leak
+    finally:
+        httpd.shutdown()
