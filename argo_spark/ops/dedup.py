@@ -408,8 +408,12 @@ def minhash_dedup_pairs(
         ex = ex.withColumn("_df", F.count(F.lit(1)).over(wdf)).where(
             F.col("_df") <= max_shingle_df
         ).drop("_df")
+    # persist WITHOUT an eager count: the signature stage materializes
+    # the cache and the later candidate-set stage reads it — stage
+    # ordering inside the job serializes the fill. An eager count here
+    # would be one extra full pass over the shingle set (at 100 TB,
+    # the most expensive intermediate in the pipeline).
     ex = ex.persist()
-    ex.count()
     a, b = _minhash_coeffs(n_hashes)
     hashed = ex.select(
         F.col(id_col), F.pmod(F.col("_gh"), F.lit(_MERSENNE)).alias("_h")
@@ -429,7 +433,6 @@ def minhash_dedup_pairs(
         )
         .persist()
     )
-    sigs.count()
     pairs = candidates(sigs).persist()
     # shingle-hash ARRAYS only for ids that appear in candidate pairs.
     # pairs mode: the candidate set is small — force broadcast. star
