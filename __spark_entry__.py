@@ -346,6 +346,32 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+def q_text_scrub_pii(spark, sf_dir):
+    """PII scrubbing (training-data hygiene): deterministic synthetic
+    PII is appended so all three redaction patterns are exercised."""
+    from argo_spark.ops.textstats import scrub_pii
+
+    d = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.substring("text", 1, 60),
+        F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
+        F.lit(" or +1 (555) 010-"), F.col("doc_id"),
+        F.lit(" at 10.0.0."), F.pmod(F.col("doc_id"), F.lit(256)),
+    )
+    return d.select("doc_id", scrub_pii(dirty).alias("scrubbed"))
+
+
+def q_decontam_hits(spark, sf_dir):
+    """Benchmark decontamination: docs 0-4 act as the 'eval set';
+    n_hits = distinct shared word-8-grams per contaminated doc."""
+    from argo_spark.ops.decontaminate import contamination_hits
+
+    d = _docs(spark, sf_dir)
+    bench = d.where("doc_id < 5").select("text")
+    hits = contamination_hits(d, bench, n=8)
+    return hits.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
 def q_ann_topk_cosine(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors 0-4 (double math,
     sequential fold, rounded, id tiebreak — engine-stable)."""
@@ -715,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "text_scrub_pii": q_text_scrub_pii,
+        "decontam_hits": q_decontam_hits,
         "ann_topk_cosine": q_ann_topk_cosine,
         "events_window_agg": q_events_window_agg,
         "agg_lineitem": q_agg_lineitem,
@@ -1149,6 +1177,43 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "text_scrub_pii": """
+            WITH dirty AS (
+              SELECT doc_id,
+                     substr(text, 1, 60)
+                     || ' contact user' || doc_id || '@example.com'
+                     || ' or +1 (555) 010-' || doc_id
+                     || ' at 10.0.0.' || (doc_id % 256) AS t
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g'),
+                     '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'
+                   ) AS scrubbed
+            FROM dirty
+        """,
+        "decontam_hits": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 t -> t != '') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(len(w) - 7, 1) + 1),
+                       i -> array_to_string(w[i:i+7], ' ')))) AS g
+              FROM toks),
+            bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id < 5)
+            SELECT grams.doc_id, count(*) AS n_hits
+            FROM grams JOIN bench USING (g)
+            GROUP BY grams.doc_id
         """,
         "sparql_select": f"""
             WITH {_DOC_TRIPLES_CTE},

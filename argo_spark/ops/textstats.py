@@ -94,3 +94,20 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(c),
         }
     )
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact common PII patterns (training-data hygiene): emails,
+    then phone-like number runs, then bare IPv4s — pure codegen'd
+    regexp_replace chain, order matters (emails contain digits; IPs
+    would otherwise match inside longer number runs)."""
+    out = F.regexp_replace(
+        col, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    out = F.regexp_replace(
+        out, r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"
+    )
+    out = F.regexp_replace(
+        out, r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"
+    )
+    return out

@@ -139,3 +139,34 @@ def test_ivf_topk_matches_brute_force_on_clustered_data(spark):
     assert recall >= 0.9, f"IVF recall {recall}"
     # determinism: second build gives identical centroids
     assert kmeans_centroids(emb, n_clusters=3, dim=8) == cents
+
+
+def test_scrub_pii(spark):
+    from argo_spark.ops.textstats import scrub_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail a.b+c@ex.co or call +44 (0)20 7946-0958, host 10.1.2.3 ok")],
+        "id long, text string",
+    )
+    out = df.select(scrub_pii(F.col("text")).alias("t")).first().t
+    assert "<EMAIL>" in out and "<PHONE>" in out and "<IP>" in out
+    assert "@" not in out and "7946" not in out and "10.1.2.3" not in out
+
+
+def test_decontaminate(spark):
+    """Docs sharing >= 1 benchmark 8-gram are flagged and removed."""
+    from argo_spark.ops.decontaminate import decontaminate
+
+    bench_text = "the exact eight word benchmark sentence appears right here"
+    docs = spark.createDataFrame(
+        [
+            (0, "prefix words then " + bench_text + " and a suffix"),
+            (1, "a completely different document with no overlap at all whatsoever"),
+            (2, bench_text),  # identical
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    kept, flagged = decontaminate(docs, bench, n=8)
+    assert {r.doc_id for r in flagged.collect()} == {0, 2}
+    assert {r.doc_id for r in kept.collect()} == {1}
