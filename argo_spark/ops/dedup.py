@@ -408,12 +408,17 @@ def minhash_dedup_pairs(
         ex = ex.withColumn("_df", F.count(F.lit(1)).over(wdf)).where(
             F.col("_df") <= max_shingle_df
         ).drop("_df")
-    # persist WITHOUT an eager count: the signature stage materializes
-    # the cache and the later candidate-set stage reads it — stage
-    # ordering inside the job serializes the fill. An eager count here
-    # would be one extra full pass over the shingle set (at 100 TB,
-    # the most expensive intermediate in the pipeline).
+    # EAGER materialization: the downstream plan references ex (and
+    # sigs) from MULTIPLE exchange stages that can run CONCURRENTLY
+    # within one job (self-join sides, candidate-set join), and
+    # concurrent stages may each recompute a lazily-persisted subtree
+    # before the cache fills. One cached pass is cheap insurance
+    # against computing the shingle set twice in parallel — the
+    # document-scale path keeps it (the tiny char/entity path drops it:
+    # there, per-job scheduling overhead dominates — see scaling notes
+    # in BENCH/BASELINE.md).
     ex = ex.persist()
+    ex.count()
     a, b = _minhash_coeffs(n_hashes)
     hashed = ex.select(
         F.col(id_col), F.pmod(F.col("_gh"), F.lit(_MERSENNE)).alias("_h")
@@ -433,6 +438,7 @@ def minhash_dedup_pairs(
         )
         .persist()
     )
+    sigs.count()
     pairs = candidates(sigs).persist()
     # shingle-hash ARRAYS only for ids that appear in candidate pairs.
     # pairs mode: the candidate set is small — force broadcast. star
