@@ -499,8 +499,12 @@ class _Parser:
             nxt = self.peek()
             if nxt.kind == "PUNCT" and nxt.text == "@":
                 self.next()
-                lang = self.expect("IDENT").text
-                return Term(KIND_LITERAL, t.text, lang=lang)
+                lt = self.next()
+                # language tags may collide with keywords ("a", "is");
+                # same serializer-output acceptance as bnode labels
+                if lt.kind not in ("IDENT", "KEYWORD"):
+                    self.err("expected language tag", lt)
+                return Term(KIND_LITERAL, t.text, lang=lt.text)
             if nxt.kind == "DT":
                 self.next()
                 return Term(KIND_LITERAL, t.text, dt=self.raw_iriref())
