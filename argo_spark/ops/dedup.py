@@ -655,16 +655,20 @@ def simhash_candidate_edges(
 # ---------------------------------------------------------------------------
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 10
+    edges: DataFrame, max_iter: int = 25
 ) -> DataFrame:
     """(a, b) edges -> (id, comp) with comp = component-min id.
 
-    O(log diameter) joins; each iteration localCheckpoints to cut
-    lineage. Near-dup clusters have tiny diameters, so this converges
-    in 2-4 rounds; convergence is detected by an aggregate signature.
-    The per-round checkpoint is LAZY and materialized by the same
-    action that computes the signature — one job per round, not two
-    (the serial fraction of the flagship is exactly these jobs)."""
+    Each round does one min-label PROPAGATION over the edges plus one
+    POINTER-JUMPING shortcut (comp := label-of-comp), so chains halve
+    every round and convergence is O(log diameter) — a 60-node path
+    needs ~7 rounds, not 60 (propagation alone is O(diameter) and a
+    bounded iteration count would silently return WRONG components on
+    high-diameter graphs; caught by the union-find oracle test).
+    Convergence is detected by an aggregate signature; the per-round
+    checkpoint is LAZY and materialized by the same action that
+    computes the signature — one job per round. Raises if max_iter is
+    exhausted before convergence (never silent)."""
     edges = edges.select("a", "b").dropDuplicates().localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("a").alias("id"))
@@ -684,19 +688,34 @@ def connected_components(
                 )
             )
         )
-        labels = (
+        propagated = (
             labels.union(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping: comp := label(comp). Labels only decrease,
+        # so label(comp) <= comp; chains halve per round.
+        parents = propagated.select(
+            F.col("id").alias("comp"), F.col("comp").alias("_comp2")
+        )
+        labels = (
+            propagated.join(parents, "comp", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("_comp2"), F.col("comp")).alias("comp"),
+            )
             .localCheckpoint(eager=False)
         )
         sig = labels.agg(
             F.bit_xor(F.xxhash64("id", "comp")).alias("s")
         ).collect()[0].s
         if sig == prev_sig:
-            break
+            return labels
         prev_sig = sig
-    return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "raise max_iter (graph diameter exceeds 2^max_iter shrink rate?)"
+    )
 
 
 # ---------------------------------------------------------------------------

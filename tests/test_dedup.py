@@ -91,3 +91,40 @@ def test_entity_dedup_and_rewrite(spark):
     names = {r.o_value for r in rewritten.where(F.col("o_kind") == 2).collect()}
     assert "Ada Lovelace" in names
     assert rewritten.count() == gr.df.count()
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """CC equals a driver-side union-find oracle on seeded random
+    graphs (CC underpins every dedup consumer)."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 80))
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {v for e in edges for v in e}
+        expected = {}
+        for v in touched:
+            expected.setdefault(find(v), set()).add(v)
+        want = {frozenset(m) for m in expected.values()}
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        got_rows = connected_components(df).collect()
+        by_comp: dict = {}
+        for r in got_rows:
+            by_comp.setdefault(r.comp, set()).add(r.id)
+        got = {frozenset(m) for m in by_comp.values()}
+        assert got == want, f"seed {seed}"
