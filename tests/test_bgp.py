@@ -82,3 +82,36 @@ def test_predicate_variable(spark):
 def test_empty_patterns_rejected(spark):
     with pytest.raises(ValueError):
         bgp_match(graph(spark).df, [])
+
+
+def test_bgp_random_graphs_vs_python_oracle(spark):
+    """bgp_match equals brute-force conjunctive pattern evaluation on
+    seeded random graphs (join/variable-binding logic oracle)."""
+    import itertools
+    import random
+
+    from argo_spark.terms import format_term
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        nodes = [f"http://e/n{i}" for i in range(6)]
+        preds = [f"http://e/p{i}" for i in range(3)]
+        trips = sorted({
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(rng.randrange(8, 25))
+        })
+        gr = TripleGraph.of(
+            spark, [TripleT(iri(s), iri(p), iri(o)) for s, p, o in trips]
+        )
+        patterns = [
+            ("?x", preds[0], "?y"),
+            ("?y", preds[1], "?z"),
+        ]
+        got = {
+            (r.x, r.y, r.z) for r in bgp_match(gr.df, patterns).collect()
+        }
+        want = set()
+        for (s1, p1, o1), (s2, p2, o2) in itertools.product(trips, trips):
+            if p1 == preds[0] and p2 == preds[1] and o1 == s2:
+                want.add((f"<{s1}>", f"<{o1}>", f"<{o2}>"))
+        assert got == want, f"seed {seed}"

@@ -128,3 +128,33 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             by_comp.setdefault(r.comp, set()).add(r.id)
         got = {frozenset(m) for m in by_comp.values()}
         assert got == want, f"seed {seed}"
+
+
+def test_minhash_exact_duplicate_recall_random(spark):
+    """Planted EXACT duplicates must always pair (identical signature
+    => identical buckets), in both pair modes, on random corpora."""
+    import random
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        words = [f"w{i}" for i in range(40)]
+        rows, dup_pairs = [], []
+        doc_id = 0
+        for d in range(12):
+            text = " ".join(rng.choice(words) for _ in range(30))
+            rows.append((doc_id, text))
+            if d % 3 == 0:  # plant an exact duplicate
+                rows.append((doc_id + 100, text))
+                dup_pairs.append((doc_id, doc_id + 100))
+            doc_id += 1
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for mode in ("pairs", "star"):
+            pairs = minhash_dedup_pairs(
+                docs, "doc_id", "text", threshold=0.99, pair_mode=mode
+            )
+            comps = {r.id: r.comp for r in
+                     connected_components(pairs.select("a", "b")).collect()}
+            for a, b in dup_pairs:
+                assert comps.get(a) is not None and comps.get(a) == comps.get(b), (
+                    f"seed {seed} mode {mode}: exact dup ({a},{b}) not merged"
+                )
