@@ -132,3 +132,21 @@ def test_squirtle_block_round_trip(s, p, o):
     assert triples == [
         (s.kind, s.value, p.value, o.kind, o.value, o.lang or None, o.dt)
     ], block
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=400, deadline=None)
+def test_nt_parse_line_total(text):
+    """The NT line parser is total on arbitrary input: a triple, None
+    (blank/comment), or the TYPED NTParseError the distributed reader
+    quarantines — never an untyped crash."""
+    import pytest
+
+    from argo_spark.ntriples import NTParseError, parse_line
+
+    try:
+        parse_line(text, final_newline=True)
+    except NTParseError:
+        pass  # structured quarantine path
+    except Exception as e:
+        pytest.fail(f"parse_line raised {type(e).__name__}: {e!r}")

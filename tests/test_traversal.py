@@ -52,3 +52,40 @@ def test_iter_lists_distributed(spark):
         (2, 0, "http://e/z", None, None),
     ]
     assert got["h2"] == [(0, 2, "only", None, None)]
+
+
+def test_reachable_random_graphs_vs_python_bfs(spark):
+    """BFS reachability (+ hop distances) equals a Python BFS oracle
+    on seeded random IRI graphs."""
+    import random
+    from collections import deque
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        nodes = [f"http://e/n{i}" for i in range(12)]
+        edges = sorted({
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(rng.randrange(6, 30))
+        })
+        gr = TripleGraph.of(
+            spark,
+            [TripleT(iri(s), iri("http://e/p"), iri(o)) for s, o in edges],
+        )
+        seeds = spark.createDataFrame(
+            [(0, nodes[0])], "kind tinyint, value string"
+        )
+        got = {(r.value, r.hop) for r in reachable(gr.df, seeds, max_hops=12).collect()}
+
+        adj: dict = {}
+        for s, o in edges:
+            adj.setdefault(s, set()).add(o)
+        dist = {nodes[0]: 0}
+        q = deque([nodes[0]])
+        while q:
+            u = q.popleft()
+            for v in sorted(adj.get(u, ())):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        want = set(dist.items())
+        assert got == want, f"seed {seed}"
