@@ -1192,7 +1192,7 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(t,
                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                          '<EMAIL>', 'g'),
-                       '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g'),
+                       '\\+?[0-9][0-9()\\- \\t]{6,}[0-9]', '<PHONE>', 'g'),
                      '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'
                    ) AS scrubbed
             FROM dirty

@@ -175,13 +175,17 @@ def _run_pipeline_on(
 
     n = obs.get["n"]
     dt = time.time() - t0
-    # quarantine report AFTER the write (one small job per errored
-    # source; never silent — reference aborts, we report and continue)
+    # quarantine report AFTER the write. ONE pass per source: take(6)
+    # both samples and (when < 6 rows) counts exactly; the full count
+    # job runs only on the cached frame of an actually-errored source.
     n_err = 0
     for ef in err_frames:
-        for r in ef.limit(5).collect():
+        ef = ef.persist()
+        head = ef.take(6)
+        for r in head[:5]:
             print(f"parse error: {r}", file=sys.stderr)
-        n_err += ef.count()
+        n_err += len(head) if len(head) < 6 else ef.count()
+        ef.unpersist()
     if n_err:
         print(f"{n_err} input rows quarantined (parse errors)", file=sys.stderr)
     print(f"{n} triples processed in {dt:.3f} seconds", file=sys.stderr)

@@ -84,6 +84,7 @@ class Tok(NamedTuple):
     text: str
     line: int
     col: int
+    raw: str = ""  # original word for normalized tokens (INF/NaN)
 
 
 def _is_word(c: str) -> bool:
@@ -127,9 +128,9 @@ def tokenize(text: str) -> Iterator[Tok]:
             word = text[j:i]
             low = word.lower()
             if low == "inf":
-                yield Tok("DOUBLE", "INF", sl, sc)
+                yield Tok("DOUBLE", "INF", sl, sc, raw=word)
             elif low == "nan":
-                yield Tok("DOUBLE", "NaN", sl, sc)
+                yield Tok("DOUBLE", "NaN", sl, sc, raw=word)
             elif low in _KEYWORDS:
                 # keyword MATCHING is case-insensitive but the token
                 # keeps its original text (lval.s in the reference) —
@@ -436,12 +437,14 @@ class _Parser:
         return self.anon()
 
     def _bnode_label(self) -> str:
-        """IDENT or (DIVERGENCE) a keyword-shaped word in original
-        case — the reference serializer emits e.g. ``_:As`` labels its
-        own parser rejects."""
+        """IDENT or (DIVERGENCE) a keyword/inf/nan-shaped word in
+        original case — the reference serializer emits e.g. ``_:As``
+        or ``_:inf`` labels its own parser rejects."""
         t = self.next()
         if t.kind in ("IDENT", "KEYWORD"):
             return t.text
+        if t.kind == "DOUBLE" and t.raw:
+            return t.raw
         self.err("expected blank node label", t)
 
     def subject_tail(self, subj: TermOrVar, collecting, allow_plain: bool):
@@ -500,11 +503,16 @@ class _Parser:
             if nxt.kind == "PUNCT" and nxt.text == "@":
                 self.next()
                 lt = self.next()
-                # language tags may collide with keywords ("a", "is");
-                # same serializer-output acceptance as bnode labels
-                if lt.kind not in ("IDENT", "KEYWORD"):
+                # language tags may collide with keywords ("a", "is")
+                # or inf/nan; same serializer-output acceptance as
+                # bnode labels
+                if lt.kind in ("IDENT", "KEYWORD"):
+                    lang = lt.text
+                elif lt.kind == "DOUBLE" and lt.raw:
+                    lang = lt.raw
+                else:
                     self.err("expected language tag", lt)
-                return Term(KIND_LITERAL, t.text, lang=lt.text)
+                return Term(KIND_LITERAL, t.text, lang=lang)
             if nxt.kind == "DT":
                 self.next()
                 return Term(KIND_LITERAL, t.text, dt=self.raw_iriref())

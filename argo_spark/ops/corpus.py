@@ -39,7 +39,9 @@ def clean_corpus(
     audit: dict[str, int] = {}
     n0 = docs.count()
 
-    d1 = exact_dedup(docs, [text_col], id_col)
+    # each audit count doubles as the cache fill for the next stage
+    # (and for the caller's write of the returned frame)
+    d1 = exact_dedup(docs, [text_col], id_col).persist()
     n1 = d1.count()
     audit["exact_dup"] = n0 - n1
 
@@ -54,7 +56,7 @@ def clean_corpus(
     )
     # no broadcast hint: at 100 TB the loser set is most of the corpus;
     # AQE converts to broadcast when it is actually small
-    d2 = d1.join(losers, id_col, "left_anti")
+    d2 = d1.join(losers, id_col, "left_anti").persist()
     n2 = d2.count()
     audit["near_dup"] = n1 - n2
 
@@ -73,7 +75,7 @@ def clean_corpus(
         & (F.col("_tokens") >= min_tokens)
         & (F.col("_tokens") <= max_tokens)
     )
-    kept = d3.drop("_lang", "_quality", "_tokens")
+    kept = d3.drop("_lang", "_quality", "_tokens").persist()
     n3 = kept.count()
     audit["lang_quality_length"] = n2 - n3
     audit["kept"] = n3

@@ -100,12 +100,17 @@ def scrub_pii(col: Column) -> Column:
     """Redact common PII patterns (training-data hygiene): emails,
     then phone-like number runs, then bare IPv4s — pure codegen'd
     regexp_replace chain, order matters (emails contain digits; IPs
-    would otherwise match inside longer number runs)."""
+    would otherwise match inside longer number runs).
+
+    The phone heuristic is deliberately aggressive on SINGLE-LINE
+    digit runs with phone separators (over-redaction is the safe
+    direction for PII) but never crosses a line break — a
+    newline-separated column of numbers stays intact."""
     out = F.regexp_replace(
         col, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
     )
     out = F.regexp_replace(
-        out, r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"
+        out, r"\+?[0-9][0-9()\- \t]{6,}[0-9]", "<PHONE>"
     )
     out = F.regexp_replace(
         out, r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"

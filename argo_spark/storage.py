@@ -116,7 +116,24 @@ def write_bucketed(
 
     At 100 TB: bucket the triples table by s_value (subject-keyed
     traversals + squish) and dimension tables by their join keys;
-    n_buckets should be a multiple of the executor count."""
+    n_buckets should be a multiple of the executor count.
+
+    Overwrite really overwrites: a fresh in-memory catalog does not
+    know managed tables from earlier sessions, so a stale warehouse
+    location would otherwise fail saveAsTable with
+    LOCATION_ALREADY_EXISTS — the table AND its location are cleared
+    first."""
+    import shutil
+
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        if wh.startswith("file:"):
+            wh = wh[len("file:"):]
+        if wh:
+            loc = f"{wh.rstrip('/')}/{table.split('.')[-1].lower()}"
+            shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

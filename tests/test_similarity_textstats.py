@@ -170,3 +170,16 @@ def test_decontaminate(spark):
     kept, flagged = decontaminate(docs, bench, n=8)
     assert {r.doc_id for r in flagged.collect()} == {0, 2}
     assert {r.doc_id for r in kept.collect()} == {1}
+
+
+def test_scrub_pii_never_crosses_newlines(spark):
+    """A newline-separated column of numbers is NOT a phone number."""
+    from argo_spark.ops.textstats import scrub_pii
+
+    df = spark.createDataFrame(
+        [(0, "12\n345\n678\n90 but 555 010 1234 is phone-like")],
+        "id long, text string",
+    )
+    out = df.select(scrub_pii(F.col("text")).alias("t")).first().t
+    assert "12\n345\n678" in out       # untouched across lines
+    assert "<PHONE>" in out and "555" not in out

@@ -309,3 +309,10 @@ def test_empty_subject_apply_as_object():
     assert len(knows) == 1 and knows[0][3] == KIND_BLANK
     anon = knows[0][4]
     assert (1, anon, RDF_TYPE, 0, FOAF + "Agent", None, None) in t
+
+
+def test_inf_nan_shaped_labels_and_langtags():
+    """inf/nan lex as DOUBLE before ident classification; bnode labels
+    and language tags still accept them in original case."""
+    t = ok('_:inf { <http://e/p> "x" @ NaN }')
+    assert t == [(1, "inf", "http://e/p", 2, "x", "NaN", None)]
