@@ -117,3 +117,55 @@ def test_rewrite_blank_node_result_and_literals_untouched(spark):
     out2 = rewrite_terms(gr.df, r"^_:node([0-9]+)$", r"http://minted/$1", positions=("object",))
     got2 = {(r.o_kind, r.o_value) for r in out2.select("o_kind", "o_value").collect()}
     assert got2 == {(0, "http://e/x"), (2, "http://e/x"), (0, "http://minted/7")}
+
+
+def test_rewrite_terms_random_vs_python_re(spark):
+    """G13 rewrite equals a Python re oracle (rdf.go:239-284: match
+    anywhere -> whole-term template replacement; literals untouched;
+    '_:'-results become blank nodes) on randomized term corpora."""
+    import random
+    import re
+
+    from argo_spark.ops.rewrite import rewrite_terms
+    from argo_spark.terms import KIND_BLANK, KIND_IRI, KIND_LITERAL
+
+    pattern = r"http://e/(d|x)([0-9]+)"
+    template = r"http://kb/$1/$2"
+    py_pat = re.compile(pattern)
+
+    def py_rewrite(kind, value):
+        if kind == KIND_LITERAL:
+            return kind, value
+        term = ("_:" + value) if kind == KIND_BLANK else value
+        m = py_pat.search(term)
+        if not m:
+            return kind, value
+        expanded = m.expand(r"http://kb/\1/\2")
+        if expanded.startswith("_:"):
+            return KIND_BLANK, expanded[2:]
+        return KIND_IRI, expanded
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(120):
+        kind = rng.choice([KIND_IRI, KIND_IRI, KIND_BLANK, KIND_LITERAL])
+        stem = rng.choice(["http://e/d", "http://e/x", "http://o/n", "plain d"])
+        value = f"{stem}{i}" if kind != KIND_BLANK else f"b{i}"
+        if i % 7 == 0 and kind == KIND_BLANK:
+            value = f"http://e/d{i}"  # '_:http://e/d…' matches mid-term
+        rows.append((kind, value, "http://e/p", KIND_IRI, f"http://e/d{i}",
+                     None, None))
+    df = spark.createDataFrame(
+        rows,
+        "s_kind tinyint, s_value string, p_value string, "
+        "o_kind tinyint, o_value string, o_lang string, o_dt string",
+    )
+    out = rewrite_terms(df, pattern, template)
+    got = [(r.s_kind, r.s_value, r.o_kind, r.o_value) for r in out.collect()]
+    want = [
+        py_rewrite(sk, sv) + py_rewrite(ok_, ov)
+        for (sk, sv, _p, ok_, ov, _l, _d) in rows
+    ]
+    want = [(a, b, c, d) for (a, b), (c, d) in
+            [(w[:2], w[2:]) for w in want]]
+    assert sorted(got) == sorted(want)
