@@ -271,3 +271,35 @@ def test_bulk_add_dataframe(spark, tmp_path):
         '<http://e/s1> <http://e/p> "x" .',
         '<http://e/s2> <http://e/p> "y" .',
     }
+
+
+def test_kvstore_random_ops_vs_dict_model():
+    """Random add/remove sequences: the KV store's sp-composite filter
+    and triple list match a plain dict/multiset model."""
+    import random
+
+    from argo_spark.terms import format_triple
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        store = KVTripleStore()
+        model: list = []  # list of TripleT (bag, like the RPUSH list)
+        subjects = [iri(f"http://e/s{i}") for i in range(3)]
+        preds = [iri(f"http://e/p{i}") for i in range(2)]
+        objs = [literal(f"v{i}") for i in range(4)] + [blank("b0")]
+        for _ in range(60):
+            t = TripleT(rng.choice(subjects), rng.choice(preds), rng.choice(objs))
+            if rng.random() < 0.7 or t not in model:
+                store.add(t)
+                model.append(t)
+            else:
+                store.remove(t)
+                model = [m for m in model if m != t]  # LREM count=0: all
+        assert store.num() == len(model)
+        for s in subjects:
+            for p in preds:
+                got = {x.o for x in store.filter(s=s, p=p)}
+                want = {m.o for m in model if m.s == s and m.p == p}
+                assert got == want, f"seed {seed}"
+        assert sorted(format_triple(*t) for t in set(store.iter_triples())) == \
+               sorted(format_triple(*t) for t in set(model))
