@@ -684,7 +684,8 @@ def q_ivf_ann_topk(spark, sf_dir):
     q = emb.where("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, q, k=5, n_clusters=8, nprobe=2, dim=64).select(
+    return ivf_topk(emb, q, k=5, n_clusters=8, nprobe=2, dim=64,
+                    exclude_self=True).select(
         "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
     )
 

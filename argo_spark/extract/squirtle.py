@@ -41,8 +41,19 @@ y:495-504) while its serializer NT-escapes values, so reference
 output cannot round-trip through the reference parser; ours can;
 (4) keyword-shaped words are accepted as blank-node labels in their
 original case (``_:As``) — again something the reference serializer
-emits but its own parser rejects. Round-trip is pinned by a
-300-example hypothesis property (test_properties.py).
+emits but its own parser rejects; (5) an object-position or
+statement-level template application in the reference leaks a
+parser-stack entry (applyTemplate pushes the applying subject via the
+``subject`` rule but only description bodies pop, y:174-232), so
+subsequent predicate-object pairs in the ENCLOSING description attach
+to the template's subject and ``*`` container numbering restarts —
+this parser keeps attributing them to the enclosing subject with
+uninterrupted numbering. Round-trip is pinned by a 300-example
+hypothesis property (test_properties.py); (6) serializer-side (see
+sinks/writers.py): ``prefix:local`` is emitted only when the local
+part survives the parser's identifier charset, where the reference
+emits it unconditionally and produces unparseable output for locals
+containing ``.``/``%``/``~`` etc.
 
 Strings are parsed whole-file (one doc per file) — ``read_squirtle``
 distributes via the same wholetext + Arrow-stage shape as RDF/XML.

@@ -34,6 +34,22 @@ from pyspark.sql import functions as F
 
 log = logging.getLogger("argo_spark.dedup")
 
+
+def _warn_uncapped_pairs(tag: str) -> None:
+    """All-pairs bucket enumeration with no ``max_bucket`` is C(k,2)
+    in the largest bucket — at web scale one boilerplate cluster makes
+    it quadratic. The scale-safe defaults are star edges (CC-shaped
+    consumers) or a finite ``max_bucket``; calling pairs-mode uncapped
+    is allowed for small/verified inputs but is never silent."""
+    import warnings
+
+    msg = (
+        f"{tag}: all-pairs mode without max_bucket is quadratic in the "
+        "largest bucket — set max_bucket or use star-edge mode at scale"
+    )
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
+    log.warning(msg)
+
 from argo_spark.namespaces import DBP, FOAF, SCHEMA
 from argo_spark.terms import KIND_IRI
 
@@ -240,7 +256,9 @@ def lsh_candidate_pairs(
     duplicate clusters make this quadratic, so either set
     ``max_bucket`` (oversize buckets dropped with a logged count) or
     use :func:`lsh_candidate_edges` (O(k) star edges, the default for
-    connected-components consumers)."""
+    connected-components consumers). Uncapped pairs-mode warns."""
+    if max_bucket is None:
+        _warn_uncapped_pairs("lsh_candidate_pairs")
     bands = _band_keys(df, id_col, sig_col, n_bands, rows_per_band).persist()
     if max_bucket is not None:
         bands = _cap_buckets(bands, ("band", "bucket"), max_bucket, "lsh_candidate_pairs")
@@ -362,7 +380,7 @@ def minhash_dedup_pairs(
     n_bands: int = 16,
     threshold: float = 0.7,
     mode: str = "word",
-    pair_mode: str = "pairs",
+    pair_mode: str = "star",
     max_bucket: Optional[int] = None,
     max_shingle_df: Optional[int] = None,
 ) -> DataFrame:
@@ -373,12 +391,14 @@ def minhash_dedup_pairs(
     sets computed ONLY for candidate ids; mode='char' for short
     strings like entity surface forms (array path).
 
-    pair_mode='pairs' (exact within-bucket all-pairs; quadratic in
-    bucket size — combine with ``max_bucket`` at scale) or 'star'
-    (hub-spoke edges, O(bucket size); clusters found via connected
-    components are identical pre-verification, and Jaccard then
-    verifies hub→member edges — the web-scale default for CC
-    consumers). ``max_shingle_df`` (word mode) drops shingles present
+    pair_mode='star' (THE DEFAULT: hub-spoke edges, O(bucket size);
+    clusters found via connected components are identical
+    pre-verification, and Jaccard then verifies hub→member edges —
+    the web-scale shape) or 'pairs' (exact within-bucket all-pairs;
+    quadratic in bucket size — combine with ``max_bucket`` at scale,
+    uncapped warns; use it when exact verified-pair semantics matter
+    more than the quadratic risk). ``max_shingle_df`` (word mode)
+    drops shingles present
     in more than that many documents before signatures — stop-shingle
     control; opt-in because it changes signatures."""
     def candidates(sigs: DataFrame) -> DataFrame:
@@ -594,8 +614,10 @@ def simhash_candidate_pairs(
     """Hamming-LSH, all-pairs mode: split the n_bits simhash into
     n_blocks blocks; near-dups (distance < n_blocks) share at
     least one block. Quadratic within a block bucket — set
-    ``max_bucket`` (logged drops) or use
+    ``max_bucket`` (logged drops; uncapped warns) or use
     :func:`simhash_candidate_edges` at web scale."""
+    if max_bucket is None:
+        _warn_uncapped_pairs("simhash_candidate_pairs")
     blocks = _simhash_blocks(df, id_col, text_col, n_blocks, n_bits, bit_fn).persist()
     if max_bucket is not None:
         blocks = _cap_buckets(blocks, ("block", "key"), max_bucket, "simhash_candidate_pairs")

@@ -140,11 +140,11 @@ def embedding_neardup_pairs(
     is the O(n²) cross-join baseline for oracles/small inputs.
 
     pair_mode='pairs' enumerates all pairs within a (table, bucket) —
-    quadratic in bucket size; pair_mode='star' emits only
-    (hub=min id, member) edges per bucket — O(k), same connected
-    components, the web-scale shape for dedup consumers. Star uses a
-    window (min-struct carries the hub vector), so there is NO join
-    at all."""
+    quadratic in bucket size (uncapped pairs-mode warns);
+    pair_mode='star' emits only (hub=min id, member) edges per
+    bucket — O(k), same connected components, the web-scale shape for
+    dedup consumers. Star uses a window (min-struct carries the hub
+    vector), so there is NO join at all."""
     e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
@@ -182,6 +182,9 @@ def embedding_neardup_pairs(
                 .dropDuplicates(["a", "b"])
             )
         else:
+            from argo_spark.ops.dedup import _warn_uncapped_pairs
+
+            _warn_uncapped_pairs("embedding_neardup_pairs")
             tabs = tabs.persist()
             l, r = tabs.alias("l"), tabs.alias("r")
             cand = (
@@ -288,6 +291,51 @@ def lsh_topk(
     )
 
 
+def md5_centroids(
+    n_clusters: int, dim: int, seed: int = 7, scale: float = 128.0
+) -> list[list[float]]:
+    """Deterministic centroid table derived from md5 — the PORTABLE
+    derivation for DuckDB-checkable IVF contracts (same trick as
+    :func:`md5_planes`): coefficient (ci, j) =
+    (first-byte-of md5("c{seed}_{ci}_{j}") - 127.5) / scale, exactly
+    reproducible in SQL. scale=128 keeps values in [-1, 1), the range
+    of unit-ish embedding coordinates."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"c{seed}_{ci}_{j}".encode()).hexdigest()[:2], 16) - 127.5)
+            / scale
+            for j in range(dim)
+        ]
+        for ci in range(n_clusters)
+    ]
+
+
+def _nearest_centroids_expr(centroids: list[list[float]], n: int, vec: Column) -> Column:
+    """Pure-column n-nearest-centroid assignment with BIT-EXACT
+    reproducibility in ANSI SQL: per centroid the squared L2 distance
+    is a left-associated chain ``(v[1]-c1)² + (v[2]-c2)² + …`` —
+    the exact IEEE operation order DuckDB evaluates for the same
+    expression text — then array_sort over (dist, ci) structs picks
+    the n nearest with a deterministic index tie-break. Interpreted
+    per-element math: use only for oracle contracts / small inputs;
+    the production quantizer is the Arrow-batched numpy UDF."""
+    from functools import reduce
+
+    structs = []
+    for ci, c in enumerate(centroids):
+        diffs = [
+            F.element_at(vec, j + 1) - F.lit(float(cj)) for j, cj in enumerate(c)
+        ]
+        dist = reduce(lambda a, b: a + b, [d * d for d in diffs])
+        structs.append(
+            F.struct(dist.alias("d"), F.lit(ci).cast("int").alias("ci"))
+        )
+    ordered = F.array_sort(F.array(*structs))
+    return F.transform(F.slice(ordered, 1, n), lambda x: x["ci"])
+
+
 def _nearest_centroids_udf(centroids: list[list[float]], n: int):
     """Vectorized (Arrow-batched numpy) n-nearest-centroid lookup.
     HOF column expressions (aggregate/zip_with) run INTERPRETED —
@@ -377,6 +425,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: list[list[float]] | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k (the production ANN scale path): a
     k-means coarse quantizer assigns every base vector to its nearest
@@ -388,7 +437,15 @@ def ivf_topk(
 
     At 100 TB: n_clusters grows with the corpus (√N rule), centroids
     stay driver/broadcast-sized, the inverted-list assignment is one
-    map-only pass, and recall tunes with nprobe."""
+    map-only pass, and recall tunes with nprobe. Train the quantizer
+    on a subsample (``kmeans_centroids(train_fraction=...)`` — at
+    10^10 vectors ~100k training points suffice), not the corpus.
+
+    ``exclude_self`` drops candidates whose base id equals the query
+    id — only meaningful when queries are drawn from the SAME id
+    space as the base table (self-search). It defaults off because an
+    external query whose id coincidentally collides with a base id
+    would silently lose a legitimate neighbor."""
     from pyspark.sql.window import Window
 
     if dim is None:
@@ -410,10 +467,11 @@ def ivf_topk(
         query_id_col, "_qv",
         F.explode(assign_n(F.col("_qv"))).alias("_list"),
     )
+    scored = base.join(F.broadcast(probes), "_list")
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col(query_id_col))
     scored = (
-        base.join(F.broadcast(probes), "_list")
-        .where(F.col(id_col) != F.col(query_id_col))
-        .select(
+        scored.select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),
             F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("cos"),

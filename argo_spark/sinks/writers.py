@@ -326,16 +326,36 @@ def write_rdfxml(
 # Squirtle (K5) — /root/reference/squirtleserializer.go:8-104
 # ---------------------------------------------------------------------------
 
+import re as _re
+
+# Locals the parser can lex back as a postfix identifier: word chars
+# only ([A-Za-z0-9_-], alpha/_ start — squirtle.py _is_word), not the
+# keyword-shaped words _postfix_identifier rejects ("include"/"new")
+# and not the lexer's special DOUBLE words ("inf"/"nan"). Anything
+# else ('.', '%', '~', digits-first — common in real-world IRIs like
+# schema.org terms) must fall back to <uri> or the output would fail
+# to re-parse. The REFERENCE serializer has this flaw
+# (squirtleserializer.go:13-24 emits prefix:local unconditionally);
+# we diverge to keep the advertised round-trip guarantee.
+_SAFE_LOCAL = _re.compile(r"[A-Za-z_][A-Za-z0-9_-]*\Z")
+_UNSAFE_WORDS = frozenset({"include", "new", "inf", "nan"})
+
+
+def _local_is_safe(local: str) -> bool:
+    return bool(_SAFE_LOCAL.match(local)) and local.lower() not in _UNSAFE_WORDS
+
+
 def _squirtle_term(t_kind: int, value: str, lang, dt, pmap: dict) -> str:
     """encodeTerm: IRIs as prefix:local when the split-prefix base is
-    bound, else <uri>; literals/bnodes as their NT forms
+    bound AND the local part survives the parser's identifier charset,
+    else <uri>; literals/bnodes as their NT forms
     (squirtleserializer.go:13-34)."""
     from argo_spark.terms import Term, format_term
 
     if t_kind == KIND_IRI:
         base, local = split_prefix(value)
         prefix = pmap.get(base)
-        if prefix is not None:
+        if prefix is not None and _local_is_safe(local):
             return f"{prefix}:{local}"
         return f"<{value}>"
     return format_term(Term(t_kind, value, lang, dt))
@@ -399,8 +419,12 @@ def squirtle_blocks(
         base = split_prefix_base(value)
         local = split_prefix_local(value)
         prefix = F.element_at(pmap_col, base)
+        # same safe-local rule as _local_is_safe (parser charset)
+        local_ok = local.rlike(r"^[A-Za-z_][A-Za-z0-9_-]*$") & ~F.lower(
+            local
+        ).isin(*_UNSAFE_WORDS)
         as_iri = F.when(
-            prefix.isNotNull(), F.concat(prefix, F.lit(":"), local)
+            prefix.isNotNull() & local_ok, F.concat(prefix, F.lit(":"), local)
         ).otherwise(F.concat(F.lit("<"), value, F.lit(">")))
         if lang is None:
             return F.when(kind == KIND_IRI, as_iri).otherwise(

@@ -96,6 +96,48 @@ def get_backend(spark: SparkSession, prefer: Optional[str] = None):
     return ParquetBackend()
 
 
+def _managed_location(spark: SparkSession, table: str) -> Optional[str]:
+    """Local-filesystem data directory of a managed table, or None.
+
+    Prefers the catalog's own answer (DESCRIBE TABLE EXTENDED) when
+    the table is registered; for a table known only as a stale
+    warehouse directory (fresh in-memory catalog), derives the
+    default managed location including the ``<db>.db/`` segment for
+    qualified names. Refuses anything that does not resolve to a path
+    strictly inside the warehouse dir."""
+    def strip_file(p: str) -> str:
+        return p[len("file:"):] if p.startswith("file:") else p
+
+    wh = strip_file(spark.conf.get("spark.sql.warehouse.dir", "") or "")
+    loc = None
+    try:
+        if spark.catalog.tableExists(table):
+            rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+            for r in rows:
+                if r.col_name == "Location":
+                    loc = strip_file(r.data_type)
+                    break
+    except Exception:
+        loc = None
+    if loc is None and wh:
+        parts = table.lower().split(".")
+        if len(parts) == 1:
+            loc = f"{wh.rstrip('/')}/{parts[0]}"
+        elif len(parts) == 2 and parts[0] not in ("default", "spark_catalog"):
+            loc = f"{wh.rstrip('/')}/{parts[0]}.db/{parts[1]}"
+        else:
+            loc = f"{wh.rstrip('/')}/{parts[-1]}"
+    if not loc or not wh:
+        return None
+    import os.path
+
+    real_wh = os.path.realpath(wh)
+    real_loc = os.path.realpath(loc)
+    if not real_loc.startswith(real_wh.rstrip("/") + "/"):
+        return None  # external/unknown location: never delete
+    return loc
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -122,17 +164,18 @@ def write_bucketed(
     know managed tables from earlier sessions, so a stale warehouse
     location would otherwise fail saveAsTable with
     LOCATION_ALREADY_EXISTS — the table AND its location are cleared
-    first."""
+    first. The location is resolved from the catalog when the table
+    is registered; otherwise it is derived from the qualified name
+    (``<wh>/<db>.db/<tbl>`` for ``db.tbl``, ``<wh>/<tbl>`` for a bare
+    name), and only paths strictly inside the warehouse dir are ever
+    removed — never a same-named table in another database."""
     import shutil
 
     spark = df.sparkSession
     if mode == "overwrite":
+        loc = _managed_location(spark, table)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        wh = spark.conf.get("spark.sql.warehouse.dir", "")
-        if wh.startswith("file:"):
-            wh = wh[len("file:"):]
-        if wh:
-            loc = f"{wh.rstrip('/')}/{table.split('.')[-1].lower()}"
+        if loc:
             shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:

@@ -141,13 +141,18 @@ def dedup_stream(
                     seen.add(h)
                     ordered.append(h)
                     fresh_mask.append(True)
+            # cap BEFORE emitting the chunk so the audit column is
+            # current: rows in the chunk that triggers eviction carry
+            # the post-eviction cumulative count (no one-batch lag)
+            if max_hashes_per_bucket is not None and len(ordered) > max_hashes_per_bucket:
+                n_evict = len(ordered) - max_hashes_per_bucket
+                for h in ordered[:n_evict]:
+                    seen.discard(h)
+                ordered = ordered[n_evict:]
+                evicted += n_evict
             out = pdf.loc[fresh_mask, ["doc_id", "text", "content_hash"]]
             if len(out):
                 yield out.assign(bucket_evictions=evicted)
-        if max_hashes_per_bucket is not None and len(ordered) > max_hashes_per_bucket:
-            n_evict = len(ordered) - max_hashes_per_bucket
-            ordered = ordered[n_evict:]
-            evicted += n_evict
         state.update((ordered, evicted))
         if idle_ttl_ms is not None:
             state.setTimeoutDuration(idle_ttl_ms)

@@ -77,7 +77,8 @@ def _warmup(spark, sf_dir: str, workdir: str) -> None:
     # invocations to reach steady state (measured 6.9 -> 3.5s over 4
     # runs at full size; tiny-input repeats buy most of that for free)
     for _ in range(3):
-        minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7).count()
+        minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7,
+                           pair_mode="pairs").count()
     minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7, pair_mode="star").count()
     simhash_candidate_pairs(docs, "doc_id", "text").count()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
@@ -85,7 +86,7 @@ def _warmup(spark, sf_dir: str, workdir: str) -> None:
     brute_force_topk(emb, q, k=3).count()
     lsh_topk(emb, k=3, dim=64, n_planes=6).count()
     from argo_spark.ops.similarity import ivf_topk
-    ivf_topk(emb, q, k=3, n_clusters=4, nprobe=2, dim=64).count()
+    ivf_topk(emb, q, k=3, n_clusters=4, nprobe=2, dim=64, exclude_self=True).count()
     em.q_agg_lineitem(spark, sf_dir).collect()
     em.q_events_window_agg(spark, sf_dir).count()
     em.q_g8_semi_join(spark, sf_dir).count()
@@ -219,7 +220,7 @@ def run_bench(spark, sf_dir: str, workdir: str) -> dict:
     timed("text_stats", lambda: document_stats(docs).agg(
         F.sum("n_tokens"), F.avg("quality")).collect())
     timed("dedup_minhash", lambda: minhash_dedup_pairs(
-        docs, "doc_id", "text", threshold=0.7).count())
+        docs, "doc_id", "text", threshold=0.7, pair_mode="pairs").count())
     # the web-scale star-edge path (O(k) per bucket, no self-join)
     timed("dedup_minhash_star", lambda: minhash_dedup_pairs(
         docs, "doc_id", "text", threshold=0.7, pair_mode="star").count())
@@ -232,7 +233,7 @@ def run_bench(spark, sf_dir: str, workdir: str) -> dict:
     timed("ann_lsh_topk", lambda: lsh_topk(emb, k=5, dim=64, n_planes=6).count())
     from argo_spark.ops.similarity import ivf_topk
     timed("ann_ivf_topk", lambda: ivf_topk(
-        emb, q, k=10, n_clusters=8, nprobe=2, dim=64).count())
+        emb, q, k=10, n_clusters=8, nprobe=2, dim=64, exclude_self=True).count())
 
     timed("agg_lineitem", lambda: em.q_agg_lineitem(spark, sf_dir).collect())
     timed("events_window_agg", lambda: em.q_events_window_agg(spark, sf_dir).count())

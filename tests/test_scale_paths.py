@@ -188,3 +188,36 @@ def test_word_shingles_k1(spark):
     got = {(r.a, r.b) for r in pairs.collect()}
     assert (0, 1) in got  # same token set
     assert not any(2 in p for p in got)
+
+
+def test_scale_safe_defaults_and_uncapped_warning(spark):
+    """Round-3 contract: the public dedup API cannot silently go
+    quadratic — minhash_dedup_pairs defaults to star edges, and every
+    all-pairs path without a finite max_bucket warns."""
+    import inspect
+    import warnings
+
+    assert inspect.signature(minhash_dedup_pairs).parameters["pair_mode"].default == "star"
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    sigs = _sig_df(spark)
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.warns(RuntimeWarning, match="quadratic"):
+        lsh_candidate_pairs(sigs, "id", n_bands=2, rows_per_band=2)
+    with pytest.warns(RuntimeWarning, match="quadratic"):
+        simhash_candidate_pairs(docs, "doc_id", "text")
+    with pytest.warns(RuntimeWarning, match="quadratic"):
+        minhash_dedup_pairs(docs, "doc_id", "text", pair_mode="pairs")
+    with pytest.warns(RuntimeWarning, match="quadratic"):
+        embedding_neardup_pairs(emb, threshold=0.5, dim=2, pair_mode="pairs")
+    # capped pairs mode and star mode stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        lsh_candidate_pairs(sigs, "id", n_bands=2, rows_per_band=2, max_bucket=100)
+        minhash_dedup_pairs(docs, "doc_id", "text")  # star default

@@ -132,7 +132,7 @@ def test_ivf_topk_matches_brute_force_on_clustered_data(spark):
     cents = kmeans_centroids(emb, n_clusters=3, dim=8)
     assert len(cents) == 3 and all(len(c) == 8 for c in cents)
     approx = ivf_topk(emb, queries, k=5, n_clusters=3, nprobe=1, dim=8,
-                      centroids=cents)
+                      centroids=cents, exclude_self=True)
     ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)

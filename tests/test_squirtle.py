@@ -316,3 +316,51 @@ def test_inf_nan_shaped_labels_and_langtags():
     and language tags still accept them in original case."""
     t = ok('_:inf { <http://e/p> "x" @ NaN }')
     assert t == [(1, "inf", "http://e/p", 2, "x", "NaN", None)]
+
+
+def test_unsafe_locals_roundtrip_as_uriref(spark, tmp_path):
+    """Round-3 fix (ADVICE): IRIs whose local part the parser's
+    identifier charset rejects ('.', '%', '~', digit-first, keyword
+    'new', 'inf') must serialize as <uri>, not prefix:local, in BOTH
+    the driver-side string form and the distributed blocks — the
+    reference serializer emits unparseable prefix:local here."""
+    from argo_spark.namespaces import SCHEMA
+    from argo_spark.sinks.writers import squirtle_string, write_squirtle
+
+    subjects = [
+        SCHEMA + "docs.python.org",   # dots
+        SCHEMA + "a%20b",             # percent-escape
+        SCHEMA + "1stPlace",          # digit-first
+        SCHEMA + "new",               # rejected keyword
+        SCHEMA + "inf",               # lexer DOUBLE word
+        SCHEMA + "Person",            # SAFE: stays prefix:local
+    ]
+    rows = [
+        (0, s, "http://xmlns.com/foaf/0.1/name", 2, "x", None, None)
+        for s in subjects
+    ]
+    triples = spark.createDataFrame(
+        rows,
+        "s_kind tinyint, s_value string, p_value string, "
+        "o_kind tinyint, o_value string, o_lang string, o_dt string",
+    )
+    expected = {
+        (r[0], r[1], r[2], r[3], r[4], r[5], r[6]) for r in rows
+    }
+
+    doc = squirtle_string(triples)
+    assert "<" + SCHEMA + "docs.python.org>" in doc
+    assert ":Person {" in doc and "<" + SCHEMA + "Person>" not in doc
+    t, err = parse_squirtle(doc)
+    assert err is None
+    assert {tuple(x) for x in t} == expected
+
+    out = str(tmp_path / "unsafe.squirtle")
+    write_squirtle(triples, out)
+    back, errs = read_squirtle(spark, out)
+    assert errs.count() == 0, errs.collect()
+    got = {
+        (r.s_kind, r.s_value, r.p_value, r.o_kind, r.o_value, r.o_lang, r.o_dt)
+        for r in back.collect()
+    }
+    assert got == expected

@@ -53,3 +53,40 @@ def test_bucketed_join_and_agg_skip_exchange(spark, tmp_path):
     aplan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in aplan
     assert agg.count() == li.select("o_orderkey").distinct().count()
+
+
+def test_bucketed_overwrite_qualified_name_spares_default_table(spark):
+    """Round-3 fix: overwriting ``db.t`` must clear <wh>/db.db/t, and
+    must NEVER touch the data directory of an unrelated default-
+    database table that happens to share the short name."""
+    import os
+    import shutil
+
+    from argo_spark.storage import read_table, write_bucketed
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS qdb.qt")
+    spark.sql("DROP TABLE IF EXISTS qt")
+    spark.sql("DROP DATABASE IF EXISTS qdb")
+    shutil.rmtree(f"{wh}/qdb.db", ignore_errors=True)
+    shutil.rmtree(f"{wh}/qt", ignore_errors=True)
+    spark.sql("CREATE DATABASE qdb")
+
+    plain = spark.createDataFrame([(1, "keepme")], "id long, v string")
+    write_bucketed(plain, "qt", ["id"], 2)
+    qual = spark.createDataFrame([(2, "a"), (3, "b")], "id long, v string")
+    write_bucketed(qual, "qdb.qt", ["id"], 2)
+    # overwrite the qualified table twice: stale-location handling
+    write_bucketed(qual, "qdb.qt", ["id"], 2)
+
+    assert os.path.isdir(f"{wh}/qt"), "default-db table directory was deleted"
+    assert {r.v for r in read_table(spark, "qt").collect()} == {"keepme"}
+    assert read_table(spark, "qdb.qt").count() == 2
+    # stale-warehouse case: drop only the catalog entry, leave files,
+    # then overwrite again — the derived <db>.db/ location is cleared
+    spark.sql("DROP TABLE qdb.qt")
+    write_bucketed(qual, "qdb.qt", ["id"], 2)
+    assert read_table(spark, "qdb.qt").count() == 2
+    spark.sql("DROP TABLE IF EXISTS qdb.qt")
+    spark.sql("DROP TABLE IF EXISTS qt")
+    spark.sql("DROP DATABASE IF EXISTS qdb")

@@ -91,7 +91,10 @@ def test_streaming_windowed_stats(spark, tmp_path):
 def test_streaming_dedup_eviction_bound(spark, tmp_path):
     """State bound: FIFO cap evicts oldest hashes with an audit counter
     on output rows; an evicted hash re-arriving is re-emitted
-    (exactly-once holds within the retention capacity)."""
+    (exactly-once holds within the retention capacity). The counter is
+    CURRENT: rows in the chunk that triggers an eviction already carry
+    the post-eviction cumulative count (round-3 fix — no one-batch
+    lag)."""
     from argo_spark.streaming import dedup_stream
 
     docs_dir = str(tmp_path / "docs_ev")
@@ -116,13 +119,14 @@ def test_streaming_dedup_eviction_bound(spark, tmp_path):
         )
         q.awaitTermination()
 
-    # batch 1: 3 distinct docs -> cap 2 evicts the oldest ("alpha")
+    # batch 1: 3 distinct docs -> cap 2 evicts the oldest ("alpha");
+    # the triggering chunk itself reports the eviction (audit=1)
     spark.createDataFrame(
         [(1, "alpha"), (2, "beta"), (3, "gamma")], schema
     ).write.mode("append").parquet(docs_dir)
     run()
     got1 = {(r.doc_id, r.bucket_evictions) for r in spark.read.parquet(out).collect()}
-    assert got1 == {(1, 0), (2, 0), (3, 0)}
+    assert got1 == {(1, 1), (2, 1), (3, 1)}
 
     # batch 2: evicted "alpha" re-emits (audit=1); retained "gamma" suppressed
     spark.createDataFrame(
@@ -131,5 +135,6 @@ def test_streaming_dedup_eviction_bound(spark, tmp_path):
     run()
     got2 = {(r.doc_id, r.text, r.bucket_evictions)
             for r in spark.read.parquet(out).collect()}
-    assert (4, "alpha", 1) in got2          # re-emitted, eviction visible
+    # re-emitted; its own arrival pushed "beta" out -> cumulative 2
+    assert (4, "alpha", 2) in got2
     assert not any(r[0] == 5 for r in got2)  # within-capacity exactly-once
