@@ -422,10 +422,22 @@ def q_embedding_neardup_exact(spark, sf_dir):
 
 
 def q_embedding_dedup_lsh(spark, sf_dir):
-    from argo_spark.ops.similarity import embedding_dedup
+    """Embedding near-dup REMOVAL through the full library scale path
+    (multi-table hyperplane LSH star edges -> iterative connected
+    components -> min-id survivors), ORACLED: portable md5 planes let
+    DuckDB rebuild the edge set, and a recursive transitive closure
+    replays the CC fixpoint — survivors are ids that are their own
+    component minimum."""
+    from argo_spark.ops.similarity import embedding_dedup, md5_planes
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_dedup(emb, threshold=0.4, dim=64).select("vec_id", "label")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    planes = [md5_planes(64, 4, seed=11 + t) for t in range(2)]
+    return embedding_dedup(
+        emb, threshold=0.4, dim=64, n_planes=4, n_tables=2, planes=planes
+    ).select("vec_id", "label")
 
 
 def q_set_ops(spark, sf_dir):
@@ -690,14 +702,100 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def _ivf_centroids() -> list[list[float]]:
+    """Fixed md5-derived IVF quantizer (8 lists × 64 dims), shared by
+    the Spark query and its DuckDB oracle — same derivation as
+    argo_spark.ops.similarity.md5_centroids(8, 64, seed=7), inlined
+    here so oracle_sql() stays dependency-free."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"c7_{ci}_{j}".encode()).hexdigest()[:2], 16) - 127.5)
+            / 128.0
+            for j in range(64)
+        ]
+        for ci in range(8)
+    ]
+
+
+def q_ivf_ann_topk_fixed(spark, sf_dir):
+    """IVF ANN with a FIXED portable coarse quantizer: the same plan
+    shape as the production kmeans path (map-only list assignment,
+    scan × broadcast(queries×nprobe) equi-join on the list id, one
+    top-k window) but with md5-derived centroids and the expression
+    quantizer (left-assoc IEEE order), so DuckDB replays the
+    assignment bit-exactly — the oracled contract for the IVF scale
+    path. The trained-quantizer variant stays rows-only
+    (q_ivf_ann_topk: iterative k-means is not SQL-expressible)."""
+    from argo_spark.ops.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, q, k=5, n_clusters=8, nprobe=2, dim=64,
+        centroids=_ivf_centroids(), exclude_self=True, assign="expr",
+    ).select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _portable_star_neardup(threshold: float):
+    """Verified star-edge near-dup pairs in the PORTABLE md5-minhash
+    form (4 seeded md5 minhashes, ONE band, hub=min doc_id per bucket,
+    Jaccard-verified hub→member edges over 3-word shingle sets) —
+    exactly replayable in DuckDB, plugged into clean_corpus as its
+    neardup_pairs_fn so the whole composition is oracled."""
+    from pyspark.sql.window import Window
+
+    def fn(d1):
+        sh = d1.select("doc_id", _word_shingles(F.col("text")).alias("sh"))
+
+        def seeded(j):
+            return lambda s: F.md5(F.concat(F.lit(str(j)), s))
+
+        sigs = [
+            F.array_min(F.transform(F.col("sh"), seeded(j))).alias(f"sig{j}")
+            for j in range(4)
+        ]
+        sig = sh.select("doc_id", "sh", *sigs)
+        bucket = F.md5(F.concat("sig0", "sig1", "sig2", "sig3")).alias("bucket")
+        w = Window.partitionBy("bucket")
+        hub = F.min(F.struct(F.col("doc_id").alias("i"), F.col("sh").alias("s"))).over(w)
+        edges = (
+            sig.select("doc_id", "sh", bucket)
+            .withColumn("_hub", hub)
+            .where(F.col("doc_id") != F.col("_hub.i"))
+        )
+        inter = F.size(F.array_intersect("sh", "_hub.s"))
+        union = F.size("sh") + F.size(F.col("_hub.s")) - inter
+        return (
+            edges.where((inter / union) >= F.lit(threshold))
+            .select(F.col("_hub.i").alias("a"), F.col("doc_id").alias("b"))
+        )
+
+    return fn
+
+
 def q_clean_corpus(spark, sf_dir):
-    """Composed training-corpus cleaning: exact dedup -> MinHash-LSH
-    near-dup removal -> language/quality/length gates (rows-only)."""
+    """Composed training-corpus cleaning, ORACLED end-to-end: exact
+    dedup (min-id winner per identical text) -> near-dup removal
+    (portable md5-minhash star edges + Jaccard verify + connected
+    components) -> quality/length gates. The single-band star
+    construction makes the verified edge set a forest of stars, so
+    DuckDB replays the CC result as 'members with a verified hub
+    edge'; the composition order (dedup before gates) is pinned
+    contractually by the oracle."""
     from argo_spark.ops.corpus import clean_corpus
 
     kept, _audit = clean_corpus(
         _docs(spark, sf_dir), min_quality=0.3, min_tokens=5,
         neardup_threshold=0.8,
+        neardup_pairs_fn=_portable_star_neardup(0.8),
     )
     return kept
 
@@ -764,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_pipeline": q_rdfa_pipeline,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_ann_topk_fixed": q_ivf_ann_topk_fixed,
         "multimodal_features": q_multimodal_features,
         "nt_parse_roundtrip": q_nt_parse_roundtrip,
         "clean_corpus": q_clean_corpus,
@@ -869,6 +968,147 @@ def _embedding_star_sql() -> str:
           FROM hubbed h JOIN e hv ON hv.vec_id = h.hub
           WHERE h.vec_id != h.hub)
         SELECT DISTINCT a, b, cos FROM scored WHERE cos >= 0.3
+    """
+
+
+def _ivf_fixed_sql() -> str:
+    """Replay q_ivf_ann_topk_fixed: per-centroid squared-L2 distance
+    as a left-associated term chain (identical IEEE operation order to
+    the Spark expression quantizer), argmin/top-nprobe via row_number
+    with centroid-index tie-break, then the standard cosine top-k."""
+    cents = _ivf_centroids()
+    branches = []
+    for ci, c in enumerate(cents):
+        terms = " + ".join(
+            f"(v[{j + 1}] - ({c[j]!r})) * (v[{j + 1}] - ({c[j]!r}))"
+            for j in range(64)
+        )
+        branches.append(f"SELECT vec_id, {ci} AS ci, {terms} AS dist FROM e")
+    dists = "\n          UNION ALL\n          ".join(branches)
+    cos = _COS_SQL.format(a="b.v", b="q.v")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        d AS (
+          {dists}),
+        r AS (
+          SELECT vec_id, ci,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist ASC, ci ASC) AS rn
+          FROM d),
+        assign AS (SELECT vec_id, ci FROM r WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, ci FROM r
+                   WHERE rn <= 2 AND vec_id < 5),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id, {cos} AS cos
+          FROM probes p
+          JOIN assign a ON a.ci = p.ci
+          JOIN e b ON b.vec_id = a.vec_id
+          JOIN e q ON q.vec_id = p.query_id
+          WHERE a.vec_id != p.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+    """
+
+
+def _clean_corpus_sql() -> str:
+    """Replay q_clean_corpus: exact dedup (min doc_id per identical
+    text), single-band md5-minhash star edges with Jaccard-verified
+    hub→member pairs (a forest of stars, so connected components =
+    'has a verified hub edge'), then the rounded-quality and
+    token-count gates."""
+    shingles = (
+        "list_distinct(list_transform("
+        "range(1, greatest(len(w) - 2, 1) + 1), "
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+    )
+    inter = "len(list_filter(s.shingles, x -> list_contains(h.hub_sh, x)))"
+    quality = """
+        round(
+          0.3 * least(length(text) / 500.0, 1.0)
+          + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / greatest(length(text), 1))
+          + 0.2 * (1 - least((length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+                              / greatest(length(text), 1)) * 4, 1.0))
+          + 0.2 * (CASE WHEN length(text) / greatest(len(@TOKS@), 1) >= 3
+                         AND length(text) / greatest(len(@TOKS@), 1) <= 12
+                   THEN 1.0 ELSE 0.3 END),
+        6)""".replace("@TOKS@", _TOKENS)
+    return f"""
+        WITH d1 AS (
+          SELECT doc_id, text, lang, source, n_chars FROM (
+            SELECT doc_id, text, lang, source, n_chars,
+                   row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1),
+        toks AS (SELECT doc_id, {_TOKENS} AS w FROM d1),
+        sh AS (SELECT doc_id, {shingles} AS shingles FROM toks),
+        sig AS (
+          SELECT doc_id, shingles,
+                 list_min(list_transform(shingles, s -> md5('0' || s))) AS sig0,
+                 list_min(list_transform(shingles, s -> md5('1' || s))) AS sig1,
+                 list_min(list_transform(shingles, s -> md5('2' || s))) AS sig2,
+                 list_min(list_transform(shingles, s -> md5('3' || s))) AS sig3
+          FROM sh),
+        bk AS (
+          SELECT doc_id, shingles,
+                 md5(sig0 || sig1 || sig2 || sig3) AS bucket,
+                 min(doc_id) OVER (PARTITION BY md5(sig0 || sig1 || sig2 || sig3)) AS hub
+          FROM sig),
+        hubsh AS (SELECT doc_id AS hub_id, shingles AS hub_sh FROM bk),
+        losers AS (
+          SELECT DISTINCT s.doc_id
+          FROM bk s JOIN hubsh h ON h.hub_id = s.hub
+          WHERE s.doc_id != s.hub
+            AND {inter}
+                / (len(s.shingles) + len(h.hub_sh) - {inter}) >= 0.8),
+        d2 AS (
+          SELECT * FROM d1
+          WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+        SELECT doc_id, text, lang, source, n_chars
+        FROM d2
+        WHERE {quality} >= 0.3
+          AND len({_TOKENS}) BETWEEN 5 AND 1000000
+    """
+
+
+def _embedding_dedup_sql() -> str:
+    """Replay q_embedding_dedup_lsh: rebuild the 2-table md5-plane
+    star-edge set (cos >= 0.4 verified), then a recursive transitive
+    closure over the symmetric edges — a node loses iff any reachable
+    node has a smaller id (exactly connected-components min-label)."""
+    b11 = _bucket_sql("v", seed=11, n_planes=4)
+    b12 = _bucket_sql("v", seed=12, n_planes=4)
+    cos = _COS_SQL.format(a="hv.v", b="h.v")
+    return f"""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        mem AS (
+          SELECT vec_id, v, 0 AS tab, {b11} AS bucket FROM e
+          UNION ALL
+          SELECT vec_id, v, 1, {b12} FROM e),
+        hubbed AS (
+          SELECT tab, bucket, vec_id, v,
+                 min(vec_id) OVER (PARTITION BY tab, bucket) AS hub
+          FROM mem),
+        ed AS (
+          SELECT DISTINCT h.hub AS a, h.vec_id AS b
+          FROM hubbed h JOIN e hv ON hv.vec_id = h.hub
+          WHERE h.vec_id != h.hub AND {cos} >= 0.4),
+        sym AS (
+          SELECT a AS src, b AS dst FROM ed
+          UNION
+          SELECT b, a FROM ed),
+        r AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM r JOIN sym s ON s.src = r.dst),
+        losers AS (
+          SELECT src AS id FROM r GROUP BY src HAVING min(dst) < src)
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id NOT IN (SELECT id FROM losers)
     """
 
 
@@ -1241,6 +1481,9 @@ def oracle_sql() -> dict[str, str]:
                    round(3 + 6.1::DOUBLE, 6) AS value
         """,
         "simhash_pairs": _simhash_pairs_sql(),
+        "ivf_ann_topk_fixed": _ivf_fixed_sql(),
+        "clean_corpus": _clean_corpus_sql(),
+        "embedding_dedup_lsh": _embedding_dedup_sql(),
         "lsh_ann_topk": _ann_lsh_sql(),
         "embedding_neardup_star": _embedding_star_sql(),
         "multimodal_features": _multimodal_sql(),

@@ -12,7 +12,7 @@ silent-truncation-free by construction.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -34,8 +34,16 @@ def clean_corpus(
     min_tokens: int = 10,
     max_tokens: int = 1_000_000,
     neardup_threshold: float = 0.85,
+    neardup_pairs_fn: Optional[Callable[[DataFrame], DataFrame]] = None,
 ) -> tuple[DataFrame, dict[str, int]]:
-    """Returns (kept_docs, audit). audit maps stage -> rows removed."""
+    """Returns (kept_docs, audit). audit maps stage -> rows removed.
+
+    ``neardup_pairs_fn`` swaps the near-dup candidate stage: it
+    receives the exact-deduped frame and must return verified
+    ``(a, b)`` pair rows (a = cluster-min winner side). Used for
+    oracle contracts (a portable md5-minhash variant DuckDB can
+    replay) and custom LSH configurations; the default is the
+    production star-edge MinHash-LSH."""
     audit: dict[str, int] = {}
     n0 = docs.count()
 
@@ -47,9 +55,12 @@ def clean_corpus(
 
     # star-edge LSH: O(k) per bucket — a web-scale boilerplate cluster
     # of 10^6 docs costs 10^6 edges, not 10^12 pairs
-    pairs = minhash_dedup_pairs(
-        d1, id_col, text_col, threshold=neardup_threshold, pair_mode="star"
-    )
+    if neardup_pairs_fn is not None:
+        pairs = neardup_pairs_fn(d1)
+    else:
+        pairs = minhash_dedup_pairs(
+            d1, id_col, text_col, threshold=neardup_threshold, pair_mode="star"
+        )
     comps = connected_components(pairs.select("a", "b"))
     losers = comps.where(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)

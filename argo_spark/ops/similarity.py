@@ -426,6 +426,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     centroids: list[list[float]] | None = None,
     exclude_self: bool = False,
+    assign: str = "arrow",
 ) -> DataFrame:
     """IVF approximate top-k (the production ANN scale path): a
     k-means coarse quantizer assigns every base vector to its nearest
@@ -445,7 +446,14 @@ def ivf_topk(
     id — only meaningful when queries are drawn from the SAME id
     space as the base table (self-search). It defaults off because an
     external query whose id coincidentally collides with a base id
-    would silently lose a legitimate neighbor."""
+    would silently lose a legitimate neighbor.
+
+    ``assign`` picks the quantizer implementation: 'arrow' (default,
+    Arrow-batched numpy matmul — the production path) or 'expr'
+    (pure column expressions with left-associated IEEE operation
+    order, bit-identical to the same SQL text in DuckDB — the oracle
+    contract path; interpreted, so reserve it for correctness checks
+    and small inputs)."""
     from pyspark.sql.window import Window
 
     if dim is None:
@@ -453,19 +461,22 @@ def ivf_topk(
     if centroids is None:
         centroids = kmeans_centroids(emb, n_clusters, dim, vec_col)
 
+    def nearest(n):
+        if assign == "expr":
+            return lambda col: _nearest_centroids_expr(centroids, n, col)
+        return _nearest_centroids_udf(centroids, n)
+
     e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-    assign1 = _nearest_centroids_udf(centroids, 1)
     base = e.select(
         id_col, "_v",
-        F.element_at(assign1(F.col("_v")), 1).alias("_list"),
+        F.element_at(nearest(1)(F.col("_v")), 1).alias("_list"),
     )
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
     )
-    assign_n = _nearest_centroids_udf(centroids, nprobe)
     probes = q.select(
         query_id_col, "_qv",
-        F.explode(assign_n(F.col("_qv"))).alias("_list"),
+        F.explode(nearest(nprobe)(F.col("_qv"))).alias("_list"),
     )
     scored = base.join(F.broadcast(probes), "_list")
     if exclude_self:
