@@ -800,6 +800,89 @@ def q_clean_corpus(spark, sf_dir):
     return kept
 
 
+def q_k4_rdfjson_lines(spark, sf_dir):
+    """K4 (json.go serializer, valid-JSON variant), ORACLED: one JSON
+    object per subject with predicate maps and sorted object arrays —
+    DuckDB replays the exact byte layout by string construction."""
+    from argo_spark.sinks.writers import rdfjson_lines
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return rdfjson_lines(tr)
+
+
+def q_k6_dictionary_roundtrip(spark, sf_dir):
+    """K6 (mysqlstore dictionary analogue), ORACLED: portable md5
+    surrogate ids (substr(md5(NT),1,16) — xxhash64 stays the
+    production default) encode the doc triples, the decode joins
+    reproduce them exactly, and the surrogate ids themselves ride
+    through so DuckDB checks the id derivation too."""
+    from argo_spark.ops.dictionary import (
+        decode_triples,
+        encode_triples,
+        term_dictionary,
+    )
+
+    def id_fn(nt):
+        return F.substring(F.md5(nt), 1, 16)
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    dic = term_dictionary(tr, id_fn=id_fn)
+    enc = encode_triples(tr, id_fn=id_fn).select(
+        "*",
+        F.col("s_id").alias("sid"),
+        F.col("p_id").alias("pid"),
+        F.col("o_id").alias("oid"),
+    )
+    dec = decode_triples(enc, dic)
+    return dec.select(
+        F.col("s_kind").cast("int").alias("s_kind"), "s_value", "p_value",
+        F.col("o_kind").cast("int").alias("o_kind"), "o_value",
+        "o_lang", "o_dt", "sid", "pid", "oid",
+    )
+
+
+def q_rdfxml_parse(spark, sf_dir):
+    """S2 (rdfxml.go 4-state machine), ORACLED: a deterministic
+    RDF/XML document per documents-row (typed element name, plain +
+    datatyped literals, rdf:resource object) is parsed by the real
+    distributed expat machine; the expected triples are relationally
+    derivable from the same table."""
+    from argo_spark.extract.rdfxml import parse_rdfxml_col
+
+    d = _docs(spark, sf_dir)
+    xml = d.select(
+        F.concat(
+            F.lit(
+                '<?xml version="1.0"?>'
+                '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+                ' xmlns:s="http://schema.org/">'
+                '<s:Article rdf:about="' + DOC_BASE
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit('"><s:inLanguage>'),
+            F.col("lang"),
+            F.lit(
+                "</s:inLanguage>"
+                '<s:charCount rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">'
+            ),
+            F.col("n_chars").cast("string"),
+            F.lit('</s:charCount><s:isBasedOn rdf:resource="' + SRC_BASE),
+            F.col("source"),
+            F.lit('"/></s:Article></rdf:RDF>'),
+        ).alias("value"),
+        F.col("doc_id").cast("string").alias("key"),
+    )
+    parsed = parse_rdfxml_col(xml)
+    # lang/dt coalesced to '' so the mixed null/non-null column sorts
+    # deterministically in the driver's row-order-insensitive compare
+    return parsed.where(F.col("error").isNull()).select(
+        F.col("s_kind").cast("int").alias("s_kind"), "s_value", "p_value",
+        F.col("o_kind").cast("int").alias("o_kind"), "o_value",
+        F.coalesce("o_lang", F.lit("")).alias("o_lang"),
+        F.coalesce("o_dt", F.lit("")).alias("o_dt"),
+    )
+
+
 def q_nt_parse_roundtrip(spark, sf_dir):
     """S1, ORACLED round-trip identity: doc triples → NT lines →
     full char-level parse must reproduce the generating relation
@@ -853,6 +936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_predicate_counts": q_salted_predicate_counts,
         "sparql_select": q_sparql_select,
         "k5_squirtle_blocks": q_k5_squirtle_blocks,
+        "k4_rdfjson_lines": q_k4_rdfjson_lines,
+        "k6_dictionary_roundtrip": q_k6_dictionary_roundtrip,
+        "rdfxml_parse": q_rdfxml_parse,
         "loop_eval": q_loop_eval,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -1109,6 +1195,80 @@ def _embedding_dedup_sql() -> str:
           SELECT src AS id FROM r GROUP BY src HAVING min(dst) < src)
         SELECT vec_id, label FROM embeddings
         WHERE vec_id NOT IN (SELECT id FROM losers)
+    """
+
+
+def _k4_rdfjson_sql() -> str:
+    """Replay rdfjson_lines byte-for-byte: Spark's to_json emits
+    struct fields in declaration order with null fields omitted, so
+    the doc-triples objects are '{"type":...,"value":...}' literals;
+    object arrays sort by (type, value), predicate maps by key."""
+    return f"""
+        WITH {_DOC_TRIPLES_CTE},
+        objs AS (
+          SELECT '<' || s_value || '>' AS s_key,
+                 '<' || p_value || '>' AS p_key,
+                 CASE WHEN o_kind = 0 THEN 'uri' ELSE 'literal' END AS typ,
+                 o_value AS val
+          FROM doc_triples),
+        per_pred AS (
+          SELECT s_key, p_key,
+                 '[' || string_agg(
+                   '{{"type":"' || typ || '","value":"' || val || '"}}',
+                   ',' ORDER BY typ, val) || ']' AS arr
+          FROM objs GROUP BY s_key, p_key),
+        per_subj AS (
+          SELECT s_key,
+                 '{{' || string_agg('"' || p_key || '":' || arr,
+                                    ',' ORDER BY p_key) || '}}' AS preds
+          FROM per_pred GROUP BY s_key)
+        SELECT s_key, '{{"' || s_key || '":' || preds || '}}' AS json
+        FROM per_subj
+    """
+
+
+def _k6_dictionary_sql() -> str:
+    """Replay q_k6_dictionary_roundtrip: the decode is the identity on
+    doc_triples, and the md5-substring surrogate ids are recomputed
+    from the NT lexical forms."""
+    s_nt = "'<' || s_value || '>'"
+    p_nt = "'<' || p_value || '>'"
+    o_nt = "CASE WHEN o_kind = 0 THEN '<' || o_value || '>' ELSE '\"' || o_value || '\"' END"
+    return f"""
+        WITH {_DOC_TRIPLES_CTE}
+        SELECT s_kind::INTEGER AS s_kind, s_value, p_value,
+               o_kind::INTEGER AS o_kind, o_value,
+               o_lang::VARCHAR AS o_lang, o_dt::VARCHAR AS o_dt,
+               substr(md5({s_nt}), 1, 16) AS sid,
+               substr(md5({p_nt}), 1, 16) AS pid,
+               substr(md5({o_nt}), 1, 16) AS oid
+        FROM doc_triples
+    """
+
+
+def _rdfxml_parse_sql() -> str:
+    """Expected triples of q_rdfxml_parse's generated documents:
+    rdf:type from the element name, a plain literal, a datatyped
+    literal, and an rdf:resource IRI object per documents-row."""
+    return f"""
+        SELECT 0 AS s_kind, '{DOC_BASE}' || doc_id AS s_value,
+               '{RDF_TYPE}' AS p_value,
+               0 AS o_kind, 'http://schema.org/Article' AS o_value,
+               '' AS o_lang, '' AS o_dt
+        FROM documents
+        UNION ALL
+        SELECT 0, '{DOC_BASE}' || doc_id, 'http://schema.org/inLanguage',
+               2, lang, '', ''
+        FROM documents
+        UNION ALL
+        SELECT 0, '{DOC_BASE}' || doc_id, 'http://schema.org/charCount',
+               2, n_chars::VARCHAR, '',
+               'http://www.w3.org/2001/XMLSchema#integer'
+        FROM documents
+        UNION ALL
+        SELECT 0, '{DOC_BASE}' || doc_id, 'http://schema.org/isBasedOn',
+               0, '{SRC_BASE}' || source, '', ''
+        FROM documents
     """
 
 
@@ -1484,6 +1644,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk_fixed": _ivf_fixed_sql(),
         "clean_corpus": _clean_corpus_sql(),
         "embedding_dedup_lsh": _embedding_dedup_sql(),
+        "k4_rdfjson_lines": _k4_rdfjson_sql(),
+        "k6_dictionary_roundtrip": _k6_dictionary_sql(),
+        "rdfxml_parse": _rdfxml_parse_sql(),
         "lsh_ann_topk": _ann_lsh_sql(),
         "embedding_neardup_star": _embedding_star_sql(),
         "multimodal_features": _multimodal_sql(),

@@ -168,6 +168,29 @@ RDFXML_SCHEMA = (
 )
 
 
+def parse_rdfxml_col(
+    df: DataFrame, text_col: str = "value", key_col: str = "key"
+) -> DataFrame:
+    """Distributed RDF/XML parse over a STRING COLUMN (one document
+    per row) — the same Arrow-stage machinery as :func:`read_rdfxml`
+    without the file layer. ``key_col`` seeds skolemization and rides
+    through as ``path``; quarantine rows carry ``error``."""
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["s_kind", "s_value", "p_value", "o_kind", "o_value",
+                "o_lang", "o_dt", "path", "error"]
+        for pdf in batches:
+            rows = []
+            for text, k in zip(pdf[text_col], pdf[key_col]):
+                triples, error = parse_rdfxml(text, skolem_key=str(k))
+                for t in triples:
+                    rows.append(t + (str(k), None))
+                if error is not None:
+                    rows.append((None, None, None, None, None, None, None, str(k), error))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(text_col, key_col).mapInPandas(fn, schema=RDFXML_SCHEMA)
+
+
 def read_rdfxml(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     """Read RDF/XML files (one document per file) into
     (triples_df, errors_df). Whole-file reads; parsing is one Arrow

@@ -27,13 +27,22 @@ from argo_spark.terms import term_nt_col
 ID_COLS = ("s_id", "p_id", "o_id")
 
 
-def _term_id(kind, value, lang=None, dt=None):
-    return F.xxhash64(term_nt_col(kind, value, lang, dt))
+def _default_id_fn(nt):
+    return F.xxhash64(nt)
 
 
-def term_dictionary(triples: DataFrame) -> DataFrame:
+def _term_id(kind, value, lang=None, dt=None, id_fn=None):
+    return (id_fn or _default_id_fn)(term_nt_col(kind, value, lang, dt))
+
+
+def term_dictionary(triples: DataFrame, id_fn=None) -> DataFrame:
     """Distinct terms from all three positions:
-    (term_id, kind, value, lang, dt, nt) — the decode side."""
+    (term_id, kind, value, lang, dt, nt) — the decode side.
+
+    ``id_fn`` overrides the surrogate derivation (NT column -> id
+    column); default xxhash64-of-NT. A portable md5-based fn makes the
+    encoding DuckDB-replayable for oracle contracts — pass the SAME fn
+    to :func:`encode_triples` or decode joins will miss."""
     s = triples.select(
         F.col("s_kind").alias("kind"), F.col("s_value").alias("value"),
         F.lit(None).cast("string").alias("lang"),
@@ -51,7 +60,7 @@ def term_dictionary(triples: DataFrame) -> DataFrame:
     terms = s.unionByName(p).unionByName(o).dropDuplicates()
     nt = term_nt_col(F.col("kind"), F.col("value"), F.col("lang"), F.col("dt"))
     return terms.select(
-        F.xxhash64(nt).alias("term_id"), "kind", "value", "lang", "dt",
+        (id_fn or _default_id_fn)(nt).alias("term_id"), "kind", "value", "lang", "dt",
         nt.alias("nt"),
         # the mysqlstore predicate split, available for any IRI term
         split_prefix_base(F.col("value")).alias("prefix_base"),
@@ -59,14 +68,18 @@ def term_dictionary(triples: DataFrame) -> DataFrame:
     )
 
 
-def encode_triples(triples: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+def encode_triples(
+    triples: DataFrame, keep: tuple[str, ...] = (), id_fn=None
+) -> DataFrame:
     """(s_id, p_id, o_id, *keep) — pure projection, no join, no
-    shuffle: ids are recomputable hashes, not lookups."""
+    shuffle: ids are recomputable hashes, not lookups. ``id_fn`` must
+    match the one given to :func:`term_dictionary`."""
     return triples.select(
-        _term_id(F.col("s_kind"), F.col("s_value")).alias("s_id"),
-        _term_id(F.lit(0), F.col("p_value")).alias("p_id"),
+        _term_id(F.col("s_kind"), F.col("s_value"), id_fn=id_fn).alias("s_id"),
+        _term_id(F.lit(0), F.col("p_value"), id_fn=id_fn).alias("p_id"),
         _term_id(
-            F.col("o_kind"), F.col("o_value"), F.col("o_lang"), F.col("o_dt")
+            F.col("o_kind"), F.col("o_value"), F.col("o_lang"), F.col("o_dt"),
+            id_fn=id_fn,
         ).alias("o_id"),
         *[F.col(c) for c in keep],
     )
