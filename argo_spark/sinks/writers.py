@@ -32,6 +32,28 @@ from argo_spark.terms import (
 )
 
 
+# ceiling for the driver-side *_string serializers: a graph larger
+# than this belongs to the distributed writers (write_turtle /
+# write_rdfxml / write_squirtle / rdfjson_lines), not one driver string
+STRING_MAX_ROWS = 1_000_000
+
+
+def _collect_guarded(df: DataFrame, max_rows: Optional[int], tag: str) -> list:
+    """Driver-side collect with an explicit contract: the *_string
+    forms exist for tests and small graphs, so pulling more than
+    ``max_rows`` rows to the driver fails loudly (mirrors the loop
+    interpreter's program-size guard) instead of flooding memory."""
+    if max_rows is None:
+        return df.collect()
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{tag}: more than {max_rows} rows — use the distributed "
+            "writer for graphs this size"
+        )
+    return rows
+
+
 def _prefix_map_col(prefixes: dict[str, str]) -> Column:
     """base_uri -> prefix literal map column (broadcast-sized, ~40
     entries — the static table replacing prefix.cc lookups)."""
@@ -117,10 +139,14 @@ def turtle_header(prefixes: Optional[dict[str, str]] = None) -> str:
     )
 
 
-def turtle_string(df: DataFrame, prefixes: Optional[dict[str, str]] = None) -> str:
-    """Whole document as one string (tests / small graphs)."""
-    blocks = [r.block for r in turtle_blocks(df, prefixes).collect()]
-    return turtle_header(prefixes) + "\n".join(sorted(blocks))
+def turtle_string(
+    df: DataFrame, prefixes: Optional[dict[str, str]] = None,
+    max_rows: Optional[int] = STRING_MAX_ROWS,
+) -> str:
+    """Whole document as ONE DRIVER-SIDE string (tests / small graphs;
+    size-guarded — write_turtle is the distributed form)."""
+    rows = _collect_guarded(turtle_blocks(df, prefixes), max_rows, "turtle_string")
+    return turtle_header(prefixes) + "\n".join(sorted(r.block for r in rows))
 
 
 def write_turtle(
@@ -196,9 +222,12 @@ def rdfjson_lines(df: DataFrame) -> DataFrame:
     )
 
 
-def rdfjson_string(df: DataFrame) -> str:
-    """Whole graph as one valid-JSON document (tests / small graphs)."""
-    lines = sorted(r.json for r in rdfjson_lines(df).collect())
+def rdfjson_string(df: DataFrame, max_rows: Optional[int] = STRING_MAX_ROWS) -> str:
+    """Whole graph as one valid-JSON DRIVER-SIDE document (tests /
+    small graphs; size-guarded — rdfjson_lines is the distributed
+    form)."""
+    rows = _collect_guarded(rdfjson_lines(df), max_rows, "rdfjson_string")
+    lines = sorted(r.json for r in rows)
     inner = ",".join(ln[1:-1] for ln in lines)
     return "{" + inner + "}"
 
@@ -294,9 +323,14 @@ def rdfxml_header(prefixes: Optional[dict[str, str]] = None) -> str:
     return "".join(lines)
 
 
-def rdfxml_string(df: DataFrame, prefixes: Optional[dict[str, str]] = None) -> str:
-    blocks = sorted(r.block for r in rdfxml_blocks(df, prefixes).collect())
-    return rdfxml_header(prefixes) + "".join(blocks) + "</rdf:RDF>\n"
+def rdfxml_string(
+    df: DataFrame, prefixes: Optional[dict[str, str]] = None,
+    max_rows: Optional[int] = STRING_MAX_ROWS,
+) -> str:
+    """DRIVER-SIDE string form (size-guarded; write_rdfxml is the
+    distributed form)."""
+    rows = _collect_guarded(rdfxml_blocks(df, prefixes), max_rows, "rdfxml_string")
+    return rdfxml_header(prefixes) + "".join(sorted(r.block for r in rows)) + "</rdf:RDF>\n"
 
 
 def write_rdfxml(
@@ -362,19 +396,23 @@ def _squirtle_term(t_kind: int, value: str, lang, dt, pmap: dict) -> str:
 
 
 def squirtle_string(
-    df: DataFrame, prefixes: Optional[dict[str, str]] = None
+    df: DataFrame, prefixes: Optional[dict[str, str]] = None,
+    max_rows: Optional[int] = STRING_MAX_ROWS,
 ) -> str:
-    """Whole document, recursive-inlining layout
+    """Whole DRIVER-SIDE document, recursive-inlining layout
     (squirtleserializer.go:36-78): an object that has its own subject
     block is inlined as a nested description and removed from the
     top level. Go map iteration is random; ours sorts names and
-    subjects (the repo-wide determinism divergence)."""
+    subjects (the repo-wide determinism divergence). Size-guarded —
+    inlining needs the whole graph on one node, so graphs beyond
+    ``max_rows`` must use the distributed flat-block writer
+    (write_squirtle / squirtle_blocks)."""
     p = prefixes if prefixes is not None else NAMESPACES
     pmap = {base: prefix for prefix, base in p.items()}
 
     by_subject: dict[str, list] = {}
     order: list[str] = []
-    for r in df.collect():
+    for r in _collect_guarded(df, max_rows, "squirtle_string"):
         s_enc = _squirtle_term(r.s_kind, r.s_value, None, None, pmap)
         if s_enc not in by_subject:
             by_subject[s_enc] = []

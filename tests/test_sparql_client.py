@@ -1,0 +1,269 @@
+"""SPARQL protocol client + result-XML parser (ops/sparql_client.py)
+vs /root/reference/sparql/{result,sparqlservice,graphstoreservice}.go
+and fuseki/ — all offline via an injectable transport and canned
+Fuseki-style fixtures."""
+
+from __future__ import annotations
+
+import urllib.parse
+
+import pytest
+
+from argo_spark.ops.sparql_client import (
+    FusekiService,
+    GraphStoreService,
+    SparqlHttpError,
+    SparqlResultParser,
+    SparqlResultXmlError,
+    SparqlService,
+    StructuredResultParser,
+    iter_results,
+)
+from argo_spark.terms import KIND_BLANK, KIND_IRI, KIND_LITERAL, Term, format_term
+
+SELECT_XML = """<?xml version="1.0"?>
+<sparql xmlns="http://www.w3.org/2005/sparql-results#">
+  <head>
+    <variable name="d"/>
+    <variable name="src"/>
+    <link href="http://example.org/meta"/>
+  </head>
+  <results>
+    <result>
+      <binding name="d"><uri>http://corpus.example/doc/1</uri></binding>
+      <binding name="src"><uri>http://corpus.example/source/web</uri></binding>
+    </result>
+    <result>
+      <binding name="d"><bnode>b0</bnode></binding>
+      <binding name="src"><literal xml:lang="en">hello</literal></binding>
+    </result>
+    <result>
+      <binding name="d"><literal datatype="http://www.w3.org/2001/XMLSchema#integer">42</literal></binding>
+    </result>
+  </results>
+</sparql>
+"""
+
+ASK_TRUE = """<?xml version="1.0"?>
+<sparql xmlns="http://www.w3.org/2005/sparql-results#">
+  <head/>
+  <boolean>true</boolean>
+</sparql>
+"""
+
+
+def _fake_transport(log, status=200, body=b"", reason="OK"):
+    def transport(method, url, data, headers):
+        log.append((method, url, data, dict(headers)))
+        b = body(method, url, data) if callable(body) else body
+        return status, reason, {}, b
+
+    return transport
+
+
+def test_result_parser_header_rows_and_terms():
+    p = SparqlResultParser().parse(SELECT_XML)
+    assert p.vars == ["d", "src"]
+    assert p.link_uris == ["http://example.org/meta"]
+    assert p.header_done and p.done and p.bool_result is None
+    assert p.results == [
+        {"d": Term(KIND_IRI, "http://corpus.example/doc/1"),
+         "src": Term(KIND_IRI, "http://corpus.example/source/web")},
+        {"d": Term(KIND_BLANK, "b0"),
+         "src": Term(KIND_LITERAL, "hello", "en", None)},
+        {"d": Term(KIND_LITERAL, "42", None,
+                   "http://www.w3.org/2001/XMLSchema#integer")},
+    ]
+
+
+def test_result_parser_streams_incrementally():
+    """Rows must surface as their </result> closes, not at EOF —
+    the Go ResultChan contract (result.go:186-202)."""
+    # cut the fixture into tiny chunks; ensure rows appear before the
+    # document is complete
+    chunks = [SELECT_XML[i:i + 40] for i in range(0, len(SELECT_XML), 40)]
+    seen_before_eof = []
+    gen = iter_results(chunks)
+    first = next(gen)
+    seen_before_eof.append(first)
+    rest = list(gen)
+    assert [first] + rest == SparqlResultParser().parse(SELECT_XML).results
+
+
+def test_ask_parse_and_invalid_boolean():
+    p = SparqlResultParser().parse(ASK_TRUE)
+    assert p.bool_result is True and p.results == []
+    bad = ASK_TRUE.replace("true", "maybe")
+    with pytest.raises(SparqlResultXmlError, match="Invalid value for <boolean>"):
+        SparqlResultParser().parse(bad)
+
+
+def test_result_parser_rejects_wrong_structure():
+    with pytest.raises(SparqlResultXmlError, match="Expected <sparql>"):
+        SparqlResultParser().parse("<notsparql/>")
+    with pytest.raises(SparqlResultXmlError, match="Expected <head>"):
+        SparqlResultParser().parse(
+            '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+            "<results/></sparql>"
+        )
+
+
+def test_structured_result_parser_binds_attributes():
+    class Row:
+        doc = None
+        src = None
+
+    rows = SparqlResultParser().parse(SELECT_XML).results[:1]
+    target = Row()
+    srp = StructuredResultParser(rows, target, rename={"d": "doc"})
+    assert srp.read() is True
+    assert target.doc == Term(KIND_IRI, "http://corpus.example/doc/1")
+    assert target.src == Term(KIND_IRI, "http://corpus.example/source/web")
+    assert srp.read() is False  # EOF
+    with pytest.raises(SparqlResultXmlError, match="destination field"):
+        StructuredResultParser(rows, object()).read()
+
+
+def test_select_request_construction_and_parity_with_native(spark):
+    """sparqlservice.go:43-55 — form-encoded POST, Accept header; the
+    canned endpoint response round-trips into exactly the binding rows
+    the native text front-end produces for the same data."""
+    from argo_spark.ops.sparql import sparql_select
+
+    triples = spark.createDataFrame(
+        [
+            (0, "http://e/d1", "http://schema.org/inLanguage", 2, "en", None, None),
+            (0, "http://e/s1", "http://corpus.example/vocab#hasDoc", 0, "http://e/d1", None, None),
+        ],
+        "s_kind tinyint, s_value string, p_value string, "
+        "o_kind tinyint, o_value string, o_lang string, o_dt string",
+    )
+    query = (
+        "SELECT ?d ?src WHERE { "
+        '?d <http://schema.org/inLanguage> "en" . '
+        "?src <http://corpus.example/vocab#hasDoc> ?d . }"
+    )
+    native = {tuple(r) for r in sparql_select(triples, query).collect()}
+
+    canned = """<?xml version="1.0"?>
+<sparql xmlns="http://www.w3.org/2005/sparql-results#">
+  <head><variable name="d"/><variable name="src"/></head>
+  <results>
+    <result>
+      <binding name="d"><uri>http://e/d1</uri></binding>
+      <binding name="src"><uri>http://e/s1</uri></binding>
+    </result>
+  </results>
+</sparql>
+"""
+    log = []
+    svc = SparqlService(
+        "http://fuseki.local/ds/query",
+        transport=_fake_transport(log, body=canned.encode()),
+    )
+    parser = svc.select(query)
+
+    method, url, data, headers = log[0]
+    assert method == "POST" and url == "http://fuseki.local/ds/query"
+    assert urllib.parse.parse_qs(data.decode()) == {"query": [query]}
+    assert headers["Accept"] == "application/sparql-results+xml"
+    assert headers["Content-Type"] == "application/x-www-form-urlencoded"
+
+    got = {
+        (format_term(r["d"]), format_term(r["src"])) for r in parser.results
+    }
+    assert got == native == {("<http://e/d1>", "<http://e/s1>")}
+    assert parser.vars == ["d", "src"]
+
+
+def test_ask_update_and_http_errors():
+    log = []
+    svc = SparqlService("http://f/q", transport=_fake_transport(log, body=ASK_TRUE.encode()))
+    assert svc.ask("ASK { ?s ?p ?o }") is True
+
+    log2 = []
+    svc2 = SparqlService("http://f/u", transport=_fake_transport(log2, body=b""))
+    svc2.update("INSERT DATA { <a> <b> <c> }")
+    method, url, data, headers = log2[0]
+    assert urllib.parse.parse_qs(data.decode()) == {
+        "update": ["INSERT DATA { <a> <b> <c> }"]
+    }
+    assert "Accept" not in headers  # Update sends no Accept (sparqlservice.go:88)
+
+    svc3 = SparqlService(
+        "http://f/q",
+        transport=_fake_transport([], status=500, reason="Server Error"),
+    )
+    with pytest.raises(SparqlHttpError, match="500"):
+        svc3.select("SELECT * WHERE { ?s ?p ?o }")
+    # 3xx is also an error in EnsureOK? No: [200,400) is OK; 404 errors
+    svc4 = SparqlService(
+        "http://f/q",
+        transport=_fake_transport([], status=404, reason="Not Found",
+                                  body=ASK_TRUE.encode()),
+    )
+    with pytest.raises(SparqlHttpError, match="404"):
+        svc4.ask("ASK {}")
+
+
+def test_graphstore_roundtrip_and_action_uris(spark):
+    """graphstoreservice.go — action URI encoding, PUT serializes
+    RDF/XML the GET side parses back to the same triples."""
+    gss = GraphStoreService("http://f/ds/data")
+    assert gss.action_uri("") == "http://f/ds/data?default="
+    assert (
+        gss.action_uri("http://g/1")
+        == "http://f/ds/data?graph=" + urllib.parse.quote("http://g/1", safe="")
+    )
+
+    triples = spark.createDataFrame(
+        [
+            (0, "http://e/s", "http://schema.org/name", 2, "Ada", None, None),
+            (0, "http://e/s", "http://schema.org/knows", 0, "http://e/o", None, None),
+        ],
+        "s_kind tinyint, s_value string, p_value string, "
+        "o_kind tinyint, o_value string, o_lang string, o_dt string",
+    )
+    store = {}
+    log = []
+
+    def body(method, url, data):
+        if method in ("PUT", "POST"):
+            store[url] = data
+            return b""
+        return store.get(url, b"")
+
+    t = _fake_transport(log, body=body)
+    gss = GraphStoreService("http://f/ds/data", transport=t)
+    gss.put("http://g/1", triples)
+    put_method, put_url, put_data, put_headers = log[0]
+    assert put_method == "PUT"
+    assert put_headers["Content-Type"] == "application/rdf+xml"
+    assert b"<rdf:RDF" in put_data
+
+    back = gss.get("http://g/1")
+    got = {(t_[0], t_[1], t_[2], t_[3], t_[4], t_[5], t_[6]) for t_ in back}
+    want = {
+        (0, "http://e/s", "http://schema.org/name", 2, "Ada", None, None),
+        (0, "http://e/s", "http://schema.org/knows", 0, "http://e/o", None, None),
+    }
+    assert got == want
+
+    gss.delete("http://g/1")
+    gss.head("")
+    gss.patch("http://g/1", "DELETE WHERE { ?s ?p ?o }")
+    methods = [e[0] for e in log]
+    assert methods == ["PUT", "GET", "DELETE", "HEAD", "PATCH"]
+    patch_headers = log[-1][3]
+    assert patch_headers["Content-Type"] == "application/sparql-update"
+
+
+def test_fuseki_endpoint_helpers():
+    svc = FusekiService("http://host:3030/")
+    ds = svc.dataset("corpus")
+    assert ds.query_endpoint() == "http://host:3030/corpus/query"
+    assert ds.update_endpoint() == "http://host:3030/corpus/update"
+    assert ds.graph_store_endpoint() == "http://host:3030/corpus/data"
+    assert ds.upload_endpoint() == "http://host:3030/corpus/upload"
+    assert ds.query_service().endpoint_uri.endswith("/corpus/query")
+    assert ds.graph_store_service().endpoint_uri.endswith("/corpus/data")

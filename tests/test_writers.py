@@ -130,3 +130,32 @@ def test_format_registry():
     assert format_from_mime("text/turtle").id == "turtle"
     assert format_from_mime("application/rdf+xml; charset=utf-8").id == "rdfxml"
     assert FORMATS["ntriples"].reader is not None
+
+
+def test_string_serializers_size_guarded(spark):
+    """Round-3 contract (VERDICT #8): the driver-side *_string forms
+    refuse graphs beyond max_rows instead of collecting them."""
+    import pytest
+
+    from argo_spark.sinks.writers import (
+        rdfjson_string,
+        rdfxml_string,
+        squirtle_string,
+        turtle_string,
+    )
+
+    tr = spark.range(10).selectExpr(
+        "cast(0 as tinyint) s_kind",
+        "concat('http://e/s', id) s_value",
+        "'http://e/p' p_value",
+        "cast(2 as tinyint) o_kind",
+        "cast(id as string) o_value",
+        "cast(null as string) o_lang",
+        "cast(null as string) o_dt",
+    )
+    for fn in (turtle_string, rdfjson_string, rdfxml_string, squirtle_string):
+        with pytest.raises(ValueError, match="distributed"):
+            fn(tr, max_rows=5)
+    # under the cap everything still serializes
+    assert "http://e/s1" in turtle_string(tr, max_rows=100)
+    assert squirtle_string(tr, max_rows=100).count("{") >= 10
