@@ -883,6 +883,80 @@ def q_rdfxml_parse(spark, sf_dir):
     )
 
 
+def q_k3_rdfxml_blocks(spark, sf_dir):
+    """K3 (rdfxml.go:181-333 serializer), ORACLED: per-subject
+    ``<rdf:Description rdf:about=...>`` blocks with sorted property
+    lines — DuckDB string-constructs the exact layout (qname for the
+    bound schema.org prefix, xmlns fallback for the unbound corpus
+    vocab, rdf:resource for IRI objects)."""
+    from argo_spark.sinks.writers import rdfxml_blocks
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return rdfxml_blocks(tr)
+
+
+def q_g12_list_walk(spark, sf_dir):
+    """G12 (graph.go:255-271 list walk, distributed inverse): build an
+    rdf:first/rdf:rest cons list per source (first 8 docs in doc_id
+    order, cells skolemized from (source, position)) and walk ALL
+    lists at once with iter_lists_distributed — one join per list
+    POSITION, not per list. The oracle replays membership as a
+    row_number projection."""
+    from pyspark.sql.window import Window
+
+    from argo_spark.ops.traversal import iter_lists_distributed
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = (
+        d.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 8)
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("source")))
+    )
+    head_v = F.concat(F.lit(SRC_BASE), F.col("source"), F.lit("/list"))
+    cell_v = F.when(F.col("rn") == 1, head_v).otherwise(
+        F.concat(F.col("source"), F.lit("-"), F.col("rn"))
+    )
+    cell_k = F.when(F.col("rn") == 1, F.lit(0)).otherwise(F.lit(1)).cast("tinyint")
+    nxt_is_nil = F.col("rn") == F.col("n")
+    firsts = ranked.select(
+        cell_k.alias("s_kind"), cell_v.alias("s_value"),
+        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#first").alias("p_value"),
+        F.lit(0).cast("tinyint").alias("o_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+    )
+    rests = ranked.select(
+        cell_k.alias("s_kind"), cell_v.alias("s_value"),
+        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#rest").alias("p_value"),
+        F.when(nxt_is_nil, F.lit(0)).otherwise(F.lit(1)).cast("tinyint").alias("o_kind"),
+        F.when(
+            nxt_is_nil,
+            F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"),
+        ).otherwise(
+            F.concat(F.col("source"), F.lit("-"), F.col("rn") + 1)
+        ).alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+    )
+    triples = firsts.unionByName(rests)
+    heads = (
+        d.select("source").distinct()
+        .select(
+            F.lit(0).cast("tinyint").alias("kind"),
+            F.concat(F.lit(SRC_BASE), F.col("source"), F.lit("/list")).alias("value"),
+        )
+    )
+    out = iter_lists_distributed(triples, heads, max_len=8)
+    return out.select(
+        F.col("head_value").alias("head"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("o_value").alias("member"),
+    )
+
+
 def q_nt_parse_roundtrip(spark, sf_dir):
     """S1, ORACLED round-trip identity: doc triples → NT lines →
     full char-level parse must reproduce the generating relation
@@ -939,6 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k4_rdfjson_lines": q_k4_rdfjson_lines,
         "k6_dictionary_roundtrip": q_k6_dictionary_roundtrip,
         "rdfxml_parse": q_rdfxml_parse,
+        "k3_rdfxml_blocks": q_k3_rdfxml_blocks,
+        "g12_list_walk": q_g12_list_walk,
         "loop_eval": q_loop_eval,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -1269,6 +1345,47 @@ def _rdfxml_parse_sql() -> str:
         SELECT 0, '{DOC_BASE}' || doc_id, 'http://schema.org/isBasedOn',
                0, '{SRC_BASE}' || source, '', ''
         FROM documents
+    """
+
+
+def _k3_rdfxml_sql() -> str:
+    """Replay rdfxml_blocks on the doc triples: every subject is an
+    untyped rdf:Description; the bound schema.org base becomes a
+    schema: qname, the unbound corpus vocab falls back to an xmlns
+    attribute; property lines sort by (p_value, o_kind, o_value)."""
+    nl = "chr(10)"
+    return f"""
+        WITH {_DOC_TRIPLES_CTE},
+        lines AS (
+          SELECT s_value,
+                 p_value, o_kind, o_value,
+                 CASE WHEN o_kind = 0 THEN
+                   '    <hasDoc xmlns="http://corpus.example/vocab#" rdf:resource="'
+                   || o_value || '" />' || {nl}
+                 ELSE
+                   '    <schema:inLanguage>' || o_value || '</schema:inLanguage>' || {nl}
+                 END AS line
+          FROM doc_triples),
+        blocks AS (
+          SELECT s_value,
+                 '  <rdf:Description rdf:about="' || s_value || '">' || {nl}
+                 || string_agg(line, '' ORDER BY p_value, o_kind, o_value)
+                 || '  </rdf:Description>' || {nl} AS block
+          FROM lines GROUP BY s_value)
+        SELECT block FROM blocks
+    """
+
+
+def _g12_list_sql() -> str:
+    return f"""
+        WITH ranked AS (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents)
+        SELECT '{SRC_BASE}' || source || '/list' AS head,
+               (rn - 1)::BIGINT AS pos,
+               '{DOC_BASE}' || doc_id AS member
+        FROM ranked WHERE rn <= 8
     """
 
 
@@ -1647,6 +1764,8 @@ def oracle_sql() -> dict[str, str]:
         "k4_rdfjson_lines": _k4_rdfjson_sql(),
         "k6_dictionary_roundtrip": _k6_dictionary_sql(),
         "rdfxml_parse": _rdfxml_parse_sql(),
+        "k3_rdfxml_blocks": _k3_rdfxml_sql(),
+        "g12_list_walk": _g12_list_sql(),
         "lsh_ann_topk": _ann_lsh_sql(),
         "embedding_neardup_star": _embedding_star_sql(),
         "multimodal_features": _multimodal_sql(),

@@ -183,3 +183,19 @@ def test_scrub_pii_never_crosses_newlines(spark):
     out = df.select(scrub_pii(F.col("text")).alias("t")).first().t
     assert "12\n345\n678" in out       # untouched across lines
     assert "<PHONE>" in out and "555" not in out
+
+
+def test_multimodal_real_decode_seam_raises(spark):
+    """VERDICT #9 contract: the one declared stub in the repo.
+    decode_stub=False must fail with NotImplementedError exactly at
+    the decode seam (PIL/ffmpeg absent in this container) — the
+    Spark-side plumbing up to that point is real."""
+    import pytest
+    from pyspark.errors import PythonException
+
+    from argo_spark.ops.multimodal import extract_media_features, synthesize_media
+
+    media = synthesize_media(spark, 4)
+    df = extract_media_features(media, decode_stub=False)
+    with pytest.raises(PythonException, match="real decode requires PIL/ffmpeg"):
+        df.collect()
