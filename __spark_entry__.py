@@ -957,6 +957,29 @@ def q_g12_list_walk(spark, sf_dir):
     )
 
 
+def q_squirtle_parse_roundtrip(spark, sf_dir):
+    """S4 PARSE side, ORACLED round-trip identity: doc triples →
+    distributed squirtle_blocks → distributed parse_squirtle_col must
+    reproduce the generating relation exactly (the oracle is the
+    doc_triples CTE itself) — the same identity contract as
+    nt_parse_roundtrip, exercising the full lexer/parser instead of
+    the NT grammar."""
+    from argo_spark.extract.squirtle import parse_squirtle_col
+    from argo_spark.sinks.writers import squirtle_blocks
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    blocks = squirtle_blocks(tr).select(
+        F.col("block").alias("value"),
+        F.monotonically_increasing_id().cast("string").alias("key"),
+    )
+    parsed = parse_squirtle_col(blocks)
+    return parsed.where(F.col("error").isNull()).select(
+        F.col("s_kind").cast("int").alias("s_kind"), "s_value", "p_value",
+        F.col("o_kind").cast("int").alias("o_kind"), "o_value",
+        "o_lang", "o_dt",
+    )
+
+
 def q_nt_parse_roundtrip(spark, sf_dir):
     """S1, ORACLED round-trip identity: doc triples → NT lines →
     full char-level parse must reproduce the generating relation
@@ -1015,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfxml_parse": q_rdfxml_parse,
         "k3_rdfxml_blocks": q_k3_rdfxml_blocks,
         "g12_list_walk": q_g12_list_walk,
+        "squirtle_parse_roundtrip": q_squirtle_parse_roundtrip,
         "loop_eval": q_loop_eval,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -1766,6 +1790,13 @@ def oracle_sql() -> dict[str, str]:
         "rdfxml_parse": _rdfxml_parse_sql(),
         "k3_rdfxml_blocks": _k3_rdfxml_sql(),
         "g12_list_walk": _g12_list_sql(),
+        "squirtle_parse_roundtrip": f"""
+            WITH {_DOC_TRIPLES_CTE}
+            SELECT s_kind::INTEGER AS s_kind, s_value, p_value,
+                   o_kind::INTEGER AS o_kind, o_value,
+                   o_lang::VARCHAR AS o_lang, o_dt::VARCHAR AS o_dt
+            FROM doc_triples
+        """,
         "lsh_ann_topk": _ann_lsh_sql(),
         "embedding_neardup_star": _embedding_star_sql(),
         "multimodal_features": _multimodal_sql(),

@@ -629,6 +629,37 @@ SQUIRTLE_SCHEMA = (
 )
 
 
+def parse_squirtle_col(
+    df: DataFrame, text_col: str = "value", key_col: str = "key"
+) -> DataFrame:
+    """Distributed Squirtle parse over a STRING COLUMN (one document
+    per row) — the same Arrow-stage shape as :func:`read_squirtle`
+    without the file layer. ``key_col`` seeds skolemization and rides
+    through as ``path``; quarantine rows carry ``error``. Includes are
+    refused (no file/url context for an in-memory document)."""
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["s_kind", "s_value", "p_value", "o_kind", "o_value",
+                "o_lang", "o_dt", "path", "error"]
+        for pdf in batches:
+            rows = []
+            for text, k in zip(pdf[text_col], pdf[key_col]):
+                triples, error = parse_squirtle(
+                    text, skolem_key=str(k),
+                    file_opener=_no_include_opener,
+                )
+                for t in triples:
+                    rows.append(t + (str(k), None))
+                if error is not None:
+                    rows.append((None, None, None, None, None, None, None, str(k), error))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(text_col, key_col).mapInPandas(fn, schema=SQUIRTLE_SCHEMA)
+
+
+def _no_include_opener(path, *a, **kw):
+    raise OSError(f"include refused for in-memory document: {path}")
+
+
 def read_squirtle(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     """Read .squirtle files (one document per file) into
     (triples_df, errors_df) — the same wholetext + Arrow-stage shape

@@ -518,3 +518,30 @@ def compile_loop_nt(src: str) -> str:
         for t in compile_loop(src)
     ]
     return "".join(lines)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    """loopc CLI (main.go:10-26): compile a .loop file, print
+    N-Triples on stdout; usage errors / unreadable files exit 1."""
+    import sys
+
+    args = sys.argv[1:] if argv is None else argv
+    if len(args) != 1:
+        print("usage: python -m argo_spark.ops.loopc <file.loop>", file=sys.stderr)
+        return 1
+    try:
+        with open(args[0]) as f:
+            src = f.read()
+    except OSError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    try:
+        sys.stdout.write(compile_loop_nt(src))
+    except LoopcSyntaxError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
