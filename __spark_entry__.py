@@ -702,11 +702,13 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
-def _ivf_centroids() -> list[list[float]]:
-    """Fixed md5-derived IVF quantizer (8 lists × 64 dims), shared by
-    the Spark query and its DuckDB oracle — same derivation as
-    argo_spark.ops.similarity.md5_centroids(8, 64, seed=7), inlined
-    here so oracle_sql() stays dependency-free."""
+def _ivf_oracle_centroids() -> list[list[float]]:
+    """ORACLE-side replica of the fixed md5-derived IVF quantizer
+    (8 lists × 64 dims). The Spark query calls the library's
+    md5_centroids(8, 64, seed=7); this independent derivation feeds
+    only the SQL text, so oracle_sql() stays dependency-free and the
+    two sides stay genuinely independent (test_entry_parity pins
+    their equality by value-hash)."""
     import hashlib
 
     return [
@@ -728,7 +730,7 @@ def q_ivf_ann_topk_fixed(spark, sf_dir):
     assignment bit-exactly — the oracled contract for the IVF scale
     path. The trained-quantizer variant stays rows-only
     (q_ivf_ann_topk: iterative k-means is not SQL-expressible)."""
-    from argo_spark.ops.similarity import ivf_topk
+    from argo_spark.ops.similarity import ivf_topk, md5_centroids
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -738,7 +740,8 @@ def q_ivf_ann_topk_fixed(spark, sf_dir):
     )
     return ivf_topk(
         emb, q, k=5, n_clusters=8, nprobe=2, dim=64,
-        centroids=_ivf_centroids(), exclude_self=True, assign="expr",
+        centroids=md5_centroids(8, 64, seed=7), exclude_self=True,
+        assign="expr",
     ).select(
         "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
     )
@@ -1162,7 +1165,7 @@ def _ivf_fixed_sql() -> str:
     as a left-associated term chain (identical IEEE operation order to
     the Spark expression quantizer), argmin/top-nprobe via row_number
     with centroid-index tie-break, then the standard cosine top-k."""
-    cents = _ivf_centroids()
+    cents = _ivf_oracle_centroids()
     branches = []
     for ci, c in enumerate(cents):
         terms = " + ".join(

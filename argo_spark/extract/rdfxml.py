@@ -181,6 +181,10 @@ def parse_rdfxml_col(
         for pdf in batches:
             rows = []
             for text, k in zip(pdf[text_col], pdf[key_col]):
+                if text is None:
+                    rows.append((None, None, None, None, None, None, None,
+                                 str(k), "null document"))
+                    continue
                 triples, error = parse_rdfxml(text, skolem_key=str(k))
                 for t in triples:
                     rows.append(t + (str(k), None))

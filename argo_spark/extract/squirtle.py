@@ -643,6 +643,10 @@ def parse_squirtle_col(
         for pdf in batches:
             rows = []
             for text, k in zip(pdf[text_col], pdf[key_col]):
+                if text is None:
+                    rows.append((None, None, None, None, None, None, None,
+                                 str(k), "null document"))
+                    continue
                 triples, error = parse_squirtle(
                     text, skolem_key=str(k),
                     file_opener=_no_include_opener,

@@ -35,17 +35,18 @@ from pyspark.sql import functions as F
 log = logging.getLogger("argo_spark.dedup")
 
 
-def _warn_uncapped_pairs(tag: str) -> None:
+def _warn_uncapped_pairs(tag: str, remedy: str = "set max_bucket or use star-edge mode") -> None:
     """All-pairs bucket enumeration with no ``max_bucket`` is C(k,2)
     in the largest bucket — at web scale one boilerplate cluster makes
     it quadratic. The scale-safe defaults are star edges (CC-shaped
     consumers) or a finite ``max_bucket``; calling pairs-mode uncapped
-    is allowed for small/verified inputs but is never silent."""
+    is allowed for small/verified inputs but is never silent. The
+    ``remedy`` must name options the CALLING signature actually has."""
     import warnings
 
     msg = (
-        f"{tag}: all-pairs mode without max_bucket is quadratic in the "
-        "largest bucket — set max_bucket or use star-edge mode at scale"
+        f"{tag}: all-pairs mode without a bucket cap is quadratic in "
+        f"the largest bucket — {remedy} at scale"
     )
     warnings.warn(msg, RuntimeWarning, stacklevel=3)
     log.warning(msg)

@@ -50,12 +50,17 @@ integer — ast.go:299 formats ``%d`` with a float64 operand, emitting
 ``_:loopcN`` labels, the repo-wide skolem divergence; (5) the
 reference's own loop/test.loop uses POSITIONAL call arguments, which
 its own grammar rejects (namedexprlist requires name-expression
-pairs) — this compiler rejects it identically.
+pairs) — this compiler rejects it identically; (6) malformed
+base64Binary/hexBinary/boolean constants and unconvertible numbers
+raise LoopcSyntaxError — the reference prints a warning to stderr and
+leaves the yacc $$ slot holding a stale value (parser.y atomic_expr
+error arms), or panics in strconv for numbers its lexer accepted.
 """
 
 from __future__ import annotations
 
 import base64 as _base64
+import binascii as _binascii
 import re
 from typing import List, NamedTuple, Optional, Tuple
 
@@ -253,12 +258,6 @@ class _Compiler:
 
     # -- reference resolution (parser.y name rules) -----------------------
 
-    def _is_resource_start(self) -> bool:
-        t = self.peek()
-        if t.kind in ("URIREF", "IDENT"):
-            return True
-        return False
-
     def _resource_after_ident(self, ident: str) -> Optional[str]:
         """qname / slashed_reference continuation; None = bare IDENT."""
         t = self.peek()
@@ -438,16 +437,33 @@ class _Compiler:
         self.expect("PUNCT", ")")
         return call
 
+    def _number_term(self, t: Tok) -> Term:
+        """NUMBER token -> constant literal. The lexer is permissive
+        like the reference's (hex digits after '.', lone signs); every
+        conversion failure becomes a positioned LoopcSyntaxError here
+        instead of the reference's strconv panic (parser.y yyLex)."""
+        text = t.text
+        body = text.lstrip("+-")
+        is_hex = body[:2].lower().startswith("0x")
+        try:
+            if not is_hex and ("." in text or "e" in text.lower()):
+                # FloatConstant.ToRDF: %f formatting (6 decimals)
+                return Term(KIND_LITERAL, "%f" % float(text), None, XSD + "double")
+            # divergence (3): the reference's %d-of-float64 bug is
+            # fixed; hex accepted (the reference lexer accepts it and
+            # its parser then panics in ParseInt base 10)
+            value = int(body, 16) if is_hex else int(text, 10)
+            if text.startswith("-"):
+                value = -abs(value)
+            return Term(KIND_LITERAL, str(value), None, XSD + "integer")
+        except ValueError:
+            raise LoopcSyntaxError(f"[line {t.line}] Bad number syntax: {text!r}")
+
     def expr(self) -> Term:
         t = self.peek()
         if t.kind == "NUMBER":
             self.next()
-            if "." in t.text or "e" in t.text or "E" in t.text:
-                # FloatConstant.ToRDF: %f formatting (6 decimals)
-                return Term(KIND_LITERAL, "%f" % float(t.text),
-                            None, XSD + "double")
-            # divergence (3): the reference's %d-of-float64 bug is fixed
-            return Term(KIND_LITERAL, str(int(t.text, 0)), None, XSD + "integer")
+            return self._number_term(t)
         if t.kind == "KEYWORD" and t.text in ("TRUE", "FALSE"):
             self.next()
             return Term(KIND_LITERAL, t.text.lower(), None, XSD + "boolean")
@@ -484,11 +500,21 @@ class _Compiler:
                 return Term(KIND_LITERAL, "false", None, XSD + "boolean")
             raise LoopcSyntaxError(f"Invalid value for boolean constant: {value}")
         if dt == XSD + "base64Binary":
-            data = _base64.standard_b64decode(value)
+            try:
+                # validate=True: Go's StdEncoding errors on any
+                # non-alphabet byte; Python's default silently drops
+                data = _base64.b64decode(value, validate=True)
+            except (ValueError, _binascii.Error) as e:
+                raise LoopcSyntaxError(
+                    f"Invalid value for base64 constant: {value} ({e})")
             return Term(KIND_LITERAL, _base64.standard_b64encode(data).decode(),
                         None, XSD + "base64Binary")
         if dt == XSD + "hexBinary":
-            data = bytes.fromhex(value)
+            try:
+                data = bytes.fromhex(value)
+            except ValueError as e:
+                raise LoopcSyntaxError(
+                    f"Invalid value for hex constant: {value} ({e})")
             return Term(KIND_LITERAL, _base64.standard_b64encode(data).decode(),
                         None, XSD + "base64Binary")
         if dt in _FLOAT_DTS:

@@ -184,7 +184,10 @@ def embedding_neardup_pairs(
         else:
             from argo_spark.ops.dedup import _warn_uncapped_pairs
 
-            _warn_uncapped_pairs("embedding_neardup_pairs")
+            _warn_uncapped_pairs(
+                "embedding_neardup_pairs",
+                remedy="use pair_mode='star' or raise n_planes to bound buckets",
+            )
             tabs = tabs.persist()
             l, r = tabs.alias("l"), tabs.alias("r")
             cand = (

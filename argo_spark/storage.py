@@ -121,12 +121,19 @@ def _managed_location(spark: SparkSession, table: str) -> Optional[str]:
         loc = None
     if loc is None and wh:
         parts = table.lower().split(".")
+        if len(parts) == 3 and parts[0] == "spark_catalog":
+            parts = parts[1:]
         if len(parts) == 1:
-            loc = f"{wh.rstrip('/')}/{parts[0]}"
-        elif len(parts) == 2 and parts[0] not in ("default", "spark_catalog"):
-            loc = f"{wh.rstrip('/')}/{parts[0]}.db/{parts[1]}"
+            # bare name: resolves in the CURRENT database, not default
+            db, tbl = spark.catalog.currentDatabase().lower(), parts[0]
+        elif len(parts) == 2:
+            db, tbl = parts
         else:
-            loc = f"{wh.rstrip('/')}/{parts[-1]}"
+            return None  # unknown name form: refuse to delete anything
+        if db == "default":
+            loc = f"{wh.rstrip('/')}/{tbl}"
+        else:
+            loc = f"{wh.rstrip('/')}/{db}.db/{tbl}"
     if not loc or not wh:
         return None
     import os.path

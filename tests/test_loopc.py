@@ -170,3 +170,23 @@ func pl:f {
     # slashed reference strips the (absent) separator and joins with /
     assert (0, f, "http://plain.example/ns#rel", 0,
             "http://plain.example/ns/sub/obj", None, None) in spo
+
+
+def test_number_edge_cases_are_loopc_errors():
+    """Review fixes: every malformed number surfaces as a positioned
+    LoopcSyntaxError, never a raw ValueError; '010' parses base-10
+    like the reference's ParseInt; hex works despite the reference's
+    parser panicking on it."""
+    ok = compile_loop("func <http://e/f>() { <http://e/p>(<http://e/a> 010) }")
+    assert any(t.o.value == "10" for t in ok)
+    hx = compile_loop("func <http://e/f>() { <http://e/p>(<http://e/a> 0x2e) }")
+    assert any(t.o.value == "46" for t in hx)  # not misread as float
+    neg = compile_loop("func <http://e/f>() { <http://e/p>(<http://e/a> -0x10) }")
+    assert any(t.o.value == "-16" for t in neg)
+    for bad in ("3.f", "+", "0x"):
+        with pytest.raises(LoopcSyntaxError, match="line"):
+            compile_loop(f"func <http://e/f>() {{ <http://e/p>(<http://e/a> {bad}) }}")
+    with pytest.raises(LoopcSyntaxError, match="hex constant"):
+        compile_loop('func <http://e/f>() { <http://e/p>(<http://e/a> "zz"^^xsd:hexBinary) }')
+    with pytest.raises(LoopcSyntaxError, match="base64 constant"):
+        compile_loop('func <http://e/f>() { <http://e/p>(<http://e/a> "!!!"^^xsd:base64Binary) }')

@@ -265,3 +265,13 @@ def test_parse_http(spark, tmp_path):
         assert set(glob.glob("/tmp/argo_url_*")) == before  # no temp leak
     finally:
         httpd.shutdown()
+
+
+def test_parse_rdfxml_col_null_rows_quarantined(spark):
+    from argo_spark.extract.rdfxml import parse_rdfxml_col
+
+    df = spark.createDataFrame(
+        [(None, "k0")], "value string, key string",
+    )
+    out = parse_rdfxml_col(df).collect()
+    assert len(out) == 1 and out[0].error == "null document"
