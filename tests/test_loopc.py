@@ -190,3 +190,20 @@ def test_number_edge_cases_are_loopc_errors():
         compile_loop('func <http://e/f>() { <http://e/p>(<http://e/a> "zz"^^xsd:hexBinary) }')
     with pytest.raises(LoopcSyntaxError, match="base64 constant"):
         compile_loop('func <http://e/f>() { <http://e/p>(<http://e/a> "!!!"^^xsd:base64Binary) }')
+
+
+def test_prefix_shadowed_arg_is_the_zero_value_quirk():
+    """An argument named like a declared prefix resolves through the
+    name map (parser.y resource_or_argument nameMap-first), so it does
+    NOT become a variable and a later `of <name>` subject falls back
+    to the "" zero-value IRI — reference-faithful, pinned here so the
+    behavior is a documented quirk rather than a surprise."""
+    src = (
+        "name <http://ns.example/a/> as a\n"
+        'func <http://fn.example/f>(a integer) { rdfs:comment of a "x" }\n'
+    )
+    triples = compile_loop(src)
+    # the arg term IS the namespace IRI, and the of-subject is ""
+    assert any(t.s.value == "http://ns.example/a/" and t.o.value == LOOP + "Argument"
+               for t in triples)
+    assert any(t.s.value == "" and t.o.value == "x" for t in triples)
