@@ -42,6 +42,12 @@ def _write_rdfxml(df, path, mode="overwrite"):
     return write_rdfxml(df, path, mode=mode)
 
 
+def _read_loop(spark, path):
+    from argo_spark.ops.loopc import read_loop
+
+    return read_loop(spark, path)
+
+
 def _read_squirtle(spark, path):
     from argo_spark.extract.squirtle import read_squirtle
 
@@ -93,6 +99,13 @@ def _load():
         "squirtle": Format(
             "squirtle", "Squirtle", "text/x-squirtle", ".squirtle",
             reader=_read_squirtle, writer=_write_squirtle,
+        ),
+        "loop": Format(
+            # the reference ships loopc as a separate binary whose NT
+            # output feeds the rdf tooling; registering the compiler
+            # as a reader folds that pipe into the same registry
+            "loop", "LOOP", "text/x-loop", ".loop",
+            reader=_read_loop,
         ),
     }
 

@@ -207,3 +207,29 @@ def test_prefix_shadowed_arg_is_the_zero_value_quirk():
     assert any(t.s.value == "http://ns.example/a/" and t.o.value == LOOP + "Argument"
                for t in triples)
     assert any(t.s.value == "" and t.o.value == "x" for t in triples)
+
+
+def test_read_loop_distributed_and_registry(spark, tmp_path):
+    """.loop as a first-class CLI source format: the registry
+    dispatches the extension to the distributed compile reader, and a
+    bad file quarantines instead of failing the job."""
+    from argo_spark.ops.loopc import read_loop
+    from argo_spark.sinks.registry import format_from_filename
+
+    good = tmp_path / "p.loop"
+    good.write_text('func <http://e/f> rdfs:label "L"\n')
+    bad = tmp_path / "q.loop"
+    bad.write_text("func <http://e/g>() { <http://e/p>(<http://e/a> 3.f) }\n")
+
+    fmt = format_from_filename("x/p.loop")
+    assert fmt is not None and fmt.id == "loop"
+    triples, errors = fmt.reader(spark, str(tmp_path))
+    got = {(r.s_value, r.p_value, r.o_value) for r in triples.collect()}
+    assert ("http://e/f", RDFS + "label", "L") in got
+    assert ("http://e/f", RDF + "type", LOOP + "Function") in got
+    errs = errors.collect()
+    assert len(errs) == 1 and "Bad number" in errs[0].error
+    assert errs[0].path.endswith("q.loop")
+    # direct reader API agrees
+    t2, e2 = read_loop(spark, str(tmp_path))
+    assert t2.count() == len(got) and e2.count() == 1
