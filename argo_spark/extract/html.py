@@ -11,6 +11,7 @@ Runs inside Arrow-batch UDFs — must stay pure and allocation-light.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 from typing import List, Optional, Tuple
 
@@ -82,17 +83,126 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(Node(TEXT, text=data))
 
 
-def parse_html(html: str) -> Node:
-    """Parse HTML into a Node tree. Leading XML declarations are
-    skipped (mirrors rdfaparser.go:168-175)."""
-    if html.startswith("<?"):
-        end = html.find(">")
-        if end >= 0:
-            html = html[end + 1 :]
+def _parse_html_stdlib(html: str) -> Node:
     p = _TreeBuilder()
     p.feed(html)
     p.close()
     return p.root
+
+
+# fast-path tokenizer: 78% of extractor wall time was stdlib
+# html.parser's per-character goahead loop (profiled round 3), so the
+# common well-formed shape is scanned with compiled regexes instead.
+# ANY construct outside that shape returns None and the document takes
+# the stdlib path — output is IDENTICAL by construction (same
+# handle_* semantics: lowercased names, html.unescape on text runs and
+# attribute values, script/style as raw CDATA, void/self-closing not
+# pushed), and pinned by an A/B property test + the byte-identical
+# text invariant.
+_FAST_STARTTAG = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9-]*)"
+    r"((?:\s+[a-zA-Z_:][\-a-zA-Z0-9_:.]*(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s>\"'<=`]+))?)*)"
+    r"\s*(/?)>"
+)
+_FAST_ENDTAG = re.compile(r"</([a-zA-Z][a-zA-Z0-9-]*)\s*>")
+_FAST_ATTR = re.compile(
+    r"([a-zA-Z_:][\-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(?:\"([^\"<>]*)\"|'([^'<>]*)'|([^\s>\"'<=`]+)))?"
+)
+_CDATA_TAGS = ("script", "style")  # html.parser CDATA_CONTENT_ELEMENTS
+
+
+def _fast_parse(html: str) -> Optional[Node]:
+    from html import unescape
+
+    root = Node(ELEMENT, tag="#document")
+    stack = [root]
+    i, n = 0, len(html)
+    find = html.find
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            text = html[i:]
+            if text:
+                if "&" in text:
+                    text = unescape(text)
+                stack[-1].children.append(Node(TEXT, text=text))
+            break
+        if lt > i:
+            text = html[i:lt]
+            if "&" in text:
+                text = unescape(text)
+            stack[-1].children.append(Node(TEXT, text=text))
+        if html.startswith("<!--", lt):
+            end = find("-->", lt + 4)
+            if end < 0:
+                return None  # unterminated comment: stdlib recovery rules
+            i = end + 3
+            continue
+        nxt = html[lt + 1] if lt + 1 < n else ""
+        if nxt in "!?":
+            # doctype / processing instruction: dropped (no handler);
+            # a '>' inside would need stdlib's declaration parser
+            end = find(">", lt + 1)
+            if end < 0:
+                return None
+            i = end + 1
+            continue
+        if nxt == "/":
+            m = _FAST_ENDTAG.match(html, lt)
+            if m is None:
+                return None  # malformed closer: stdlib rules
+            tag = m.group(1).lower()
+            for j in range(len(stack) - 1, 0, -1):
+                if stack[j].tag == tag:
+                    del stack[j:]
+                    break
+            i = m.end()
+            continue
+        m = _FAST_STARTTAG.match(html, lt)
+        if m is None:
+            return None  # bare '<' in text / exotic markup: stdlib rules
+        tag = m.group(1).lower()
+        attrs = [
+            (a.group(1).lower(),
+             unescape(v) if "&" in (v := a.group(2) or a.group(3) or a.group(4) or "") else v)
+            for a in _FAST_ATTR.finditer(m.group(2))
+        ]
+        node = Node(ELEMENT, tag=tag, attrs=attrs)
+        stack[-1].children.append(node)
+        self_closing = m.group(3) == "/"
+        i = m.end()
+        if self_closing or tag in _VOID:
+            continue
+        if tag in _CDATA_TAGS:
+            # raw content to the matching closer, NO entity decoding
+            close = html.find(f"</{tag}", i)
+            if close < 0:
+                return None  # EOF inside CDATA: stdlib recovery rules
+            if close > i:
+                node.children.append(Node(TEXT, text=html[i:close]))
+            mend = _FAST_ENDTAG.match(html, close)
+            if mend is None or mend.group(1).lower() != tag:
+                return None
+            i = mend.end()
+            continue
+        stack.append(node)
+    return root
+
+
+def parse_html(html: str) -> Node:
+    """Parse HTML into a Node tree. Leading XML declarations are
+    skipped (mirrors rdfaparser.go:168-175). Well-formed documents
+    take the regex fast path; anything unusual falls back to the
+    stdlib parser with identical output semantics."""
+    if html.startswith("<?"):
+        end = html.find(">")
+        if end >= 0:
+            html = html[end + 1 :]
+    root = _fast_parse(html)
+    if root is None:
+        return _parse_html_stdlib(html)
+    return root
 
 
 # Elements whose subtrees are boilerplate for text extraction.

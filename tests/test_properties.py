@@ -331,3 +331,98 @@ def test_loopc_nt_round_trip(src):
     for line, t in zip(lines, triples):
         parsed = parse_line(line, final_newline=True)
         assert parsed == TripleT(t.s, t.p, t.o)
+
+
+# ---------------------------------------------------------------------------
+# HTML fast-path tokenizer == stdlib parser (extract/html.py)
+# ---------------------------------------------------------------------------
+
+_attr_vals = st.text(
+    string.ascii_letters + string.digits + " -_.:/&;#", max_size=12
+)
+_tags = st.sampled_from(
+    ["div", "span", "p", "a", "section", "br", "img", "script", "style"]
+)
+
+
+@st.composite
+def html_docs(draw):
+    """Well-formed-ish documents within the fast path's grammar:
+    nesting, void elements, self-closing, quoted attrs with entities,
+    script/style CDATA, comments, doctype, entity text."""
+    parts = ['<!DOCTYPE html>']
+    depth = 0
+    open_tags = []
+    for _ in range(draw(st.integers(1, 18))):
+        kind = draw(st.integers(0, 5))
+        if kind == 0 and depth < 4:
+            tag = draw(_tags)
+            attrs = "".join(
+                f' {draw(st.sampled_from(["class", "id", "property", "data-x"]))}="{draw(_attr_vals)}"'
+                for _ in range(draw(st.integers(0, 2)))
+            )
+            if tag in ("script", "style"):
+                parts.append(f"<{tag}{attrs}>var x = 1 < 2 &amp; raw;</{tag}>")
+            elif tag in ("br", "img"):
+                parts.append(f"<{tag}{attrs}>")
+            else:
+                parts.append(f"<{tag}{attrs}>")
+                open_tags.append(tag)
+                depth += 1
+        elif kind == 1 and open_tags:
+            parts.append(f"</{open_tags.pop()}>")
+            depth -= 1
+        elif kind == 2:
+            parts.append(draw(st.text(
+                string.ascii_letters + " &amp;&lt;&#65;", max_size=20)))
+        elif kind == 3:
+            parts.append("<!-- a comment <div> inside -->")
+        elif kind == 4:
+            parts.append(f'<span title="{draw(_attr_vals)}"/>')
+        else:
+            parts.append("plain text &gt; here")
+    return "".join(parts)
+
+
+def _tree_eq(a, b):
+    return (
+        (a.type, a.tag, a.attrs, a.text)
+        == (b.type, b.tag, b.attrs, b.text)
+        and len(a.children) == len(b.children)
+        and all(_tree_eq(x, y) for x, y in zip(a.children, b.children))
+    )
+
+
+@given(html_docs())
+@settings(max_examples=300, deadline=None)
+def test_fast_html_parse_matches_stdlib(doc):
+    """The regex fast path must produce EXACTLY the stdlib tree on
+    every document it accepts (it may bail — then parse_html falls
+    back — but it may never differ)."""
+    from argo_spark.extract.html import (
+        _fast_parse,
+        _parse_html_stdlib,
+        extract_text_from_tree,
+    )
+
+    fast = _fast_parse(doc)
+    if fast is None:
+        return  # bailed to stdlib: fine
+    std = _parse_html_stdlib(doc)
+    assert _tree_eq(fast, std)
+    assert extract_text_from_tree(fast) == extract_text_from_tree(std)
+
+
+@given(st.text(max_size=150))
+@settings(max_examples=200, deadline=None)
+def test_fast_html_parse_never_differs_on_soup(doc):
+    """Arbitrary soup: wherever the fast path accepts, it must agree
+    with stdlib (bailing is always allowed, differing never)."""
+    from argo_spark.extract.html import (
+        _fast_parse,
+        _parse_html_stdlib,
+    )
+
+    fast = _fast_parse(doc)
+    if fast is not None:
+        assert _tree_eq(fast, _parse_html_stdlib(doc))
