@@ -84,18 +84,26 @@ def extract_rdfa_tree(
 
     def walk(node: Node, subject: Term, vocab_base: str) -> None:
         nonlocal anon_ordinal
-        if node.type == ELEMENT:
+        # one first-wins pass over the attribute list instead of a
+        # linear get_attr scan per attribute name (h5 getAttr takes
+        # the first occurrence — dict insertion order preserves that);
+        # attribute-less elements skip the whole RDFa block
+        if node.type == ELEMENT and node.attrs:
+            am: dict = {}
             for k, v in node.attrs:
                 if k.startswith("xmlns:"):
                     prefix_map[k[6:]] = v
+                if k not in am:
+                    am[k] = v
+            get_attr = am.get
 
-            v = node.get_attr("vocab")
+            v = get_attr("vocab")
             if v is not None:
                 vocab_base = v
 
-            typeof = node.get_attr("typeof")
+            typeof = get_attr("typeof")
             if typeof is not None:
-                resource = node.get_attr("resource")
+                resource = get_attr("resource")
                 if resource is not None:
                     subject = Term(KIND_IRI, resource)
                 else:
@@ -107,30 +115,30 @@ def extract_rdfa_tree(
                     Term(KIND_IRI, _expand_uri(typeof, vocab_base, prefix_map)),
                 )
 
-            prop = node.get_attr("property")
+            prop = get_attr("property")
             if prop is not None:
                 predicate = _expand_uri(prop, vocab_base, prefix_map)
-                content = node.get_attr("content")
+                content = get_attr("content")
                 if content is not None:
                     value = content
                 elif node.children:
                     value = node.children[0].data()
                 else:
                     value = ""
-                datatype = node.get_attr("datatype")
+                datatype = get_attr("datatype")
                 if datatype is not None:
                     obj = Term(KIND_LITERAL, value, dt=datatype)
                 else:
-                    lang = node.get_attr("xml:lang")
+                    lang = get_attr("xml:lang")
                     if lang is not None:
                         obj = Term(KIND_LITERAL, value, lang=lang)
                     else:
                         obj = Term(KIND_LITERAL, value)
                 emit(subject, predicate, obj)
 
-            rel = node.get_attr("rel")
+            rel = get_attr("rel")
             if rel is not None:
-                href = node.get_attr("href")
+                href = get_attr("href")
                 if href is not None:
                     emit(
                         subject,
@@ -138,9 +146,9 @@ def extract_rdfa_tree(
                         Term(KIND_IRI, href),
                     )
 
-            rev = node.get_attr("rev")
+            rev = get_attr("rev")
             if rev is not None:
-                href = node.get_attr("href")
+                href = get_attr("href")
                 if href is not None:
                     emit(
                         Term(KIND_IRI, href),
