@@ -762,18 +762,97 @@ def entity_surface_forms(triples: DataFrame, iri_prefix: str = DBP) -> DataFrame
     )
 
 
+def _driver_entity_mapping(
+    rows, shingle_k: int, threshold: float,
+    n_hashes: int = 16, n_bands: int = 8,
+) -> list[tuple[str, str]]:
+    """Driver-side replica of the char-mode MinHash-LSH star pipeline
+    for SMALL entity sets, BIT-IDENTICAL to the distributed path: the
+    same xxhash64 (argo_spark.xxhash, parity-tested against Spark's
+    expression), the same affine permutations, the same band-key
+    chaining, hub = min id per (band, bucket), exact Jaccard verify,
+    union-find min-label components. Exists because the distributed
+    form costs ~20 tiny Spark jobs whose scheduling latency is pure
+    serial fraction on the flagship (measured 8.4s at local[1] for a
+    few-dozen-entity map)."""
+    from argo_spark.xxhash import xxh64_int, xxh64_long, xxh64_string
+
+    a_co, b_co = _minhash_coeffs(n_hashes)
+    rpb = n_hashes // n_bands
+    sh: dict[str, frozenset] = {}
+    for entity, surface in rows:
+        n = max(len(surface) - shingle_k + 1, 1)
+        sh[entity] = frozenset(surface[i:i + shingle_k] for i in range(n))
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for e, s in sh.items():
+        hs = [xxh64_string(x) % _MERSENNE for x in s]
+        sig = [
+            min((a_co[i] * h + b_co[i]) % _MERSENNE for h in hs)
+            for i in range(n_hashes)
+        ]
+        for band in range(n_bands):
+            key = xxh64_int(band)
+            for r in range(rpb):
+                key = xxh64_long(sig[band * rpb + r], key)
+            buckets.setdefault((band, key), []).append(e)
+    verified: list[tuple[str, str]] = []
+    seen = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        hub = min(members)
+        for m in members:
+            if m == hub or (hub, m) in seen:
+                continue
+            seen.add((hub, m))
+            inter = len(sh[hub] & sh[m])
+            union = len(sh[hub] | sh[m])
+            if inter / union >= threshold:
+                verified.append((hub, m))
+    parent: dict[str, str] = {}
+
+    def find(u: str) -> str:
+        r = u
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(u, u) != u:
+            parent[u], u = r, parent[u]
+        return r
+
+    for x, y in verified:
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    return sorted((e, find(e)) for e in parent if find(e) != e)
+
+
 def entity_dedup_mapping(
     triples: DataFrame,
     iri_prefix: str = DBP,
     shingle_k: int = 3,
     threshold: float = 0.45,
+    driver_max_entities: Optional[int] = 100_000,
 ) -> DataFrame:
     """(entity, canonical) rewrite map via MinHash-LSH on the combined
     surface form 'name + IRI local tail', verified by Jaccard, merged
     by connected components; canonical = min IRI of the component.
 
     Identity rows (entity == canonical) are omitted — the map is the
-    small side of a broadcast join."""
+    small side of a broadcast join.
+
+    When the distinct-entity set fits ``driver_max_entities`` (a
+    broadcast-sized map by definition — default 100k surface forms),
+    the LSH/CC pipeline runs DRIVER-SIDE over one collect of the
+    (entity, surface) list with bit-identical hashing
+    (:func:`_driver_entity_mapping`): one Spark job instead of ~20
+    tiny ones, removing ~8s of pure scheduling serial fraction from
+    the flagship (pinned equal to the distributed path by
+    test_dedup's equivalence test). Pass ``None`` to force the
+    distributed path; above the cap it is taken automatically — at
+    web scale the entity vocabulary can exceed any driver."""
     # the entity list is tiny vs the triples table; checkpoint it so
     # the LSH + connected-components actions don't re-scan the triples
     # (lazy: the first downstream job materializes it — no extra job)
@@ -795,6 +874,19 @@ def entity_dedup_mapping(
             )
         ).alias("surface"),
     )
+    if driver_max_entities is not None:
+        head = keyed.limit(driver_max_entities + 1).collect()
+        if len(head) <= driver_max_entities:
+            mapping = _driver_entity_mapping(
+                [(r.entity, r.surface) for r in head], shingle_k, threshold
+            )
+            return triples.sparkSession.createDataFrame(
+                mapping, "entity string, canonical string"
+            )
+        log.info(
+            "entity_dedup_mapping: > %d entities — distributed path",
+            driver_max_entities,
+        )
     pairs = minhash_dedup_pairs(
         keyed, "entity", "surface", shingle_k=shingle_k,
         n_hashes=16, n_bands=8, threshold=threshold, mode="char",
