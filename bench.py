@@ -290,10 +290,13 @@ def main():
             _warmup(spark, sf_dir, workdir)
             # corpus sized to the pair (identical at both levels) so
             # the run is work-dominated: fixed costs (driver
-            # scheduling, entity-dedup's ~20 tiny jobs) don't scale
-            # with cores and would otherwise swamp the signal;
+            # scheduling, the entity-dedup driver pass) don't scale
+            # with cores and would otherwise swamp the signal; the
+            # multiplier tracks extractor throughput (100k after the
+            # regex tokenizer + driver-side entity dedup landed —
+            # 200k pages stopped being work-dominated at 75k t/s);
             # best-of-2 to damp host noise
-            n_pages = 50_000 * 4 * n
+            n_pages = 100_000 * 4 * n
             pages_path = _pages_table(spark, workdir, n_pages)
             dt, n_triples = None, 0
             for _ in range(2):
