@@ -886,6 +886,62 @@ def q_rdfxml_parse(spark, sf_dir):
     )
 
 
+def q_rdfa_parse(spark, sf_dir):
+    """S3 (rdfaparser.go walk semantics), ORACLED: a deterministic
+    RDFa page per documents-row exercises every non-blank-node rule
+    of the walk — ``vocab`` inheritance, ``property`` with text
+    content / ``content=`` / ``datatype`` / ``xml:lang``, ``xmlns:``
+    prefix mapping, ``rel``+``href``, ``rev``+``href`` (inverted
+    subject), and ``typeof``+``resource`` — through the real
+    distributed extractor (regex fast-path tokenizer with stdlib
+    fallback, Arrow-batched mapInPandas); the expected six triples
+    per row are relationally derivable from the same table. Blank
+    nodes (typeof without resource) stay under the rows-only
+    ``rdfa_pipeline`` — their skolem ids are hash-chained and not
+    SQL-expressible."""
+    from argo_spark.extract.rdfa import extract_triples_df
+
+    d = _docs(spark, sf_dir)
+    doc_uri = F.concat(F.lit(DOC_BASE), F.col("doc_id").cast("string"))
+    src_uri = F.concat(F.lit(SRC_BASE), F.col("source"))
+    html = F.concat(
+        F.lit(
+            '<html><body><div vocab="http://schema.org/"'
+            ' xmlns:dc="http://purl.org/dc/terms/">'
+            '<span property="inLanguage">'
+        ),
+        F.col("lang"),
+        F.lit(
+            '</span><span property="charCount"'
+            ' datatype="http://www.w3.org/2001/XMLSchema#integer" content="'
+        ),
+        F.col("n_chars").cast("string"),
+        F.lit('"></span><span property="dc:source" xml:lang="'),
+        F.col("lang"),
+        F.lit('">'),
+        F.col("source"),
+        F.lit('</span><a rel="isBasedOn" href="'),
+        src_uri,
+        F.lit('">src</a><a rev="hasPart" href="'),
+        src_uri,
+        F.lit('">up</a><span typeof="Article" resource="'),
+        doc_uri,
+        F.lit('#meta"></span></div></body></html>'),
+    )
+    pages = d.select(
+        doc_uri.alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        html.alias("html"),
+    )
+    out = extract_triples_df(pages, with_mentions=False)
+    return out.select(
+        F.col("s_kind").cast("int").alias("s_kind"), "s_value", "p_value",
+        F.col("o_kind").cast("int").alias("o_kind"), "o_value",
+        F.coalesce("o_lang", F.lit("")).alias("o_lang"),
+        F.coalesce("o_dt", F.lit("")).alias("o_dt"),
+    )
+
+
 def q_k3_rdfxml_blocks(spark, sf_dir):
     """K3 (rdfxml.go:181-333 serializer), ORACLED: per-subject
     ``<rdf:Description rdf:about=...>`` blocks with sorted property
@@ -1039,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k4_rdfjson_lines": q_k4_rdfjson_lines,
         "k6_dictionary_roundtrip": q_k6_dictionary_roundtrip,
         "rdfxml_parse": q_rdfxml_parse,
+        "rdfa_parse": q_rdfa_parse,
         "k3_rdfxml_blocks": q_k3_rdfxml_blocks,
         "g12_list_walk": q_g12_list_walk,
         "squirtle_parse_roundtrip": q_squirtle_parse_roundtrip,
@@ -1371,6 +1428,40 @@ def _rdfxml_parse_sql() -> str:
         UNION ALL
         SELECT 0, '{DOC_BASE}' || doc_id, 'http://schema.org/isBasedOn',
                0, '{SRC_BASE}' || source, '', ''
+        FROM documents
+    """
+
+
+def _rdfa_parse_sql() -> str:
+    """Expected triples of q_rdfa_parse's generated RDFa pages: a
+    vocab-expanded plain literal, a datatyped content= literal, a
+    prefix-mapped xml:lang literal, a rel IRI object, a rev-inverted
+    triple, and a typeof+resource rdf:type — per documents-row."""
+    return f"""
+        SELECT 0 AS s_kind, '{DOC_BASE}' || doc_id AS s_value,
+               'http://schema.org/inLanguage' AS p_value,
+               2 AS o_kind, lang AS o_value, '' AS o_lang, '' AS o_dt
+        FROM documents
+        UNION ALL
+        SELECT 0, '{DOC_BASE}' || doc_id, 'http://schema.org/charCount',
+               2, n_chars::VARCHAR, '',
+               'http://www.w3.org/2001/XMLSchema#integer'
+        FROM documents
+        UNION ALL
+        SELECT 0, '{DOC_BASE}' || doc_id, 'http://purl.org/dc/terms/source',
+               2, source, lang, ''
+        FROM documents
+        UNION ALL
+        SELECT 0, '{DOC_BASE}' || doc_id, 'http://schema.org/isBasedOn',
+               0, '{SRC_BASE}' || source, '', ''
+        FROM documents
+        UNION ALL
+        SELECT 0, '{SRC_BASE}' || source, 'http://schema.org/hasPart',
+               0, '{DOC_BASE}' || doc_id, '', ''
+        FROM documents
+        UNION ALL
+        SELECT 0, '{DOC_BASE}' || doc_id || '#meta', '{RDF_TYPE}',
+               0, 'http://schema.org/Article', '', ''
         FROM documents
     """
 
@@ -1791,6 +1882,7 @@ def oracle_sql() -> dict[str, str]:
         "k4_rdfjson_lines": _k4_rdfjson_sql(),
         "k6_dictionary_roundtrip": _k6_dictionary_sql(),
         "rdfxml_parse": _rdfxml_parse_sql(),
+        "rdfa_parse": _rdfa_parse_sql(),
         "k3_rdfxml_blocks": _k3_rdfxml_sql(),
         "g12_list_walk": _g12_list_sql(),
         "squirtle_parse_roundtrip": f"""
