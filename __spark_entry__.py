@@ -886,6 +886,26 @@ def q_rdfxml_parse(spark, sf_dir):
     )
 
 
+def q_g1_add_multiplicity(spark, sf_dir):
+    """G1 Add (graph.go:71-81) + G4 Num, ORACLED: the reference's Add
+    appends (bag semantics — duplicates survive until squish), so
+    adding two OVERLAPPING subgraphs (doc_id % 2 == 0 and
+    doc_id % 3 == 0; doc_id % 6 == 0 rows appear twice) must yield
+    multiplicity 2 exactly on the overlap. Returned as grouped
+    counts — a distributed Num per triple — through the real
+    TripleGraph API."""
+    from argo_spark.ops.graph import TripleGraph
+
+    tr = _doc_triples(spark, sf_dir)
+    a = TripleGraph(tr.where(F.col("doc_id") % 2 == 0).drop("doc_id"))
+    b = TripleGraph(tr.where(F.col("doc_id") % 3 == 0).drop("doc_id"))
+    return (
+        a.add(b).df
+        .groupBy("s_value", "p_value", "o_value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_rdfa_parse(spark, sf_dir):
     """S3 (rdfaparser.go walk semantics), ORACLED: a deterministic
     RDFa page per documents-row exercises every non-blank-node rule
@@ -1096,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k6_dictionary_roundtrip": q_k6_dictionary_roundtrip,
         "rdfxml_parse": q_rdfxml_parse,
         "rdfa_parse": q_rdfa_parse,
+        "g1_add_multiplicity": q_g1_add_multiplicity,
         "k3_rdfxml_blocks": q_k3_rdfxml_blocks,
         "g12_list_walk": q_g12_list_walk,
         "squirtle_parse_roundtrip": q_squirtle_parse_roundtrip,
@@ -1429,6 +1450,22 @@ def _rdfxml_parse_sql() -> str:
         SELECT 0, '{DOC_BASE}' || doc_id, 'http://schema.org/isBasedOn',
                0, '{SRC_BASE}' || source, '', ''
         FROM documents
+    """
+
+
+def _g1_add_sql() -> str:
+    """Bag-union replay of q_g1_add_multiplicity: UNION ALL of the
+    two overlapping doc_triples subsets, grouped to multiplicities.
+    Spark count() is LONG; DuckDB count(*) is HUGEINT-free BIGINT."""
+    return f"""
+        WITH {_DOC_TRIPLES_CTE},
+        bag AS (
+          SELECT s_value, p_value, o_value FROM doc_triples WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT s_value, p_value, o_value FROM doc_triples WHERE doc_id % 3 = 0
+        )
+        SELECT s_value, p_value, o_value, count(*)::BIGINT AS n
+        FROM bag GROUP BY s_value, p_value, o_value
     """
 
 
@@ -1883,6 +1920,7 @@ def oracle_sql() -> dict[str, str]:
         "k6_dictionary_roundtrip": _k6_dictionary_sql(),
         "rdfxml_parse": _rdfxml_parse_sql(),
         "rdfa_parse": _rdfa_parse_sql(),
+        "g1_add_multiplicity": _g1_add_sql(),
         "k3_rdfxml_blocks": _k3_rdfxml_sql(),
         "g12_list_walk": _g12_list_sql(),
         "squirtle_parse_roundtrip": f"""
