@@ -533,6 +533,52 @@ def q_sparql_select(spark, sf_dir):
     )
 
 
+def q_sparql_optional_filter(spark, sf_dir):
+    """§2.5 E3 algebra subset: OPTIONAL (left join) with an inner
+    REGEX filter + a group-scoped inequality filter, through SPARQL
+    TEXT. Docs from sources src10-src19 bind ?src; the rest
+    null-extend. Nulls are coalesced to '' post-query only so the
+    driver's row-order-insensitive compare sorts deterministically."""
+    from argo_spark.ops.sparql import sparql_select
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    out = sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?d ?lang ?src WHERE {
+             ?d s:inLanguage ?lang .
+             OPTIONAL { ?src v:hasDoc ?d FILTER(REGEX(?src, "/src1[0-9]$")) }
+             FILTER(?lang != "de")
+           }""",
+    )
+    return out.select(
+        "d", "lang", F.coalesce("src", F.lit("")).alias("src")
+    )
+
+
+def q_sparql_union(spark, sf_dir):
+    """§2.5 E3 algebra subset: UNION as bag union with null-extension
+    of the branch-disjoint variables (?lang / ?d), through SPARQL
+    TEXT; nulls coalesced to '' post-query for sort determinism."""
+    from argo_spark.ops.sparql import sparql_select
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    out = sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?s ?lang ?d WHERE {
+             { ?s s:inLanguage ?lang } UNION { ?s v:hasDoc ?d }
+           }""",
+    )
+    return out.select(
+        "s",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("d", F.lit("")).alias("d"),
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-K per group (§2.4): 3 longest docs per source, id tiebreak."""
     from pyspark.sql.window import Window
@@ -1111,6 +1157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "salted_predicate_counts": q_salted_predicate_counts,
         "sparql_select": q_sparql_select,
+        "sparql_optional_filter": q_sparql_optional_filter,
+        "sparql_union": q_sparql_union,
         "k5_squirtle_blocks": q_k5_squirtle_blocks,
         "k4_rdfjson_lines": q_k4_rdfjson_lines,
         "k6_dictionary_roundtrip": q_k6_dictionary_roundtrip,
@@ -1896,6 +1944,29 @@ def oracle_sql() -> dict[str, str]:
             p2 AS (SELECT '<' || s_value || '>' AS src, '<' || o_value || '>' AS d
                    FROM doc_triples WHERE p_value = '{HASDOC}')
             SELECT DISTINCT p1.d, p2.src FROM p1 JOIN p2 USING (d)
+        """,
+        "sparql_optional_filter": f"""
+            WITH {_DOC_TRIPLES_CTE},
+            base AS (SELECT '<' || s_value || '>' AS d,
+                            '"' || o_value || '"' AS lang
+                     FROM doc_triples
+                     WHERE p_value = '{INLANG}' AND o_value != 'de'),
+            opt AS (SELECT '<' || o_value || '>' AS d,
+                           '<' || s_value || '>' AS src
+                    FROM doc_triples
+                    WHERE p_value = '{HASDOC}'
+                      AND regexp_matches(s_value, '/src1[0-9]$'))
+            SELECT base.d, base.lang, coalesce(opt.src, '') AS src
+            FROM base LEFT JOIN opt USING (d)
+        """,
+        "sparql_union": f"""
+            WITH {_DOC_TRIPLES_CTE}
+            SELECT '<' || s_value || '>' AS s,
+                   '"' || o_value || '"' AS lang, '' AS d
+            FROM doc_triples WHERE p_value = '{INLANG}'
+            UNION ALL
+            SELECT '<' || s_value || '>', '', '<' || o_value || '>'
+            FROM doc_triples WHERE p_value = '{HASDOC}'
         """,
         "k5_squirtle_blocks": f"""
             WITH {_DOC_TRIPLES_CTE},

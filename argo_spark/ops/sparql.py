@@ -8,17 +8,39 @@ clients send and plans it with :func:`argo_spark.ops.bgp.bgp_match`,
 whose output columns are exactly the reference's binding names
 (variable names without ``?``) holding NT lexical forms.
 
-Supported grammar (the BGP core):
+Supported grammar (BGP core + the algebra subset that maps directly
+onto DataFrame operators):
 
     PREFIX p: <uri> ...
-    SELECT (DISTINCT)? (?v ... | *) WHERE { t1 . t2 . ... } (LIMIT n)?
-    ASK { t1 . ... }
+    SELECT (DISTINCT)? (?v ... | *) WHERE Group (LIMIT n)?
+    ASK Group
+    Group   := '{' ( Triple '.'? | OPTIONAL Group | FILTER Expr
+                   | Group (UNION Group)* '.'? )* '}'
+    Expr    := Or | '(' Expr ')' ; Or/And/'!' over comparisons and
+               BOUND(?v) / REGEX(?v, "pat" (, "i")?)
 
 with terms ``?var``/``$var``, ``<iri>``, ``prefix:local``, the ``a``
-keyword (rdf:type), and ``"literal"`` with optional ``@lang`` or
-``^^<dt>``/``^^prefix:local``. OPTIONAL/FILTER/UNION/paths are out of
-scope (the reference client passes text through verbatim; its own
-tooling composes plain conjunctive SELECTs).
+keyword (rdf:type), ``"literal"`` with optional ``@lang`` or
+``^^<dt>``/``^^prefix:local``, and bare integer/decimal numbers in
+FILTER expressions. Property paths / subqueries / BIND stay out of
+scope. Algebra mapping (SPARQL 1.1 §18.2 translation, evaluated
+left-to-right): triple blocks join on shared variables, OPTIONAL is a
+left outer join on the shared variables, UNION is ``unionByName``
+with null-extension of disjoint variables, group-scoped FILTERs apply
+after the group's joins.
+
+Documented FILTER semantics subset: ``=``/``!=`` compare full NT
+forms (term equality; a bare numeric constant instead compares the
+extracted lexical cast to double, so ``?x = 4`` matches
+``"4"^^xsd:integer``); ``<``/``<=``/``>``/``>=`` compare numerically
+when either side is a numeric constant and otherwise compare the
+escaped lexical form as a string; REGEX matches the escaped lexical
+of the binding; an unbound variable makes comparisons NULL (the row
+drops — SPARQL's error-eliminates-row) and BOUND false. A FILTER
+directly inside an OPTIONAL group may reference only that group's
+own variables (the LeftJoin-expression case raises rather than
+silently mis-scoping); leading OPTIONAL and OPTIONAL sharing no
+variables with the accumulated solution raise likewise.
 """
 
 from __future__ import annotations
@@ -41,7 +63,9 @@ _TOKEN = re.compile(
   | (?P<dtmark>\^\^)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*|:[A-Za-z0-9_.-]+)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<dec>[0-9]+\.[0-9]+)
   | (?P<num>[0-9]+)
+  | (?P<op>!=|<=|>=|&&|\|\||[=<>!])
   | (?P<punct>[{}.*;,()])
     """,
     re.VERBOSE,
@@ -52,6 +76,21 @@ _ESCAPES = {"t": "\t", "n": "\n", "r": "\r", '"': '"', "\\": "\\", "'": "'"}
 
 class SparqlSyntaxError(ValueError):
     pass
+
+
+class Group:
+    """A SPARQL group graph pattern: ordered ``elements`` (("bgp",
+    [patterns]) | ("optional", Group) | ("union", [Group, ...])) plus
+    group-scoped ``filters`` (expression tuples)."""
+
+    def __init__(self, elements: list, filters: list):
+        self.elements = elements
+        self.filters = filters
+
+    @property
+    def triples(self) -> list[tuple]:
+        """The group's DIRECT triple patterns, in textual order."""
+        return [t for k, pats in self.elements if k == "bgp" for t in pats]
 
 
 def _tokenize(query: str) -> list[tuple[str, str]]:
@@ -162,28 +201,310 @@ class _Parser:
             return Term(KIND_LITERAL, value)
         raise SparqlSyntaxError(f"unexpected term {val!r}")
 
-    def parse_group(self) -> list[tuple]:
+    def parse_group(self) -> "Group":
         self.expect_punct("{")
-        patterns: list[tuple] = []
+        elements: list[tuple] = []
+        filters: list[tuple] = []
         while True:
             kind, val = self.peek()
             if kind == "punct" and val == "}":
                 self.next()
                 break
-            s = self.parse_term("s")
-            p = self.parse_term("p")
-            o = self.parse_term("o")
-            patterns.append((s, p, o))
+            if kind == "kw" and val.upper() == "OPTIONAL":
+                self.next()
+                elements.append(("optional", self.parse_group()))
+            elif kind == "kw" and val.upper() == "FILTER":
+                self.next()
+                filters.append(self.parse_constraint())
+            elif kind == "punct" and val == "{":
+                branches = [self.parse_group()]
+                while True:
+                    k2, v2 = self.peek()
+                    if k2 == "kw" and v2.upper() == "UNION":
+                        self.next()
+                        branches.append(self.parse_group())
+                    else:
+                        break
+                elements.append(("union", branches))
+            else:
+                s = self.parse_term("s")
+                p = self.parse_term("p")
+                o = self.parse_term("o")
+                if elements and elements[-1][0] == "bgp":
+                    elements[-1][1].append((s, p, o))
+                else:
+                    elements.append(("bgp", [(s, p, o)]))
             kind, val = self.peek()
             if kind == "punct" and val == ".":
                 self.next()
-        if not patterns:
+        if not elements and not filters:
             raise SparqlSyntaxError("empty group pattern")
-        return patterns
+        return Group(elements, filters)
+
+    # -- FILTER constraint grammar (recursive descent over Expr) ----
+
+    def parse_constraint(self) -> tuple:
+        kind, val = self.peek()
+        if kind == "punct" and val == "(":
+            self.next()
+            e = self.parse_or()
+            self.expect_punct(")")
+            return e
+        if kind == "kw" and val.upper() in ("BOUND", "REGEX"):
+            return self.parse_builtin()
+        raise SparqlSyntaxError(f"FILTER needs (expr) or builtin, got {val!r}")
+
+    def parse_or(self) -> tuple:
+        e = self.parse_and()
+        while self.peek() == ("op", "||"):
+            self.next()
+            e = ("or", e, self.parse_and())
+        return e
+
+    def parse_and(self) -> tuple:
+        e = self.parse_unary()
+        while self.peek() == ("op", "&&"):
+            self.next()
+            e = ("and", e, self.parse_unary())
+        return e
+
+    def parse_unary(self) -> tuple:
+        if self.peek() == ("op", "!"):
+            self.next()
+            return ("not", self.parse_unary())
+        return self.parse_primary()
+
+    def parse_primary(self) -> tuple:
+        kind, val = self.peek()
+        if kind == "punct" and val == "(":
+            self.next()
+            e = self.parse_or()
+            self.expect_punct(")")
+            return e
+        if kind == "kw" and val.upper() in ("BOUND", "REGEX"):
+            return self.parse_builtin()
+        left = self.parse_operand()
+        kind, val = self.peek()
+        if kind == "op" and val in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return ("cmp", val, left, self.parse_operand())
+        raise SparqlSyntaxError(
+            "FILTER primary must be a comparison or BOUND/REGEX"
+        )
+
+    def parse_builtin(self) -> tuple:
+        _, name = self.next()
+        fn = name.upper()
+        self.expect_punct("(")
+        if fn == "BOUND":
+            vk, vv = self.next()
+            if vk != "var":
+                raise SparqlSyntaxError("BOUND needs a variable")
+            self.expect_punct(")")
+            return ("bound", vv[1:])
+        # REGEX(operand, "pattern" (, "flags")?)
+        target = self.parse_operand()
+        self.expect_punct(",")
+        pk, pv = self.next()
+        if pk != "lit":
+            raise SparqlSyntaxError("REGEX pattern must be a plain string")
+        flags = ""
+        if self.peek() == ("punct", ","):
+            self.next()
+            fk, fv = self.next()
+            if fk != "lit":
+                raise SparqlSyntaxError("REGEX flags must be a string")
+            flags = _unescape(fv[1:-1])
+        self.expect_punct(")")
+        return ("regex", target, _unescape(pv[1:-1]), flags)
+
+    def parse_operand(self) -> tuple:
+        kind, val = self.peek()
+        if kind == "var":
+            self.next()
+            return ("var", val[1:])
+        if kind in ("num", "dec"):
+            self.next()
+            return ("num", float(val))
+        if kind in ("iri", "pname", "lit"):
+            return ("term", self.parse_term("o"))
+        raise SparqlSyntaxError(f"bad FILTER operand {val!r}")
+
+
+# ---------------------------------------------------------------------------
+# Algebra evaluation (SPARQL 1.1 §18.2 translation onto DataFrame ops)
+# ---------------------------------------------------------------------------
+
+_QUOTED_LEX = r'^"((?:[^"\\]|\\.)*)"'
+
+
+def _lex_col(c):
+    """Escaped lexical form of a binding column: quoted body of a
+    literal, the IRI sans angle brackets, else the raw value."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.when(c.startswith('"'), F.regexp_extract(c, _QUOTED_LEX, 1))
+        .when(
+            c.startswith("<"),
+            F.regexp_extract(c, r"^<(.*)>$", 1),
+        )
+        .otherwise(c)
+    )
+
+
+def _operand_info(node, columns):
+    """-> (nt_col | None, lex_col, num_col, is_numeric_const)."""
+    from pyspark.sql import functions as F
+
+    from argo_spark.terms import escape_literal, format_term
+
+    kind, payload = node[0], node[1]
+    if kind == "var":
+        c = F.col(payload) if payload in columns else F.lit(None).cast("string")
+        lex = _lex_col(c)
+        return c, lex, lex.cast("double"), False
+    if kind == "num":
+        s = repr(payload) if payload != int(payload) else str(int(payload))
+        return None, F.lit(s), F.lit(float(payload)), True
+    term = payload if isinstance(payload, Term) else Term(0, payload)
+    nt = format_term(term) if isinstance(payload, Term) else "<" + payload + ">"
+    lex = (
+        escape_literal(term.value)
+        if term.kind == KIND_LITERAL
+        else term.value
+    )
+    try:
+        num = float(term.value) if term.kind == KIND_LITERAL else None
+    except ValueError:
+        num = None
+    return (
+        F.lit(nt),
+        F.lit(lex),
+        F.lit(num).cast("double"),
+        False,
+    )
+
+
+def _expr_col(expr, columns):
+    """FILTER expression tuple -> boolean Column over the binding
+    frame's columns (see module docstring for the semantics subset)."""
+    from pyspark.sql import functions as F
+
+    op = expr[0]
+    if op == "or":
+        return _expr_col(expr[1], columns) | _expr_col(expr[2], columns)
+    if op == "and":
+        return _expr_col(expr[1], columns) & _expr_col(expr[2], columns)
+    if op == "not":
+        # SPARQL error semantics: NULL stays NULL (row still drops)
+        return ~_expr_col(expr[1], columns)
+    if op == "bound":
+        if expr[1] not in columns:
+            return F.lit(False)
+        return F.col(expr[1]).isNotNull()
+    if op == "regex":
+        _, lex, _, _ = _operand_info(expr[1], columns)
+        pat = expr[2]
+        if "i" in expr[3]:
+            pat = "(?i)" + pat
+        return lex.rlike(pat)
+    if op == "cmp":
+        cmp_op, left, right = expr[1], expr[2], expr[3]
+        lnt, llex, lnum, lnumeric = _operand_info(left, columns)
+        rnt, rlex, rnum, rnumeric = _operand_info(right, columns)
+        numeric = lnumeric or rnumeric
+        if cmp_op in ("=", "!="):
+            if numeric:
+                eq = lnum == rnum
+            elif lnt is not None and rnt is not None:
+                eq = lnt == rnt
+            else:
+                eq = llex == rlex
+            return eq if cmp_op == "=" else ~eq
+        a, b = (lnum, rnum) if numeric else (llex, rlex)
+        if cmp_op == "<":
+            return a < b
+        if cmp_op == "<=":
+            return a <= b
+        if cmp_op == ">":
+            return a > b
+        return a >= b
+    raise SparqlSyntaxError(f"unknown filter op {op!r}")
+
+
+def _expr_vars(expr) -> set[str]:
+    op = expr[0]
+    if op in ("or", "and"):
+        return _expr_vars(expr[1]) | _expr_vars(expr[2])
+    if op == "not":
+        return _expr_vars(expr[1])
+    if op == "bound":
+        return {expr[1]}
+    if op == "regex":
+        return {expr[1][1]} if expr[1][0] == "var" else set()
+    if op == "cmp":
+        return {o[1] for o in (expr[2], expr[3]) if o[0] == "var"}
+    return set()
+
+
+def eval_group(triples: DataFrame, group: Group, in_optional: bool = False) -> DataFrame:
+    """Evaluate a group graph pattern left-to-right: BGP blocks join
+    on shared variables (Catalyst orders/broadcasts), OPTIONAL is a
+    left outer join, UNION null-extends disjoint variables, filters
+    apply group-scoped at the end."""
+    from functools import reduce
+
+    from argo_spark.ops.bgp import bgp_match
+
+    acc = None
+    for kind, payload in group.elements:
+        if kind == "bgp":
+            frame = bgp_match(triples, payload, distinct=False)
+        elif kind == "union":
+            frames = [eval_group(triples, g) for g in payload]
+            frame = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                frames,
+            )
+        else:  # optional
+            if acc is None:
+                raise SparqlSyntaxError("leading OPTIONAL is not supported")
+            sub = eval_group(triples, payload, in_optional=True)
+            shared = [c for c in sub.columns if c in acc.columns]
+            if not shared:
+                raise SparqlSyntaxError(
+                    "OPTIONAL sharing no variables with the preceding "
+                    "pattern is not supported"
+                )
+            acc = acc.join(sub, on=shared, how="left")
+            continue
+        if acc is None:
+            acc = frame
+        else:
+            shared = [c for c in frame.columns if c in acc.columns]
+            acc = (
+                acc.join(frame, on=shared, how="inner")
+                if shared
+                else acc.crossJoin(frame)
+            )
+    if acc is None:
+        raise SparqlSyntaxError("group has no graph patterns")
+    for f in group.filters:
+        if in_optional:
+            unbound = _expr_vars(f) - set(acc.columns)
+            if unbound:
+                raise SparqlSyntaxError(
+                    f"FILTER in OPTIONAL references outer variables "
+                    f"{sorted(unbound)} (LeftJoin-expression case "
+                    f"unsupported)"
+                )
+        acc = acc.where(_expr_col(f, acc.columns))
+    return acc
 
 
 def parse_select(query: str):
-    """-> (vars | None for *, patterns, distinct, limit | None)."""
+    """-> (vars | None for *, group: Group, distinct, limit | None)."""
     p = _Parser(query)
     p.parse_prefixes()
     p.expect_kw("SELECT")
@@ -209,7 +530,7 @@ def parse_select(query: str):
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "WHERE":
         p.next()
-    patterns = p.parse_group()
+    group = p.parse_group()
     limit = None
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "LIMIT":
@@ -223,28 +544,28 @@ def parse_select(query: str):
         # never silently drop solution modifiers (ORDER BY, OFFSET,
         # GROUP BY, ...) — an ignored modifier is a WRONG result
         raise SparqlSyntaxError(f"unsupported trailing clause at {val!r}")
-    return variables, patterns, distinct, limit
+    return variables, group, distinct, limit
 
 
-def parse_ask(query: str) -> list[tuple]:
+def parse_ask(query: str) -> Group:
     p = _Parser(query)
     p.parse_prefixes()
     p.expect_kw("ASK")
-    patterns = p.parse_group()
+    group = p.parse_group()
     kind, val = p.peek()
     if kind is not None:
         raise SparqlSyntaxError(f"unsupported trailing clause at {val!r}")
-    return patterns
+    return group
 
 
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     """SELECT text -> bindings DataFrame: one column per selected
     variable (bare name, NT lexical form) — the SelectResult keys of
     /root/reference/sparql/result.go."""
-    from argo_spark.ops.bgp import bgp_match
-
-    variables, patterns, distinct, limit = parse_select(query)
-    out = bgp_match(triples, patterns, distinct=distinct)
+    variables, group, distinct, limit = parse_select(query)
+    out = eval_group(triples, group)
+    if distinct:
+        out = out.dropDuplicates()
     if variables is not None:
         missing = [v for v in variables if v not in out.columns]
         if missing:
@@ -259,7 +580,5 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
 
 def sparql_ask(triples: DataFrame, query: str) -> bool:
     """ASK text -> bool (sparqlservice.go:57-70 semantics)."""
-    from argo_spark.ops.bgp import bgp_match
-
-    patterns = parse_ask(query)
-    return bgp_match(triples, patterns, distinct=False).limit(1).count() > 0
+    group = parse_ask(query)
+    return eval_group(triples, group).limit(1).count() > 0

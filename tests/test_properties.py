@@ -98,8 +98,8 @@ def test_sparql_parser_total(text):
     from argo_spark.ops.sparql import SparqlSyntaxError, parse_select
 
     try:
-        variables, patterns, distinct, limit = parse_select(text)
-        assert patterns
+        variables, group, distinct, limit = parse_select(text)
+        assert group.elements or group.filters
     except SparqlSyntaxError:
         pass
 

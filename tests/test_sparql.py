@@ -31,7 +31,7 @@ def graph(spark):
 
 
 def test_parse_select_terms():
-    variables, patterns, distinct, limit = parse_select(
+    variables, group, distinct, limit = parse_select(
         """PREFIX s: <http://schema.org/>
            SELECT DISTINCT ?x ?n WHERE {
              ?x a s:Person .
@@ -39,6 +39,7 @@ def test_parse_select_terms():
              ?x <http://e/p> "4"^^s:Integer
            } LIMIT 7"""
     )
+    patterns = group.triples
     assert variables == ["x", "n"] and distinct and limit == 7
     assert patterns[0] == ("?x", RDF_TYPE, SCHEMA + "Person")
     assert patterns[1] == ("?x", SCHEMA + "name", Term(KIND_LITERAL, "Bob", lang="en"))
@@ -95,3 +96,159 @@ def test_trailing_clauses_rejected_not_ignored():
         parse_select("SELECT ?d WHERE { ?d ?p ?o } ORDER BY ?d LIMIT 5")
     with pytest.raises(SparqlSyntaxError, match="trailing"):
         parse_select("SELECT ?d WHERE { ?d ?p ?o } LIMIT 5 OFFSET 2")
+
+
+# -- OPTIONAL / FILTER / UNION (SPARQL 1.1 §18.2 algebra subset) ----------
+
+
+def graph2(spark):
+    """graph() plus ages for the numeric-filter cases."""
+    return TripleGraph.of(
+        spark,
+        [
+            TripleT(iri("http://e/a"), iri(RDF_TYPE), iri(SCHEMA + "Person")),
+            TripleT(iri("http://e/a"), iri(SCHEMA + "name"), literal("Ada")),
+            TripleT(iri("http://e/a"), iri(SCHEMA + "age"),
+                    literal("36", dt="http://www.w3.org/2001/XMLSchema#integer")),
+            TripleT(iri("http://e/b"), iri(RDF_TYPE), iri(SCHEMA + "Person")),
+            TripleT(iri("http://e/b"), iri(SCHEMA + "name"), literal("Bob", lang="en")),
+            TripleT(iri("http://e/b"), iri(SCHEMA + "age"),
+                    literal("7", dt="http://www.w3.org/2001/XMLSchema#integer")),
+            TripleT(iri("http://e/c"), iri(SCHEMA + "name"), literal("Cat")),
+        ],
+    ).df
+
+
+def test_optional_binds_null(spark):
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n ?age WHERE {
+             ?who s:name ?n .
+             OPTIONAL { ?who s:age ?age }
+           }""",
+    )
+    got = {(r.n, r.age) for r in out.collect()}
+    assert got == {
+        ('"Ada"', '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ('"Bob"@en', '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ('"Cat"', None),
+    }
+
+
+def test_filter_numeric_and_bound(spark):
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             ?who s:name ?n .
+             OPTIONAL { ?who s:age ?age }
+             FILTER(BOUND(?age) && ?age >= 18)
+           }""",
+    )
+    assert {r.n for r in out.collect()} == {'"Ada"'}
+
+
+def test_filter_unbound_comparison_drops_row(spark):
+    # Cat has no age: ?age >= 0 is NULL there (error-eliminates-row)
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             ?who s:name ?n .
+             OPTIONAL { ?who s:age ?age }
+             FILTER(?age >= 0)
+           }""",
+    )
+    assert {r.n for r in out.collect()} == {'"Ada"', '"Bob"@en'}
+
+
+def test_filter_not_bound(spark):
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             ?who s:name ?n .
+             OPTIONAL { ?who s:age ?age }
+             FILTER(!BOUND(?age))
+           }""",
+    )
+    assert {r.n for r in out.collect()} == {'"Cat"'}
+
+
+def test_filter_regex_and_term_equality(spark):
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?who s:name ?n . FILTER(REGEX(?n, "^[AC]", "")) }""",
+    )
+    assert {r.n for r in out.collect()} == {'"Ada"', '"Cat"'}
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who WHERE { ?who s:name ?n . FILTER(?n = "Bob"@en) }""",
+    )
+    assert {r.who for r in out.collect()} == {"<http://e/b>"}
+    # plain "Bob" is a DIFFERENT term than "Bob"@en
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who WHERE { ?who s:name ?n . FILTER(?n = "Bob") }""",
+    )
+    assert out.count() == 0
+
+
+def test_filter_numeric_equality_crosses_datatype(spark):
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who WHERE { ?who s:age ?age . FILTER(?age = 7) }""",
+    )
+    assert {r.who for r in out.collect()} == {"<http://e/b>"}
+
+
+def test_union_null_extension_and_bag(spark):
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n ?t WHERE {
+             { ?who s:name ?n } UNION { ?who a ?t }
+           }""",
+    )
+    rows = [(r.n, r.t) for r in out.collect()]
+    assert len(rows) == 5  # bag: 3 names + 2 types
+    assert (None, "<" + SCHEMA + "Person>") in rows
+    assert ('"Cat"', None) in rows
+
+
+def test_optional_filter_outer_var_raises(spark):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(
+            graph2(spark),
+            """PREFIX s: <http://schema.org/>
+               SELECT ?n WHERE {
+                 ?who s:name ?n .
+                 OPTIONAL { ?who s:age ?age FILTER(?n = "Ada") }
+               }""",
+        ).collect()
+
+
+def test_leading_optional_raises(spark):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(
+            graph2(spark),
+            "SELECT ?x WHERE { OPTIONAL { ?x ?p ?o } }",
+        )
+
+
+def test_ask_with_filter(spark):
+    assert sparql_ask(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           ASK { ?who s:age ?age FILTER(?age > 30) }""",
+    )
+    assert not sparql_ask(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           ASK { ?who s:age ?age FILTER(?age > 99) }""",
+    )
