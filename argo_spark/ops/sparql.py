@@ -363,7 +363,10 @@ def _operand_info(node, columns):
     if kind == "var":
         c = F.col(payload) if payload in columns else F.lit(None).cast("string")
         lex = _lex_col(c)
-        return c, lex, lex.cast("double"), False
+        # try_cast, not cast: ANSI mode is on, and SPARQL's numeric
+        # coercion of a non-numeric lexical is an error that drops the
+        # row (NULL), never a query abort
+        return c, lex, lex.try_cast("double"), False
     if kind == "num":
         s = repr(payload) if payload != int(payload) else str(int(payload))
         return None, F.lit(s), F.lit(float(payload)), True
