@@ -579,6 +579,22 @@ def q_sparql_union(spark, sf_dir):
     )
 
 
+def q_sparql_order_topk(spark, sf_dir):
+    """§2.5 E3: ORDER BY + LIMIT + OFFSET through SPARQL text — plans
+    as TakeOrderedAndProject (top-k), and the oracle pins the exact
+    top-k boundary under the documented total order (plain literals
+    by lexical, IRIs; all ASCII here so DuckDB collation agrees)."""
+    from argo_spark.ops.sparql import sparql_select
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?d ?lang WHERE { ?d s:inLanguage ?lang }
+           ORDER BY ?lang ?d LIMIT 25 OFFSET 3""",
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-K per group (§2.4): 3 longest docs per source, id tiebreak."""
     from pyspark.sql.window import Window
@@ -1159,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_select": q_sparql_select,
         "sparql_optional_filter": q_sparql_optional_filter,
         "sparql_union": q_sparql_union,
+        "sparql_order_topk": q_sparql_order_topk,
         "k5_squirtle_blocks": q_k5_squirtle_blocks,
         "k4_rdfjson_lines": q_k4_rdfjson_lines,
         "k6_dictionary_roundtrip": q_k6_dictionary_roundtrip,
@@ -1967,6 +1984,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '<' || s_value || '>', '', '<' || o_value || '>'
             FROM doc_triples WHERE p_value = '{HASDOC}'
+        """,
+        "sparql_order_topk": f"""
+            WITH {_DOC_TRIPLES_CTE}
+            SELECT '<' || s_value || '>' AS d, '"' || o_value || '"' AS lang
+            FROM doc_triples WHERE p_value = '{INLANG}'
+            ORDER BY lang, d LIMIT 25 OFFSET 3
         """,
         "k5_squirtle_blocks": f"""
             WITH {_DOC_TRIPLES_CTE},

@@ -12,7 +12,8 @@ Supported grammar (BGP core + the algebra subset that maps directly
 onto DataFrame operators):
 
     PREFIX p: <uri> ...
-    SELECT (DISTINCT)? (?v ... | *) WHERE Group (LIMIT n)?
+    SELECT (DISTINCT)? (?v ... | *) WHERE Group
+        (ORDER BY (?v | ASC(?v) | DESC(?v))+)? (LIMIT n)? (OFFSET n)?
     ASK Group
     Group   := '{' ( Triple '.'? | OPTIONAL Group | FILTER Expr
                    | Group (UNION Group)* '.'? )* '}'
@@ -41,6 +42,11 @@ directly inside an OPTIONAL group may reference only that group's
 own variables (the LeftJoin-expression case raises rather than
 silently mis-scoping); leading OPTIONAL and OPTIONAL sharing no
 variables with the accumulated solution raise likewise.
+
+ORDER BY implements §15.1 made total (documented): unbound < blank <
+IRI < numeric literals by value < other literals by escaped lexical,
+full NT form as tiebreak; DESC reverses the key. ORDER BY + LIMIT
+plans as top-k (TakeOrderedAndProject), not a global sort.
 """
 
 from __future__ import annotations
@@ -507,7 +513,8 @@ def eval_group(triples: DataFrame, group: Group, in_optional: bool = False) -> D
 
 
 def parse_select(query: str):
-    """-> (vars | None for *, group: Group, distinct, limit | None)."""
+    """-> (vars | None for *, group: Group, distinct, limit | None,
+    order: list[(var, is_desc)], offset | None)."""
     p = _Parser(query)
     p.parse_prefixes()
     p.expect_kw("SELECT")
@@ -534,20 +541,80 @@ def parse_select(query: str):
     if kind == "kw" and val.upper() == "WHERE":
         p.next()
     group = p.parse_group()
-    limit = None
+    order: list[tuple[str, bool]] = []
     kind, val = p.peek()
-    if kind == "kw" and val.upper() == "LIMIT":
+    if kind == "kw" and val.upper() == "ORDER":
         p.next()
-        nk, nv = p.next()
-        if nk != "num":
-            raise SparqlSyntaxError(f"bad LIMIT {nv!r}")
-        limit = int(nv)
+        p.expect_kw("BY")
+        while True:
+            kind, val = p.peek()
+            if kind == "var":
+                p.next()
+                order.append((val[1:], False))
+            elif kind == "kw" and val.upper() in ("ASC", "DESC"):
+                p.next()
+                desc = val.upper() == "DESC"
+                p.expect_punct("(")
+                vk, vv = p.next()
+                if vk != "var":
+                    raise SparqlSyntaxError(
+                        "ORDER BY supports variables only (no expressions)"
+                    )
+                p.expect_punct(")")
+                order.append((vv[1:], desc))
+            else:
+                break
+        if not order:
+            raise SparqlSyntaxError("ORDER BY needs at least one key")
+    limit = offset = None
+    # SPARQL allows LIMIT/OFFSET in either order
+    for _ in range(2):
+        kind, val = p.peek()
+        if kind == "kw" and val.upper() == "LIMIT" and limit is None:
+            p.next()
+            nk, nv = p.next()
+            if nk != "num":
+                raise SparqlSyntaxError(f"bad LIMIT {nv!r}")
+            limit = int(nv)
+        elif kind == "kw" and val.upper() == "OFFSET" and offset is None:
+            p.next()
+            nk, nv = p.next()
+            if nk != "num":
+                raise SparqlSyntaxError(f"bad OFFSET {nv!r}")
+            offset = int(nv)
     kind, val = p.peek()
     if kind is not None:
-        # never silently drop solution modifiers (ORDER BY, OFFSET,
-        # GROUP BY, ...) — an ignored modifier is a WRONG result
+        # never silently drop solution modifiers (GROUP BY, HAVING,
+        # VALUES, ...) — an ignored modifier is a WRONG result
         raise SparqlSyntaxError(f"unsupported trailing clause at {val!r}")
-    return variables, group, distinct, limit
+    return variables, group, distinct, limit, order, offset
+
+
+def _order_cols(var: str, desc: bool, columns):
+    """SPARQL §15.1 ordering as a component list for one key, made
+    TOTAL (documented): unbound < blank < IRI < numeric literals by
+    value < other literals by escaped lexical; full NT form breaks
+    ties. DESC reverses the whole key (reversing each component of a
+    lexicographic tuple reverses the tuple order)."""
+    from pyspark.sql import functions as F
+
+    if var not in columns:
+        c = F.lit(None).cast("string")
+    else:
+        c = F.col(var)
+    lex = _lex_col(c)
+    num = lex.try_cast("double")
+    rank = (
+        F.when(c.isNull(), F.lit(0))
+        .when(c.startswith("_:"), F.lit(1))
+        .when(c.startswith("<"), F.lit(2))
+        .when(num.isNotNull(), F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    comps = [rank, num, lex, c]
+    if desc:
+        return [x.desc_nulls_last() for x in comps]
+    return [x.asc_nulls_first() for x in comps]
 
 
 def parse_ask(query: str) -> Group:
@@ -565,7 +632,7 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     """SELECT text -> bindings DataFrame: one column per selected
     variable (bare name, NT lexical form) — the SelectResult keys of
     /root/reference/sparql/result.go."""
-    variables, group, distinct, limit = parse_select(query)
+    variables, group, distinct, limit, order, offset = parse_select(query)
     out = eval_group(triples, group)
     if distinct:
         out = out.dropDuplicates()
@@ -573,11 +640,30 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         missing = [v for v in variables if v not in out.columns]
         if missing:
             raise SparqlSyntaxError(f"SELECT vars not bound in WHERE: {missing}")
-        out = out.select(*variables)
         if distinct:
-            out = out.dropDuplicates()
+            # spec order: project -> DISTINCT -> ORDER (the sort keys
+            # must survive the dedup, i.e. be selected)
+            unsel = [v for v, _ in order if v not in variables]
+            if unsel:
+                raise SparqlSyntaxError(
+                    f"ORDER BY over non-selected vars with DISTINCT: {unsel}"
+                )
+            out = out.select(*variables).dropDuplicates()
+            variables = None  # already projected
+    if order:
+        cols = []
+        for v, desc in order:
+            cols.extend(_order_cols(v, desc, out.columns))
+        out = out.orderBy(*cols)
+    # non-DISTINCT: ORDER BY may reference non-selected vars, so
+    # projection stays after sort+limit (limit-after-sort keeps the
+    # plan a top-k TakeOrderedAndProject, not a global sort)
+    if offset:
+        out = out.offset(offset)
     if limit is not None:
         out = out.limit(limit)
+    if variables is not None:
+        out = out.select(*variables)
     return out
 
 

@@ -31,7 +31,7 @@ def graph(spark):
 
 
 def test_parse_select_terms():
-    variables, group, distinct, limit = parse_select(
+    variables, group, distinct, limit, order, offset = parse_select(
         """PREFIX s: <http://schema.org/>
            SELECT DISTINCT ?x ?n WHERE {
              ?x a s:Person .
@@ -93,9 +93,22 @@ def test_unbound_select_var(spark):
 
 def test_trailing_clauses_rejected_not_ignored():
     with pytest.raises(SparqlSyntaxError, match="trailing"):
-        parse_select("SELECT ?d WHERE { ?d ?p ?o } ORDER BY ?d LIMIT 5")
+        parse_select("SELECT ?d WHERE { ?d ?p ?o } GROUP BY ?d")
     with pytest.raises(SparqlSyntaxError, match="trailing"):
-        parse_select("SELECT ?d WHERE { ?d ?p ?o } LIMIT 5 OFFSET 2")
+        parse_select("SELECT ?d WHERE { ?d ?p ?o } LIMIT 5 HAVING ?d")
+
+
+def test_order_limit_offset_parse():
+    _, _, _, limit, order, offset = parse_select(
+        "SELECT ?d WHERE { ?d ?p ?o } ORDER BY DESC(?o) ?d LIMIT 5 OFFSET 2"
+    )
+    assert order == [("o", True), ("d", False)]
+    assert limit == 5 and offset == 2
+    # LIMIT/OFFSET accepted in either order (SPARQL grammar)
+    _, _, _, limit, order, offset = parse_select(
+        "SELECT ?d WHERE { ?d ?p ?o } OFFSET 2 LIMIT 5"
+    )
+    assert limit == 5 and offset == 2
 
 
 # -- OPTIONAL / FILTER / UNION (SPARQL 1.1 §18.2 algebra subset) ----------
@@ -252,3 +265,74 @@ def test_ask_with_filter(spark):
         """PREFIX s: <http://schema.org/>
            ASK { ?who s:age ?age FILTER(?age > 99) }""",
     )
+
+
+def test_order_by_term_type_and_numeric_value(spark):
+    # mixed objects: IRI, numeric literals (9 vs 10 — numeric order,
+    # not lexical), plain literal; unbound (via OPTIONAL) sorts first
+    g = TripleGraph.of(
+        spark,
+        [
+            TripleT(iri("http://e/1"), iri("http://e/p"), literal("10",
+                    dt="http://www.w3.org/2001/XMLSchema#integer")),
+            TripleT(iri("http://e/2"), iri("http://e/p"), literal("9",
+                    dt="http://www.w3.org/2001/XMLSchema#integer")),
+            TripleT(iri("http://e/3"), iri("http://e/p"), iri("http://e/z")),
+            TripleT(iri("http://e/4"), iri("http://e/p"), literal("abc")),
+        ],
+    ).df
+    out = sparql_select(
+        g, "SELECT ?o WHERE { ?s <http://e/p> ?o } ORDER BY ?o"
+    )
+    vals = [r.o for r in out.collect()]
+    assert vals == [
+        "<http://e/z>",
+        '"9"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        '"10"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        '"abc"',
+    ]
+    out = sparql_select(
+        g, "SELECT ?o WHERE { ?s <http://e/p> ?o } ORDER BY DESC(?o) LIMIT 2"
+    )
+    assert [r.o for r in out.collect()] == [
+        '"abc"',
+        '"10"^^<http://www.w3.org/2001/XMLSchema#integer>',
+    ]
+
+
+def test_order_by_unbound_first_and_offset(spark):
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n ?age WHERE {
+             ?who s:name ?n .
+             OPTIONAL { ?who s:age ?age }
+           } ORDER BY ?age ?n""",
+    )
+    vals = [(r.n, r.age) for r in out.collect()]
+    assert vals[0] == ('"Cat"', None)  # unbound sorts first
+    assert [v[0] for v in vals] == ['"Cat"', '"Bob"@en', '"Ada"']  # 7 < 36
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?who s:name ?n } ORDER BY ?n LIMIT 2 OFFSET 1""",
+    )
+    assert [r.n for r in out.collect()] == ['"Bob"@en', '"Cat"']
+
+
+def test_order_by_nonselected_var_non_distinct(spark):
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?who s:age ?age . ?who s:name ?n }
+           ORDER BY DESC(?age)""",
+    )
+    assert [r.n for r in out.collect()] == ['"Ada"', '"Bob"@en']
+    # ...but with DISTINCT the sort key must be selected
+    with pytest.raises(SparqlSyntaxError, match="DISTINCT"):
+        sparql_select(
+            graph2(spark),
+            """PREFIX s: <http://schema.org/>
+               SELECT DISTINCT ?n WHERE { ?who s:age ?age . ?who s:name ?n }
+               ORDER BY ?age""",
+        )
