@@ -595,6 +595,31 @@ def q_sparql_order_topk(spark, sf_dir):
     )
 
 
+def q_sparql_construct(spark, sf_dir):
+    """§2.5 E3: CONSTRUCT (the native counterpart of the reference's
+    SparqlService.Graph) — joins hasDoc × inLanguage and emits a
+    re-vocabularied graph; DuckDB replays the join + projection +
+    set-dedup. Kinds cast to int and lang/dt coalesced to '' for the
+    driver's deterministic compare."""
+    from argo_spark.ops.sparql import sparql_construct
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    out = sparql_construct(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           PREFIX v: <http://corpus.example/vocab#>
+           PREFIX w: <http://corpus.example/vocab2#>
+           CONSTRUCT { ?src w:contains ?d . ?d w:lang ?lang }
+           WHERE { ?src v:hasDoc ?d . ?d s:inLanguage ?lang }""",
+    )
+    return out.select(
+        F.col("s_kind").cast("int").alias("s_kind"), "s_value", "p_value",
+        F.col("o_kind").cast("int").alias("o_kind"), "o_value",
+        F.coalesce("o_lang", F.lit("")).alias("o_lang"),
+        F.coalesce("o_dt", F.lit("")).alias("o_dt"),
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-K per group (§2.4): 3 longest docs per source, id tiebreak."""
     from pyspark.sql.window import Window
@@ -1176,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_optional_filter": q_sparql_optional_filter,
         "sparql_union": q_sparql_union,
         "sparql_order_topk": q_sparql_order_topk,
+        "sparql_construct": q_sparql_construct,
         "k5_squirtle_blocks": q_k5_squirtle_blocks,
         "k4_rdfjson_lines": q_k4_rdfjson_lines,
         "k6_dictionary_roundtrip": q_k6_dictionary_roundtrip,
@@ -1984,6 +2010,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '<' || s_value || '>', '', '<' || o_value || '>'
             FROM doc_triples WHERE p_value = '{HASDOC}'
+        """,
+        "sparql_construct": f"""
+            WITH {_DOC_TRIPLES_CTE},
+            hd AS (SELECT s_value AS src, o_value AS d FROM doc_triples
+                   WHERE p_value = '{HASDOC}'),
+            lang AS (SELECT s_value AS d, o_value AS lang FROM doc_triples
+                     WHERE p_value = '{INLANG}'),
+            sol AS (SELECT src, hd.d, lang FROM hd JOIN lang ON hd.d = lang.d)
+            SELECT DISTINCT * FROM (
+              SELECT 0 AS s_kind, src AS s_value,
+                     'http://corpus.example/vocab2#contains' AS p_value,
+                     0 AS o_kind, d AS o_value, '' AS o_lang, '' AS o_dt
+              FROM sol
+              UNION ALL
+              SELECT 0, d, 'http://corpus.example/vocab2#lang',
+                     2, lang, '', ''
+              FROM sol
+            )
         """,
         "sparql_order_topk": f"""
             WITH {_DOC_TRIPLES_CTE}

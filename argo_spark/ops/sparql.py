@@ -15,6 +15,7 @@ onto DataFrame operators):
     SELECT (DISTINCT)? (?v ... | *) WHERE Group
         (ORDER BY (?v | ASC(?v) | DESC(?v))+)? (LIMIT n)? (OFFSET n)?
     ASK Group
+    CONSTRUCT '{' Triple+ '}' WHERE Group (modifiers)?
     Group   := '{' ( Triple '.'? | OPTIONAL Group | FILTER Expr
                    | Group (UNION Group)* '.'? )* '}'
     Expr    := Or | '(' Expr ')' ; Or/And/'!' over comparisons and
@@ -457,11 +458,102 @@ def _expr_vars(expr) -> set[str]:
     return set()
 
 
-def eval_group(triples: DataFrame, group: Group, in_optional: bool = False) -> DataFrame:
+# CONSTRUCT needs the four term components per binding, and a literal
+# value cannot be recovered from its NT form with column expressions
+# (unescaping the escape chain via ordered replaces is ambiguous for
+# values containing backslash sequences) — so struct-mode evaluation
+# carries struct(kind, value, lang, dt) columns alongside the NT join
+# keys. NT lexical forms are injective, so joins/dedup on the NT
+# column alone stay correct and the structs just ride along.
+_TERM_STRUCT_PREFIX = "__term__"
+
+
+def _null_str():
+    from pyspark.sql import functions as F
+
+    return F.lit(None).cast("string")
+
+
+def _bgp_frame_structs(triples: DataFrame, patterns) -> DataFrame:
+    """bgp_match's join plan, plus a __term__<var> struct per variable."""
+    from pyspark.sql import functions as F
+
+    from argo_spark.ops.bgp import _const_cond, _nt_for_position, _POS
+
+    acc = None
+    for pat in patterns:
+        cond = F.lit(True)
+        proj: dict = {}
+        structs: dict = {}
+        for pos, term in zip(_POS, pat):
+            if isinstance(term, str) and term.startswith("?"):
+                var = term[1:]
+                if var.startswith(_TERM_STRUCT_PREFIX):
+                    raise SparqlSyntaxError(
+                        f"variable name {var!r} collides with the "
+                        f"internal term-struct prefix"
+                    )
+                nt = _nt_for_position(pos)
+                if var in proj:
+                    cond = cond & (proj[var] == nt)
+                else:
+                    proj[var] = nt
+                    if pos == "p":
+                        structs[var] = F.struct(
+                            F.lit(0).cast("tinyint").alias("kind"),
+                            F.col("p_value").alias("value"),
+                            _null_str().alias("lang"),
+                            _null_str().alias("dt"),
+                        )
+                    else:
+                        structs[var] = F.struct(
+                            F.col(f"{pos}_kind").alias("kind"),
+                            F.col(f"{pos}_value").alias("value"),
+                            (F.col("o_lang") if pos == "o" else _null_str()).alias("lang"),
+                            (F.col("o_dt") if pos == "o" else _null_str()).alias("dt"),
+                        )
+            else:
+                cond = cond & _const_cond(pos, term)
+        frame = triples.where(cond).select(
+            *[c.alias(v) for v, c in proj.items()],
+            *[c.alias(_TERM_STRUCT_PREFIX + v) for v, c in structs.items()],
+        )
+        if acc is None:
+            acc = frame
+        else:
+            shared = [
+                c for c in frame.columns
+                if c in acc.columns and not c.startswith(_TERM_STRUCT_PREFIX)
+            ]
+            dup_structs = [
+                c for c in frame.columns
+                if c in acc.columns and c.startswith(_TERM_STRUCT_PREFIX)
+            ]
+            frame = frame.drop(*dup_structs)
+            acc = (
+                acc.join(frame, on=shared, how="inner")
+                if shared
+                else acc.crossJoin(frame)
+            )
+    return acc
+
+
+def _binding_vars(columns) -> list[str]:
+    return [c for c in columns if not c.startswith(_TERM_STRUCT_PREFIX)]
+
+
+def eval_group(
+    triples: DataFrame,
+    group: Group,
+    in_optional: bool = False,
+    structs: bool = False,
+) -> DataFrame:
     """Evaluate a group graph pattern left-to-right: BGP blocks join
     on shared variables (Catalyst orders/broadcasts), OPTIONAL is a
     left outer join, UNION null-extends disjoint variables, filters
-    apply group-scoped at the end."""
+    apply group-scoped at the end. ``structs=True`` (the CONSTRUCT
+    path) carries __term__<var> component structs beside the NT
+    columns; joins still key on the NT columns only."""
     from functools import reduce
 
     from argo_spark.ops.bgp import bgp_match
@@ -469,9 +561,15 @@ def eval_group(triples: DataFrame, group: Group, in_optional: bool = False) -> D
     acc = None
     for kind, payload in group.elements:
         if kind == "bgp":
-            frame = bgp_match(triples, payload, distinct=False)
+            frame = (
+                _bgp_frame_structs(triples, payload)
+                if structs
+                else bgp_match(triples, payload, distinct=False)
+            )
         elif kind == "union":
-            frames = [eval_group(triples, g) for g in payload]
+            frames = [
+                eval_group(triples, g, structs=structs) for g in payload
+            ]
             frame = reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True),
                 frames,
@@ -479,19 +577,36 @@ def eval_group(triples: DataFrame, group: Group, in_optional: bool = False) -> D
         else:  # optional
             if acc is None:
                 raise SparqlSyntaxError("leading OPTIONAL is not supported")
-            sub = eval_group(triples, payload, in_optional=True)
-            shared = [c for c in sub.columns if c in acc.columns]
+            sub = eval_group(
+                triples, payload, in_optional=True, structs=structs
+            )
+            shared = [
+                c for c in sub.columns
+                if c in acc.columns and not c.startswith(_TERM_STRUCT_PREFIX)
+            ]
             if not shared:
                 raise SparqlSyntaxError(
                     "OPTIONAL sharing no variables with the preceding "
                     "pattern is not supported"
                 )
-            acc = acc.join(sub, on=shared, how="left")
+            dup_structs = [
+                c for c in sub.columns
+                if c in acc.columns and c.startswith(_TERM_STRUCT_PREFIX)
+            ]
+            acc = acc.join(sub.drop(*dup_structs), on=shared, how="left")
             continue
         if acc is None:
             acc = frame
         else:
-            shared = [c for c in frame.columns if c in acc.columns]
+            shared = [
+                c for c in frame.columns
+                if c in acc.columns and not c.startswith(_TERM_STRUCT_PREFIX)
+            ]
+            dup_structs = [
+                c for c in frame.columns
+                if c in acc.columns and c.startswith(_TERM_STRUCT_PREFIX)
+            ]
+            frame = frame.drop(*dup_structs)
             acc = (
                 acc.join(frame, on=shared, how="inner")
                 if shared
@@ -501,7 +616,7 @@ def eval_group(triples: DataFrame, group: Group, in_optional: bool = False) -> D
         raise SparqlSyntaxError("group has no graph patterns")
     for f in group.filters:
         if in_optional:
-            unbound = _expr_vars(f) - set(acc.columns)
+            unbound = _expr_vars(f) - set(_binding_vars(acc.columns))
             if unbound:
                 raise SparqlSyntaxError(
                     f"FILTER in OPTIONAL references outer variables "
@@ -541,6 +656,14 @@ def parse_select(query: str):
     if kind == "kw" and val.upper() == "WHERE":
         p.next()
     group = p.parse_group()
+    order, limit, offset = _parse_modifiers(p)
+    return variables, group, distinct, limit, order, offset
+
+
+def _parse_modifiers(p: "_Parser"):
+    """ORDER BY / LIMIT / OFFSET tail shared by SELECT and CONSTRUCT;
+    raises on anything left over (an ignored modifier is a WRONG
+    result)."""
     order: list[tuple[str, bool]] = []
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "ORDER":
@@ -584,10 +707,119 @@ def parse_select(query: str):
             offset = int(nv)
     kind, val = p.peek()
     if kind is not None:
-        # never silently drop solution modifiers (GROUP BY, HAVING,
-        # VALUES, ...) — an ignored modifier is a WRONG result
         raise SparqlSyntaxError(f"unsupported trailing clause at {val!r}")
-    return variables, group, distinct, limit, order, offset
+    return order, limit, offset
+
+
+def parse_construct(query: str):
+    """-> (template: list[(s, p, o)], group: Group, limit, order,
+    offset). The template is a plain triple block (no OPTIONAL /
+    FILTER / nested groups; no blank-node generation — the term
+    grammar has no ``_:`` form, so every template term is a variable,
+    IRI, or literal)."""
+    p = _Parser(query)
+    p.parse_prefixes()
+    p.expect_kw("CONSTRUCT")
+    tmpl_group = p.parse_group()
+    if tmpl_group.filters or any(
+        k != "bgp" for k, _ in tmpl_group.elements
+    ):
+        raise SparqlSyntaxError(
+            "CONSTRUCT template must be a plain triple block"
+        )
+    template = tmpl_group.triples
+    kind, val = p.peek()
+    if kind == "kw" and val.upper() == "WHERE":
+        p.next()
+    group = p.parse_group()
+    order, limit, offset = _parse_modifiers(p)
+    return template, group, limit, order, offset
+
+
+def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
+    """CONSTRUCT text -> triples DataFrame (TRIPLE_COLS schema) — the
+    native counterpart of the reference's SparqlService.Graph()
+    (/root/reference/sparql/sparqlservice.go:72-82, which ships
+    CONSTRUCT text to an endpoint and parses the returned graph).
+
+    Template instantiation follows the spec's skip rules: a solution
+    that leaves any template variable unbound, or binds a literal in
+    subject position / a non-IRI in predicate position, contributes
+    no triple for that pattern. The result is set-semantic
+    (dropDuplicates over the canonical columns) per 'CONSTRUCT
+    produces an RDF graph'."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    template, group, limit, order, offset = parse_construct(query)
+    sols = eval_group(triples, group, structs=True)
+    if order:
+        cols = []
+        for v, desc in order:
+            cols.extend(_order_cols(v, desc, sols.columns))
+        sols = sols.orderBy(*cols)
+    if offset:
+        sols = sols.offset(offset)
+    if limit is not None:
+        sols = sols.limit(limit)
+
+    bound = set(_binding_vars(sols.columns))
+
+    def term_col(t, position):
+        if isinstance(t, str) and t.startswith("?"):
+            v = t[1:]
+            if v not in bound:
+                raise SparqlSyntaxError(
+                    f"CONSTRUCT template var ?{v} is not bound in WHERE"
+                )
+            return F.col(_TERM_STRUCT_PREFIX + v)
+        if isinstance(t, Term):
+            return F.struct(
+                F.lit(int(t.kind)).cast("tinyint").alias("kind"),
+                F.lit(t.value).alias("value"),
+                F.lit(t.lang if t.lang else None).cast("string").alias("lang"),
+                F.lit(t.dt).cast("string").alias("dt"),
+            )
+        # plain IRI string (from <iri> / pname / 'a')
+        return F.struct(
+            F.lit(0).cast("tinyint").alias("kind"),
+            F.lit(t).alias("value"),
+            _null_str().alias("lang"),
+            _null_str().alias("dt"),
+        )
+
+    frames = []
+    for pat in template:
+        s, p_, o = pat
+        frame = (
+            sols.select(
+                term_col(s, "s").alias("s"),
+                term_col(p_, "p").alias("p"),
+                term_col(o, "o").alias("o"),
+            )
+            .where(
+                F.col("s").isNotNull()
+                & F.col("p").isNotNull()
+                & F.col("o").isNotNull()
+                & (F.col("s.kind") != KIND_LITERAL)
+                & (F.col("p.kind") == F.lit(0))
+            )
+            .select(
+                F.col("s.kind").alias("s_kind"),
+                F.col("s.value").alias("s_value"),
+                F.col("p.value").alias("p_value"),
+                F.col("o.kind").alias("o_kind"),
+                F.col("o.value").alias("o_value"),
+                F.col("o.lang").alias("o_lang"),
+                F.col("o.dt").alias("o_dt"),
+            )
+        )
+        frames.append(frame)
+    out = reduce(lambda a, b: a.unionByName(b), frames)
+    return out.dropDuplicates(
+        ["s_kind", "s_value", "p_value", "o_kind", "o_value", "o_lang", "o_dt"]
+    )
 
 
 def _order_cols(var: str, desc: bool, columns):

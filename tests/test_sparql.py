@@ -336,3 +336,84 @@ def test_order_by_nonselected_var_non_distinct(spark):
                SELECT DISTINCT ?n WHERE { ?who s:age ?age . ?who s:name ?n }
                ORDER BY ?age""",
         )
+
+
+# -- CONSTRUCT (reference SparqlService.Graph counterpart) ----------------
+
+
+def test_construct_basic_rewrite(spark):
+    from argo_spark.ops.sparql import sparql_construct
+
+    out = sparql_construct(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           PREFIX v: <http://corpus.example/vocab#>
+           CONSTRUCT { ?who v:label ?n . ?who a v:Doc }
+           WHERE { ?who s:name ?n }""",
+    )
+    rows = {(r.s_kind, r.s_value, r.p_value, r.o_kind, r.o_value, r.o_lang)
+            for r in out.collect()}
+    assert ("http://corpus.example/vocab#label" in {r[2] for r in rows})
+    # literal objects keep lang tags; type triples got the constant IRI
+    assert (0, "http://e/b", "http://corpus.example/vocab#label", 2, "Bob", "en") in rows
+    assert (0, "http://e/c", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            0, "http://corpus.example/vocab#Doc", None) in rows
+    assert len(rows) == 6  # 3 labels + 3 type triples
+
+
+def test_construct_skips_unbound_and_invalid(spark):
+    from argo_spark.ops.sparql import sparql_construct
+
+    # ?age unbound for Cat -> no triple for that pattern; the name
+    # pattern still produces Cat's label (per-pattern skipping)
+    out = sparql_construct(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           PREFIX v: <http://corpus.example/vocab#>
+           CONSTRUCT { ?who v:age ?age . ?who v:label ?n }
+           WHERE { ?who s:name ?n OPTIONAL { ?who s:age ?age } }""",
+    )
+    rows = [(r.s_value, r.p_value) for r in out.collect()]
+    ages = [r for r in rows if r[1].endswith("#age")]
+    labels = [r for r in rows if r[1].endswith("#label")]
+    assert len(ages) == 2 and len(labels) == 3
+    # a literal binding in predicate position is skipped, not an error
+    out = sparql_construct(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           CONSTRUCT { ?who ?n ?who } WHERE { ?who s:name ?n }""",
+    )
+    assert out.count() == 0
+
+
+def test_construct_preserves_escaped_literals(spark):
+    """The struct path must carry RAW literal values — a value
+    containing backslash sequences cannot be recovered from its NT
+    form with column expressions."""
+    from argo_spark.ops.sparql import sparql_construct
+
+    tricky = 'a\\nb"q\tc'  # raw backslash+n, quote, real tab
+    g = TripleGraph.of(
+        spark,
+        [TripleT(iri("http://e/a"), iri("http://e/p"), literal(tricky))],
+    ).df
+    out = sparql_construct(
+        g,
+        "CONSTRUCT { ?s <http://e/q> ?v } WHERE { ?s <http://e/p> ?v }",
+    )
+    r = out.collect()[0]
+    assert r.o_value == tricky and r.p_value == "http://e/q"
+
+
+def test_construct_set_semantics(spark):
+    from argo_spark.ops.sparql import sparql_construct
+
+    # both Persons map onto ONE constant triple — set semantics
+    out = sparql_construct(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           PREFIX v: <http://corpus.example/vocab#>
+           CONSTRUCT { v:corpus v:hasType s:Person }
+           WHERE { ?who a s:Person }""",
+    )
+    assert out.count() == 1
