@@ -267,3 +267,51 @@ def test_fuseki_endpoint_helpers():
     assert ds.upload_endpoint() == "http://host:3030/corpus/upload"
     assert ds.query_service().endpoint_uri.endswith("/corpus/query")
     assert ds.graph_store_service().endpoint_uri.endswith("/corpus/data")
+
+
+def test_graph_construct_parity_with_native(spark):
+    """sparqlservice.go:72-86 Graph() — a canned RDF/XML CONSTRUCT
+    response parses into exactly the triples the native
+    sparql_construct produces for the same data and query."""
+    from argo_spark.ops.sparql import sparql_construct
+
+    triples = spark.createDataFrame(
+        [
+            (0, "http://e/d1", "http://schema.org/inLanguage", 2, "en", None, None),
+            (0, "http://e/s1", "http://corpus.example/vocab#hasDoc", 0, "http://e/d1", None, None),
+        ],
+        "s_kind tinyint, s_value string, p_value string, "
+        "o_kind tinyint, o_value string, o_lang string, o_dt string",
+    )
+    query = (
+        "CONSTRUCT { ?src <http://corpus.example/vocab2#contains> ?d . "
+        "?d <http://corpus.example/vocab2#lang> ?lang } "
+        "WHERE { ?src <http://corpus.example/vocab#hasDoc> ?d . "
+        "?d <http://schema.org/inLanguage> ?lang }"
+    )
+    native = {
+        (r.s_kind, r.s_value, r.p_value, r.o_kind, r.o_value, r.o_lang, r.o_dt)
+        for r in sparql_construct(triples, query).collect()
+    }
+
+    canned = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:w="http://corpus.example/vocab2#">
+  <rdf:Description rdf:about="http://e/s1">
+    <w:contains rdf:resource="http://e/d1"/>
+  </rdf:Description>
+  <rdf:Description rdf:about="http://e/d1">
+    <w:lang>en</w:lang>
+  </rdf:Description>
+</rdf:RDF>
+"""
+    log = []
+    svc = SparqlService(
+        "http://fuseki.local/ds/query",
+        transport=_fake_transport(log, body=canned.encode()),
+    )
+    got = set(svc.graph(query))
+    method, url, data, headers = log[0]
+    assert headers["Accept"] == "application/rdf+xml"
+    assert urllib.parse.parse_qs(data.decode()) == {"query": [query]}
+    assert got == native and len(native) == 2
