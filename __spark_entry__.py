@@ -620,6 +620,30 @@ def q_sparql_construct(spark, sf_dir):
     )
 
 
+def q_sparql_describe(spark, sf_dir):
+    """§2.5 E3: DESCRIBE ?var WHERE — resources from a filtered group
+    semi-join the triples table on the subject's NT form (broadcast).
+    Documented semantics: all triples whose SUBJECT is the described
+    resource (no blank-node closure — blanks are skolemized)."""
+    from argo_spark.ops.sparql import sparql_describe
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    out = sparql_describe(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           PREFIX v: <http://corpus.example/vocab#>
+           DESCRIBE ?src WHERE {
+             ?src v:hasDoc ?d . ?d s:inLanguage "en"
+           }""",
+    )
+    return out.select(
+        F.col("s_kind").cast("int").alias("s_kind"), "s_value", "p_value",
+        F.col("o_kind").cast("int").alias("o_kind"), "o_value",
+        F.coalesce("o_lang", F.lit("")).alias("o_lang"),
+        F.coalesce("o_dt", F.lit("")).alias("o_dt"),
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-K per group (§2.4): 3 longest docs per source, id tiebreak."""
     from pyspark.sql.window import Window
@@ -1202,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union": q_sparql_union,
         "sparql_order_topk": q_sparql_order_topk,
         "sparql_construct": q_sparql_construct,
+        "sparql_describe": q_sparql_describe,
         "k5_squirtle_blocks": q_k5_squirtle_blocks,
         "k4_rdfjson_lines": q_k4_rdfjson_lines,
         "k6_dictionary_roundtrip": q_k6_dictionary_roundtrip,
@@ -2010,6 +2035,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '<' || s_value || '>', '', '<' || o_value || '>'
             FROM doc_triples WHERE p_value = '{HASDOC}'
+        """,
+        "sparql_describe": f"""
+            WITH {_DOC_TRIPLES_CTE},
+            en AS (SELECT s_value AS d FROM doc_triples
+                   WHERE p_value = '{INLANG}' AND o_kind = 2
+                     AND o_value = 'en' AND o_lang IS NULL AND o_dt IS NULL),
+            res AS (SELECT DISTINCT h.s_value FROM doc_triples h
+                    JOIN en ON h.o_value = en.d
+                    WHERE h.p_value = '{HASDOC}')
+            SELECT t.s_kind::INTEGER AS s_kind, t.s_value, t.p_value,
+                   t.o_kind::INTEGER AS o_kind, t.o_value,
+                   coalesce(t.o_lang, '') AS o_lang,
+                   coalesce(t.o_dt, '') AS o_dt
+            FROM doc_triples t JOIN res USING (s_value)
         """,
         "sparql_construct": f"""
             WITH {_DOC_TRIPLES_CTE},

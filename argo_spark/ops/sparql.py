@@ -16,6 +16,7 @@ onto DataFrame operators):
         (ORDER BY (?v | ASC(?v) | DESC(?v))+)? (LIMIT n)? (OFFSET n)?
     ASK Group
     CONSTRUCT '{' Triple+ '}' WHERE Group (modifiers)?
+    DESCRIBE (<iri>+ | ?v+ WHERE Group (modifiers)?)
     Group   := '{' ( Triple '.'? | OPTIONAL Group | FILTER Expr
                    | Group (UNION Group)* '.'? )* '}'
     Expr    := Or | '(' Expr ')' ; Or/And/'!' over comparisons and
@@ -734,6 +735,116 @@ def parse_construct(query: str):
     group = p.parse_group()
     order, limit, offset = _parse_modifiers(p)
     return template, group, limit, order, offset
+
+
+def parse_describe(query: str):
+    """-> (iris: list[str], vars: list[str], group: Group | None,
+    limit, order, offset). Either ``DESCRIBE <iri>...`` (no WHERE) or
+    ``DESCRIBE ?v... WHERE Group`` (vars must be bound in the
+    group)."""
+    p = _Parser(query)
+    p.parse_prefixes()
+    p.expect_kw("DESCRIBE")
+    iris: list[str] = []
+    dvars: list[str] = []
+    while True:
+        kind, val = p.peek()
+        if kind == "var":
+            p.next()
+            dvars.append(val[1:])
+        elif kind == "iri":
+            p.next()
+            iris.append(val[1:-1])
+        elif kind == "pname":
+            p.next()
+            iris.append(p.expand_pname(val))
+        else:
+            break
+    if not iris and not dvars:
+        raise SparqlSyntaxError("DESCRIBE needs resources or variables")
+    if iris and dvars:
+        raise SparqlSyntaxError(
+            "DESCRIBE mixes IRIs and variables — unsupported"
+        )
+    group = None
+    kind, val = p.peek()
+    if kind == "kw" and val.upper() == "WHERE" or (
+        kind == "punct" and val == "{"
+    ):
+        if kind == "kw":
+            p.next()
+        group = p.parse_group()
+    if dvars and group is None:
+        raise SparqlSyntaxError("DESCRIBE ?var needs a WHERE group")
+    order, limit, offset = _parse_modifiers(p)
+    return iris, dvars, group, limit, order, offset
+
+
+def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
+    """DESCRIBE text -> triples DataFrame (TRIPLE_COLS schema) — with
+    CONSTRUCT, the native counterpart of the reference's
+    SparqlService.Graph() (sparqlservice.go:72-86, CONSTRUCT/DESCRIBE
+    both arrive as RDF/XML graphs).
+
+    Description semantics (implementation-defined per spec §16.4,
+    documented here): ALL triples whose SUBJECT is the described
+    resource, no blank-node closure — this engine skolemizes blank
+    nodes (terms.py skolem_id), so the Concise-Bounded-Description
+    recursion that motivates closure over anonymous nodes does not
+    apply. The resource set semi-joins against the subject's NT form
+    (broadcast when small)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from argo_spark.ops.bgp import _nt_for_position
+
+    iris, dvars, group, limit, order, offset = parse_describe(query)
+    if iris and (order or limit is not None or offset is not None):
+        raise SparqlSyntaxError(
+            "solution modifiers need a WHERE group to act on"
+        )
+    spark = triples.sparkSession
+    if iris:
+        resources = spark.createDataFrame(
+            [("<" + i + ">",) for i in sorted(set(iris))], "__res string"
+        )
+    else:
+        sols = eval_group(triples, group)
+        missing = [v for v in dvars if v not in sols.columns]
+        if missing:
+            raise SparqlSyntaxError(
+                f"DESCRIBE vars not bound in WHERE: {missing}"
+            )
+        if order:
+            cols = []
+            for v, desc in order:
+                cols.extend(_order_cols(v, desc, sols.columns))
+            sols = sols.orderBy(*cols)
+        if offset:
+            sols = sols.offset(offset)
+        if limit is not None:
+            sols = sols.limit(limit)
+        resources = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                sols.select(F.col(v).alias("__res")).where(
+                    F.col(v).isNotNull()
+                )
+                for v in dvars
+            ],
+        ).dropDuplicates()
+    if iris:
+        # driver-enumerated resource list: always broadcast-sized
+        resources = F.broadcast(resources)
+    # var path: the resource set's size is data-dependent (could be
+    # the whole subject universe at 100 TB), so the planner/AQE picks
+    # — AQE converts the semi-join to broadcast at runtime when the
+    # built side is actually small
+    subject_nt = _nt_for_position("s")
+    return triples.join(
+        resources, on=subject_nt == resources["__res"], how="left_semi"
+    )
 
 
 def sparql_construct(triples: DataFrame, query: str) -> DataFrame:

@@ -417,3 +417,36 @@ def test_construct_set_semantics(spark):
            WHERE { ?who a s:Person }""",
     )
     assert out.count() == 1
+
+
+def test_describe_iri_and_var(spark):
+    from argo_spark.ops.sparql import sparql_describe
+
+    g = graph2(spark)
+    out = sparql_describe(g, "DESCRIBE <http://e/a>")
+    assert out.count() == 3  # type + name + age triples of /a
+    assert {r.s_value for r in out.collect()} == {"http://e/a"}
+    # var form: describe everyone whose age >= 18
+    out = sparql_describe(
+        g,
+        """PREFIX s: <http://schema.org/>
+           DESCRIBE ?who WHERE { ?who s:age ?age FILTER(?age >= 18) }""",
+    )
+    assert {r.s_value for r in out.collect()} == {"http://e/a"}
+    assert out.count() == 3
+    # multiple IRIs, one unknown (contributes nothing)
+    out = sparql_describe(g, "DESCRIBE <http://e/c> <http://e/nope>")
+    assert {(r.s_value, r.p_value) for r in out.collect()} == {
+        ("http://e/c", "http://schema.org/name")
+    }
+
+
+def test_describe_errors():
+    from argo_spark.ops.sparql import parse_describe
+
+    with pytest.raises(SparqlSyntaxError):
+        parse_describe("DESCRIBE")
+    with pytest.raises(SparqlSyntaxError):
+        parse_describe("DESCRIBE ?x")  # var without WHERE
+    with pytest.raises(SparqlSyntaxError):
+        parse_describe("DESCRIBE <http://e/a> ?x WHERE { ?x ?p ?o }")
