@@ -110,6 +110,7 @@ def run_pipeline(
     predicate_rewrites: list[tuple[str, str]] | None = None,
     object_rewrites: list[tuple[str, str]] | None = None,
     squish: bool = False,
+    construct: str | None = None,
 ) -> int:
     t0 = time.time()
     url_inputs = [p for p in inputs if p.startswith(("http://", "https://"))]
@@ -128,6 +129,7 @@ def run_pipeline(
         return _run_pipeline_on(
             spark, dfs, output, out_format, rewrites, subject_rewrites,
             predicate_rewrites, object_rewrites, squish, t0, err_frames,
+            construct=construct,
         )
     finally:
         for local, _mime in fetched.values():
@@ -140,6 +142,7 @@ def run_pipeline(
 def _run_pipeline_on(
     spark, dfs, output, out_format, rewrites, subject_rewrites,
     predicate_rewrites, object_rewrites, squish, t0, err_frames=(),
+    construct=None,
 ) -> int:
     from argo_spark.ops.rewrite import rewrite_terms
 
@@ -158,6 +161,12 @@ def _run_pipeline_on(
     for pat, repl in object_rewrites or []:
         df = rewrite_terms(df, pat, repl, positions=("object",))
 
+    if construct:
+        # graph transformation via SPARQL CONSTRUCT (after rewrites,
+        # before squish — CONSTRUCT output is already set-semantic)
+        from argo_spark.ops.sparql import sparql_construct
+
+        df = sparql_construct(df.select(*TRIPLE_COLS), construct)
     if squish:
         df = df.dropDuplicates(TRIPLE_COLS)
 
@@ -203,6 +212,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--rewrite-predicate", nargs=2, action="append", default=[])
     p.add_argument("--rewrite-object", nargs=2, action="append", default=[])
     p.add_argument("--squish", action="store_true", help="dedup to set semantics")
+    p.add_argument(
+        "--construct", metavar="QUERY",
+        help="transform the merged graph with a SPARQL CONSTRUCT query "
+             "before serializing",
+    )
     args = p.parse_args(argv)
 
     from argo_spark.session import get_spark
@@ -220,6 +234,7 @@ def main(argv: list[str] | None = None) -> None:
             predicate_rewrites=[tuple(x) for x in args.rewrite_predicate],
             object_rewrites=[tuple(x) for x in args.rewrite_object],
             squish=args.squish,
+            construct=args.construct,
         )
     finally:
         spark.stop()

@@ -275,3 +275,38 @@ def test_parse_rdfxml_col_null_rows_quarantined(spark):
     )
     out = parse_rdfxml_col(df).collect()
     assert len(out) == 1 and out[0].error == "null document"
+
+
+def test_cli_construct_transform(spark, tmp_path):
+    """--construct transforms the merged graph with a SPARQL CONSTRUCT
+    query before serialization (after rewrites, set-semantic)."""
+    from argo_spark.cli import run_pipeline
+    from argo_spark.ntriples import parse_document
+
+    src = tmp_path / "in.nt"
+    src.write_text(
+        "<http://e/s1> <http://e/knows> <http://e/s2> .\n"
+        "<http://e/s2> <http://e/knows> <http://e/s3> .\n"
+        '<http://e/s1> <http://e/name> "Ada" .\n'
+    )
+    out = str(tmp_path / "out.nt")
+    n = run_pipeline(
+        spark,
+        [str(src)],
+        out,
+        construct=(
+            "CONSTRUCT { ?b <http://e/knownBy> ?a } "
+            "WHERE { ?a <http://e/knows> ?b }"
+        ),
+    )
+    assert n == 2
+    import glob
+
+    text = "".join(open(f).read() for f in sorted(glob.glob(out + "/part-*")))
+    triples, err = parse_document(text)
+    assert err is None
+    got = {(t.s.value, t.p.value, t.o.value) for t in triples}
+    assert got == {
+        ("http://e/s2", "http://e/knownBy", "http://e/s1"),
+        ("http://e/s3", "http://e/knownBy", "http://e/s2"),
+    }
