@@ -644,6 +644,24 @@ def q_sparql_describe(spark, sf_dir):
     )
 
 
+def q_sparql_values(spark, sf_dir):
+    """§2.5 E3: VALUES inline table (broadcast) joining a BGP — docs
+    restricted to an inline language list with a tag column; DuckDB
+    replays the inline table as a VALUES list."""
+    from argo_spark.ops.sparql import sparql_select
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?d ?lang ?tag WHERE {
+             ?d s:inLanguage ?lang .
+             VALUES (?lang ?tag) { ("en" "anglo") ("fr" "romance")
+                                   ("es" "romance") }
+           }""",
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-K per group (§2.4): 3 longest docs per source, id tiebreak."""
     from pyspark.sql.window import Window
@@ -1227,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_order_topk": q_sparql_order_topk,
         "sparql_construct": q_sparql_construct,
         "sparql_describe": q_sparql_describe,
+        "sparql_values": q_sparql_values,
         "k5_squirtle_blocks": q_k5_squirtle_blocks,
         "k4_rdfjson_lines": q_k4_rdfjson_lines,
         "k6_dictionary_roundtrip": q_k6_dictionary_roundtrip,
@@ -2035,6 +2054,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '<' || s_value || '>', '', '<' || o_value || '>'
             FROM doc_triples WHERE p_value = '{HASDOC}'
+        """,
+        "sparql_values": f"""
+            WITH {_DOC_TRIPLES_CTE},
+            vals(lang_raw, tag_raw) AS (
+              VALUES ('en', 'anglo'), ('fr', 'romance'), ('es', 'romance'))
+            SELECT '<' || t.s_value || '>' AS d,
+                   '"' || t.o_value || '"' AS lang,
+                   '"' || v.tag_raw || '"' AS tag
+            FROM doc_triples t JOIN vals v ON t.o_value = v.lang_raw
+            WHERE t.p_value = '{INLANG}' AND t.o_kind = 2
+              AND t.o_lang IS NULL AND t.o_dt IS NULL
         """,
         "sparql_describe": f"""
             WITH {_DOC_TRIPLES_CTE},

@@ -18,6 +18,7 @@ onto DataFrame operators):
     CONSTRUCT '{' Triple+ '}' WHERE Group (modifiers)?
     DESCRIBE (<iri>+ | ?v+ WHERE Group (modifiers)?)
     Group   := '{' ( Triple '.'? | OPTIONAL Group | FILTER Expr
+                   | VALUES (?v | '(' ?v+ ')') '{' data '}'
                    | Group (UNION Group)* '.'? )* '}'
     Expr    := Or | '(' Expr ')' ; Or/And/'!' over comparisons and
                BOUND(?v) / REGEX(?v, "pat" (, "i")?)
@@ -43,7 +44,13 @@ drops — SPARQL's error-eliminates-row) and BOUND false. A FILTER
 directly inside an OPTIONAL group may reference only that group's
 own variables (the LeftJoin-expression case raises rather than
 silently mis-scoping); leading OPTIONAL and OPTIONAL sharing no
-variables with the accumulated solution raise likewise.
+variables with the accumulated solution raise likewise. VALUES
+(group-level, with UNDEF) joins as a broadcast inline table. Any
+join keyed on a POSSIBLY-UNBOUND variable — one a UNION branch
+doesn't bind, an OPTIONAL may not bind, or a VALUES UNDEF leaves
+open — raises: SPARQL's compatibility join (unbound matches
+anything) is not an equi-join, and an equi-join on NULL would
+silently drop solutions.
 
 ORDER BY implements §15.1 made total (documented): unbound < blank <
 IRI < numeric literals by value < other literals by escaped lexical,
@@ -221,6 +228,9 @@ class _Parser:
             if kind == "kw" and val.upper() == "OPTIONAL":
                 self.next()
                 elements.append(("optional", self.parse_group()))
+            elif kind == "kw" and val.upper() == "VALUES":
+                self.next()
+                elements.append(self.parse_values())
             elif kind == "kw" and val.upper() == "FILTER":
                 self.next()
                 filters.append(self.parse_constraint())
@@ -248,6 +258,52 @@ class _Parser:
         if not elements and not filters:
             raise SparqlSyntaxError("empty group pattern")
         return Group(elements, filters)
+
+    def parse_values(self) -> tuple:
+        """VALUES ?v { t... } | VALUES (?v...) { (t...)... } with
+        UNDEF cells -> ("values", [vars], [[Term|str|None]])."""
+        kind, val = self.peek()
+        paren = kind == "punct" and val == "("
+        vnames: list[str] = []
+        if paren:
+            self.next()
+            while True:
+                kind, val = self.peek()
+                if kind == "var":
+                    self.next()
+                    vnames.append(val[1:])
+                else:
+                    break
+            self.expect_punct(")")
+        else:
+            vk, vv = self.next()
+            if vk != "var":
+                raise SparqlSyntaxError("VALUES needs a variable")
+            vnames = [vv[1:]]
+        if not vnames:
+            raise SparqlSyntaxError("VALUES needs at least one variable")
+        self.expect_punct("{")
+        rows: list[list] = []
+        while True:
+            kind, val = self.peek()
+            if kind == "punct" and val == "}":
+                self.next()
+                break
+            if paren:
+                self.expect_punct("(")
+                row = [self._values_cell() for _ in vnames]
+                self.expect_punct(")")
+            else:
+                row = [self._values_cell()]
+            rows.append(row)
+        return ("values", (vnames, rows))
+
+    def _values_cell(self):
+        kind, val = self.peek()
+        if kind == "kw" and val.upper() == "UNDEF":
+            self.next()
+            return None
+        return self.parse_term("o")
 
     # -- FILTER constraint grammar (recursive descent over Expr) ----
 
@@ -543,6 +599,43 @@ def _binding_vars(columns) -> list[str]:
     return [c for c in columns if not c.startswith(_TERM_STRUCT_PREFIX)]
 
 
+def _values_frame(spark, vnames, rows, with_structs: bool) -> DataFrame:
+    """Inline VALUES table as a (tiny, broadcastable) DataFrame: NT
+    string per var, plus the __term__ struct in CONSTRUCT mode."""
+    from pyspark.sql import functions as F
+
+    from argo_spark.terms import format_term
+
+    def cell(t):
+        if t is None:
+            return None, None
+        if isinstance(t, Term):
+            return format_term(t), (
+                int(t.kind), t.value, t.lang if t.lang else None, t.dt
+            )
+        return "<" + t + ">", (0, t, None, None)
+
+    data = []
+    for row in rows:
+        flat: list = []
+        for t in row:
+            nt, comp = cell(t)
+            flat.append(nt)
+            if with_structs:
+                flat.append(comp)
+        data.append(tuple(flat))
+    fields = []
+    for v in vnames:
+        fields.append(f"`{v}` string")
+        if with_structs:
+            fields.append(
+                f"`{_TERM_STRUCT_PREFIX}{v}` "
+                "struct<kind:tinyint,value:string,lang:string,dt:string>"
+            )
+    frame = spark.createDataFrame(data, ", ".join(fields))
+    return F.broadcast(frame)
+
+
 def eval_group(
     triples: DataFrame,
     group: Group,
@@ -551,16 +644,45 @@ def eval_group(
 ) -> DataFrame:
     """Evaluate a group graph pattern left-to-right: BGP blocks join
     on shared variables (Catalyst orders/broadcasts), OPTIONAL is a
-    left outer join, UNION null-extends disjoint variables, filters
-    apply group-scoped at the end. ``structs=True`` (the CONSTRUCT
-    path) carries __term__<var> component structs beside the NT
-    columns; joins still key on the NT columns only."""
+    left outer join, UNION null-extends disjoint variables, VALUES is
+    a broadcast inline table, filters apply group-scoped at the end.
+    ``structs=True`` (the CONSTRUCT path) carries __term__<var>
+    component structs beside the NT columns; joins still key on the
+    NT columns only."""
+    return _eval_group_impl(triples, group, in_optional, structs)[0]
+
+
+def _guard_compat_join(shared, maybe_null, what: str) -> None:
+    """SPARQL's join treats an UNBOUND variable as compatible with
+    anything; an equi-join on a NULL key instead matches nothing. Any
+    join keyed on a possibly-unbound variable (from a UNION branch
+    that doesn't bind it, an OPTIONAL that may not match, or a VALUES
+    UNDEF) would therefore silently drop solutions — raise instead."""
+    bad = sorted(set(shared) & maybe_null)
+    if bad:
+        raise SparqlSyntaxError(
+            f"{what} joins on possibly-unbound variable(s) {bad} — "
+            f"SPARQL's compatibility join is not an equi-join "
+            f"(unsupported)"
+        )
+
+
+def _eval_group_impl(
+    triples: DataFrame,
+    group: Group,
+    in_optional: bool,
+    structs: bool,
+):
+    """-> (frame, maybe_null_vars): the solution frame plus the set of
+    variables that may be NULL in some rows."""
     from functools import reduce
 
     from argo_spark.ops.bgp import bgp_match
 
     acc = None
+    maybe_null: set[str] = set()
     for kind, payload in group.elements:
+        frame_nulls: set[str] = set()
         if kind == "bgp":
             frame = (
                 _bgp_frame_structs(triples, payload)
@@ -568,19 +690,33 @@ def eval_group(
                 else bgp_match(triples, payload, distinct=False)
             )
         elif kind == "union":
-            frames = [
-                eval_group(triples, g, structs=structs) for g in payload
+            evaled = [
+                _eval_group_impl(triples, g, False, structs) for g in payload
             ]
+            frames = [f for f, _ in evaled]
+            all_vars = set()
+            for f, nulls in evaled:
+                all_vars |= set(_binding_vars(f.columns))
+                frame_nulls |= nulls
+            for f, _ in evaled:
+                # vars absent from this branch are null in its rows
+                frame_nulls |= all_vars - set(_binding_vars(f.columns))
             frame = reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True),
                 frames,
             )
+        elif kind == "values":
+            vnames, rows = payload
+            for i, v in enumerate(vnames):
+                if any(r[i] is None for r in rows):
+                    frame_nulls.add(v)
+            frame = _values_frame(
+                triples.sparkSession, vnames, rows, structs
+            )
         else:  # optional
             if acc is None:
                 raise SparqlSyntaxError("leading OPTIONAL is not supported")
-            sub = eval_group(
-                triples, payload, in_optional=True, structs=structs
-            )
+            sub, sub_nulls = _eval_group_impl(triples, payload, True, structs)
             shared = [
                 c for c in sub.columns
                 if c in acc.columns and not c.startswith(_TERM_STRUCT_PREFIX)
@@ -590,19 +726,26 @@ def eval_group(
                     "OPTIONAL sharing no variables with the preceding "
                     "pattern is not supported"
                 )
+            _guard_compat_join(shared, maybe_null | sub_nulls, "OPTIONAL")
             dup_structs = [
                 c for c in sub.columns
                 if c in acc.columns and c.startswith(_TERM_STRUCT_PREFIX)
             ]
             acc = acc.join(sub.drop(*dup_structs), on=shared, how="left")
+            # every var the optional may or may not bind is nullable
+            maybe_null |= (
+                set(_binding_vars(sub.columns)) - set(shared)
+            ) | sub_nulls
             continue
         if acc is None:
             acc = frame
+            maybe_null = frame_nulls
         else:
             shared = [
                 c for c in frame.columns
                 if c in acc.columns and not c.startswith(_TERM_STRUCT_PREFIX)
             ]
+            _guard_compat_join(shared, maybe_null | frame_nulls, "group")
             dup_structs = [
                 c for c in frame.columns
                 if c in acc.columns and c.startswith(_TERM_STRUCT_PREFIX)
@@ -613,6 +756,7 @@ def eval_group(
                 if shared
                 else acc.crossJoin(frame)
             )
+            maybe_null |= frame_nulls
     if acc is None:
         raise SparqlSyntaxError("group has no graph patterns")
     for f in group.filters:
@@ -625,7 +769,7 @@ def eval_group(
                     f"unsupported)"
                 )
         acc = acc.where(_expr_col(f, acc.columns))
-    return acc
+    return acc, maybe_null
 
 
 def parse_select(query: str):

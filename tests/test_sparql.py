@@ -450,3 +450,81 @@ def test_describe_errors():
         parse_describe("DESCRIBE ?x")  # var without WHERE
     with pytest.raises(SparqlSyntaxError):
         parse_describe("DESCRIBE <http://e/a> ?x WHERE { ?x ?p ?o }")
+
+
+# -- VALUES + compatibility-join guard ------------------------------------
+
+
+def test_values_single_and_tuple(spark):
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who ?n WHERE {
+             VALUES ?who { <http://e/a> <http://e/c> }
+             ?who s:name ?n
+           }""",
+    )
+    assert {(r.who, r.n) for r in out.collect()} == {
+        ("<http://e/a>", '"Ada"'),
+        ("<http://e/c>", '"Cat"'),
+    }
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who ?n ?tag WHERE {
+             ?who s:name ?n .
+             VALUES (?n ?tag) { ("Ada" "first") ("Bob"@en "second") }
+           }""",
+    )
+    assert {(r.who, r.tag) for r in out.collect()} == {
+        ("<http://e/a>", '"first"'),
+        ("<http://e/b>", '"second"'),
+    }
+
+
+def test_values_undef_non_join_ok(spark):
+    # UNDEF in a var that never joins: rides through as null
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who ?extra WHERE {
+             VALUES (?who ?extra) { (<http://e/a> "x") (<http://e/c> UNDEF) }
+             ?who s:name ?n
+           }""",
+    )
+    got = {(r.who, r.extra) for r in out.collect()}
+    assert got == {("<http://e/a>", '"x"'), ("<http://e/c>", None)}
+
+
+def test_compat_join_guard_raises(spark):
+    # UNDEF in a joining var
+    with pytest.raises(SparqlSyntaxError, match="possibly-unbound"):
+        sparql_select(
+            graph2(spark),
+            """PREFIX s: <http://schema.org/>
+               SELECT ?n WHERE {
+                 VALUES ?n { "Ada" UNDEF }
+                 ?who s:name ?n
+               }""",
+        )
+    # a var one UNION branch doesn't bind, then joined downstream
+    with pytest.raises(SparqlSyntaxError, match="possibly-unbound"):
+        sparql_select(
+            graph2(spark),
+            """PREFIX s: <http://schema.org/>
+               SELECT ?x WHERE {
+                 { ?who s:name ?x } UNION { ?who a ?t }
+                 ?other s:name ?x
+               }""",
+        )
+    # an OPTIONAL-only var joined by a later pattern
+    with pytest.raises(SparqlSyntaxError, match="possibly-unbound"):
+        sparql_select(
+            graph2(spark),
+            """PREFIX s: <http://schema.org/>
+               SELECT ?n WHERE {
+                 ?who s:name ?n .
+                 OPTIONAL { ?who s:age ?age }
+                 ?x s:age ?age
+               }""",
+        )
