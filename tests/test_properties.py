@@ -285,7 +285,17 @@ def test_sparql_result_xml_round_trip(rows_):
 # loopc: compiled triples round-trip through the NT serializer/parser
 # ---------------------------------------------------------------------------
 
-_loop_words = st.from_regex(r"[a-z][a-z0-9]{0,8}", fullmatch=True)
+# reserved words (loopc.py _KEYWORDS, mirroring the reference
+# lexer.go keyword table) are not valid prefix/arg identifiers — in
+# the reference either (hypothesis found `of` as a generated prefix)
+_LOOP_KEYWORDS = {
+    "as", "boolean", "bool", "data", "false", "float", "func",
+    "integer", "int", "name", "of", "resource", "res", "string",
+    "str", "true",
+}
+_loop_words = st.from_regex(r"[a-z][a-z0-9]{0,8}", fullmatch=True).filter(
+    lambda w: w not in _LOOP_KEYWORDS
+)
 
 
 @st.composite
