@@ -21,7 +21,12 @@ onto DataFrame operators):
                    | VALUES (?v | '(' ?v+ ')') '{' data '}'
                    | Group (UNION Group)* '.'? )* '}'
     Expr    := Or | '(' Expr ')' ; Or/And/'!' over comparisons and
-               BOUND(?v) / REGEX(?v, "pat" (, "i")?)
+               BOUND(?v) / REGEX(?v, "pat" (, "i")?); comparison
+               operands may be STR(?v) / LANG(?v) / DATATYPE(?v)
+               (LANG is "" for untagged literals; DATATYPE is
+               xsd:string for plain and rdf:langString for tagged
+               literals per SPARQL 1.1; both are errors — NULL,
+               row drops — on non-literals)
 
 with terms ``?var``/``$var``, ``<iri>``, ``prefix:local``, the ``a``
 keyword (rdf:type), ``"literal"`` with optional ``@lang`` or
@@ -390,6 +395,15 @@ class _Parser:
         if kind in ("num", "dec"):
             self.next()
             return ("num", float(val))
+        if kind == "kw" and val.upper() in ("STR", "LANG", "DATATYPE"):
+            self.next()
+            fn = val.upper()
+            self.expect_punct("(")
+            vk, vv = self.next()
+            if vk != "var":
+                raise SparqlSyntaxError(f"{fn} takes a variable")
+            self.expect_punct(")")
+            return ("func", fn, vv[1:])
         if kind in ("iri", "pname", "lit"):
             return ("term", self.parse_term("o"))
         raise SparqlSyntaxError(f"bad FILTER operand {val!r}")
@@ -431,6 +445,37 @@ def _operand_info(node, columns):
         # coercion of a non-numeric lexical is an error that drops the
         # row (NULL), never a query abort
         return c, lex, lex.try_cast("double"), False
+    if kind == "func":
+        fn, var = payload, node[2]
+        c = F.col(var) if var in columns else F.lit(None).cast("string")
+        if fn == "STR":
+            lex = _lex_col(c)
+        elif fn == "LANG":
+            # "" when the literal has no tag (regexp_extract returns ''
+            # on no-match); error (NULL) on non-literals. The quoted
+            # part is group 1, so the tag is group 2.
+            lex = F.when(
+                c.startswith('"'),
+                F.regexp_extract(c, _QUOTED_LEX + r"@([A-Za-z0-9-]+)$", 2),
+            )
+        else:  # DATATYPE (SPARQL 1.1: plain -> xsd:string, @lang -> langString)
+            lex = F.when(
+                c.startswith('"'),
+                F.when(
+                    c.rlike(_QUOTED_LEX + r"\^\^<.*>$"),
+                    F.regexp_extract(c, _QUOTED_LEX + r"\^\^<(.*)>$", 2),
+                )
+                .when(
+                    c.rlike(_QUOTED_LEX + r"@[A-Za-z0-9-]+$"),
+                    F.lit(
+                        "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+                    ),
+                )
+                .otherwise(
+                    F.lit("http://www.w3.org/2001/XMLSchema#string")
+                ),
+            )
+        return None, lex, lex.try_cast("double"), False
     if kind == "num":
         s = repr(payload) if payload != int(payload) else str(int(payload))
         return None, F.lit(s), F.lit(float(payload)), True
@@ -511,7 +556,13 @@ def _expr_vars(expr) -> set[str]:
     if op == "regex":
         return {expr[1][1]} if expr[1][0] == "var" else set()
     if op == "cmp":
-        return {o[1] for o in (expr[2], expr[3]) if o[0] == "var"}
+        out = set()
+        for o in (expr[2], expr[3]):
+            if o[0] == "var":
+                out.add(o[1])
+            elif o[0] == "func":
+                out.add(o[2])
+        return out
     return set()
 
 

@@ -528,3 +528,49 @@ def test_compat_join_guard_raises(spark):
                  ?x s:age ?age
                }""",
         )
+
+
+def test_filter_str_lang_datatype(spark):
+    g = graph2(spark)
+    # LANG: tagged vs untagged; "" comparison per SPARQL
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?who s:name ?n . FILTER(LANG(?n) = "en") }""",
+    )
+    assert {r.n for r in out.collect()} == {'"Bob"@en'}
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?who s:name ?n . FILTER(LANG(?n) = "") }""",
+    )
+    assert {r.n for r in out.collect()} == {'"Ada"', '"Cat"'}
+    # STR strips the tag: matches across plain and tagged
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who WHERE { ?who s:name ?n . FILTER(STR(?n) = "Bob") }""",
+    )
+    assert {r.who for r in out.collect()} == {"<http://e/b>"}
+    # DATATYPE: typed literal, and xsd:string for plain
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+           SELECT ?who WHERE { ?who s:age ?a . FILTER(DATATYPE(?a) = xsd:integer) }""",
+    )
+    assert out.count() == 2
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+           SELECT ?n WHERE { ?who s:name ?n . FILTER(DATATYPE(?n) = xsd:string) }""",
+    )
+    assert {r.n for r in out.collect()} == {'"Ada"', '"Cat"'}
+    # DATATYPE of an IRI binding is an error -> row drops
+    out = sparql_select(
+        g,
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+           SELECT ?who WHERE { ?who a ?t . FILTER(DATATYPE(?t) = xsd:string) }""",
+    )
+    assert out.count() == 0
