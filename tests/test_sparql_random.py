@@ -202,6 +202,12 @@ def _eval_group_py(triples, group):
             frame = []
             for g in payload:
                 frame.extend(_eval_group_py(triples, g))
+        elif kind == "values":
+            vnames, vrows = payload
+            frame = [
+                {v: nt for v, nt in zip(vnames, row) if nt is not None}
+                for row in vrows
+            ]
         else:  # optional
             sub = _eval_group_py(triples, payload)
             sub_vars = set().union(*(set(r) for r in sub)) if sub else set()
@@ -283,6 +289,19 @@ def test_sparql_algebra_matches_python_oracle(spark):
         base_vars = sorted(
             {t[1:] for pat in base for t in pat if t.startswith("?")}
         )
+        if rnd.random() < 0.4:
+            # inline VALUES on a base var (defined terms only — UNDEF
+            # on a join var is guarded by design); literals chosen so
+            # some rows match and some don't
+            words = rnd.sample(["w0", "w1", "w2", "w3", "w4"],
+                               rnd.randint(1, 3))
+            vvar = rnd.choice(base_vars) if base_vars else "y"
+            elements.append(
+                ("values", ([vvar], [[f'"{w}"'] for w in words]))
+            )
+            body.append(
+                f"VALUES ?{vvar} {{ " + " ".join(f'"{w}"' for w in words) + " }"
+            )
         if rnd.random() < 0.6 and base_vars:
             # engine (correctly) raises on OPTIONAL sharing no vars —
             # anchor the optional subject on a base-bound variable;
