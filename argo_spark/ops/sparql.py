@@ -21,7 +21,10 @@ onto DataFrame operators):
                    | VALUES (?v | '(' ?v+ ')') '{' data '}'
                    | Group (UNION Group)* '.'? )* '}'
     Expr    := Or | '(' Expr ')' ; Or/And/'!' over comparisons and
-               BOUND(?v) / REGEX(?v, "pat" (, "i")?); comparison
+               BOUND(?v) / REGEX(?v, "pat" (, "i")?) /
+               isIRI|isURI|isLiteral|isBlank(?v) (NT-prefix checks;
+               error->NULL on unbound) / sameTerm(a, b) (strict NT
+               identity); comparison
                operands may be STR(?v) / LANG(?v) / DATATYPE(?v)
                (LANG is "" for untagged literals; DATATYPE is
                xsd:string for plain and rdf:langString for tagged
@@ -139,6 +142,11 @@ def _unescape(body: str) -> str:
             out.append(c)
             i += 1
     return "".join(out)
+
+
+_BOOL_BUILTINS = (
+    "BOUND", "REGEX", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "SAMETERM"
+)
 
 
 class _Parser:
@@ -319,7 +327,7 @@ class _Parser:
             e = self.parse_or()
             self.expect_punct(")")
             return e
-        if kind == "kw" and val.upper() in ("BOUND", "REGEX"):
+        if kind == "kw" and val.upper() in _BOOL_BUILTINS:
             return self.parse_builtin()
         raise SparqlSyntaxError(f"FILTER needs (expr) or builtin, got {val!r}")
 
@@ -350,7 +358,7 @@ class _Parser:
             e = self.parse_or()
             self.expect_punct(")")
             return e
-        if kind == "kw" and val.upper() in ("BOUND", "REGEX"):
+        if kind == "kw" and val.upper() in _BOOL_BUILTINS:
             return self.parse_builtin()
         left = self.parse_operand()
         kind, val = self.peek()
@@ -365,12 +373,22 @@ class _Parser:
         _, name = self.next()
         fn = name.upper()
         self.expect_punct("(")
-        if fn == "BOUND":
+        if fn in ("BOUND", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK"):
             vk, vv = self.next()
             if vk != "var":
-                raise SparqlSyntaxError("BOUND needs a variable")
+                raise SparqlSyntaxError(f"{fn} needs a variable")
             self.expect_punct(")")
-            return ("bound", vv[1:])
+            if fn == "BOUND":
+                return ("bound", vv[1:])
+            kindmap = {"ISIRI": "<", "ISURI": "<", "ISLITERAL": '"',
+                       "ISBLANK": "_"}
+            return ("iskind", kindmap[fn], vv[1:])
+        if fn == "SAMETERM":
+            a = self.parse_operand()
+            self.expect_punct(",")
+            b = self.parse_operand()
+            self.expect_punct(")")
+            return ("sameterm", a, b)
         # REGEX(operand, "pattern" (, "flags")?)
         target = self.parse_operand()
         self.expect_punct(",")
@@ -515,6 +533,20 @@ def _expr_col(expr, columns):
         if expr[1] not in columns:
             return F.lit(False)
         return F.col(expr[1]).isNotNull()
+    if op == "iskind":
+        # NT form prefixes: '<' IRI, '"' literal, '_' blank; unbound
+        # is an error (NULL, row drops) per SPARQL
+        if expr[2] not in columns:
+            return F.lit(None).cast("boolean")
+        return F.col(expr[2]).startswith(expr[1])
+    if op == "sameterm":
+        lnt = _operand_info(expr[1], columns)[0]
+        rnt = _operand_info(expr[2], columns)[0]
+        if lnt is None or rnt is None:
+            raise SparqlSyntaxError(
+                "sameTerm needs RDF-term operands (variable or term)"
+            )
+        return lnt == rnt
     if op == "regex":
         _, lex, _, _ = _operand_info(expr[1], columns)
         pat = expr[2]
@@ -553,6 +585,16 @@ def _expr_vars(expr) -> set[str]:
         return _expr_vars(expr[1])
     if op == "bound":
         return {expr[1]}
+    if op == "iskind":
+        return {expr[2]}
+    if op == "sameterm":
+        out = set()
+        for o in (expr[1], expr[2]):
+            if o[0] == "var":
+                out.add(o[1])
+            elif o[0] == "func":
+                out.add(o[2])
+        return out
     if op == "regex":
         return {expr[1][1]} if expr[1][0] == "var" else set()
     if op == "cmp":

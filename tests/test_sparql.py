@@ -574,3 +574,38 @@ def test_filter_str_lang_datatype(spark):
            SELECT ?who WHERE { ?who a ?t . FILTER(DATATYPE(?t) = xsd:string) }""",
     )
     assert out.count() == 0
+
+
+def test_filter_iskind_and_sameterm(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?o WHERE { <http://e/a> ?p ?o . FILTER(isIRI(?o)) }""",
+    )
+    assert {r.o for r in out.collect()} == {"<" + SCHEMA + "Person>"}
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?o WHERE { <http://e/a> ?p ?o . FILTER(isLiteral(?o)) }""",
+    )
+    assert out.count() == 2  # name + age
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?who s:name ?n . FILTER(sameTerm(?n, "Bob"@en)) }""",
+    )
+    assert {r.n for r in out.collect()} == {'"Bob"@en'}
+    # sameTerm is strict identity: plain "Bob" is a different term
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?who s:name ?n . FILTER(sameTerm(?n, "Bob")) }""",
+    )
+    assert out.count() == 0
+    # isBlank: no blanks in this graph
+    out = sparql_select(
+        g,
+        "SELECT ?s WHERE { ?s ?p ?o . FILTER(isBlank(?s)) }",
+    )
+    assert out.count() == 0
