@@ -662,6 +662,24 @@ def q_sparql_values(spark, sf_dir):
     )
 
 
+def q_sparql_minus(spark, sf_dir):
+    """§2.5 E3: MINUS (negation, §8.3.3) planned as a left-anti
+    equi-join on the shared variable — docs with a language, minus
+    those contained by sources src10-src19."""
+    from argo_spark.ops.sparql import sparql_select
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?d ?lang WHERE {
+             ?d s:inLanguage ?lang .
+             MINUS { ?src v:hasDoc ?d FILTER(REGEX(?src, "/src1[0-9]$")) }
+           }""",
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-K per group (§2.4): 3 longest docs per source, id tiebreak."""
     from pyspark.sql.window import Window
@@ -1246,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_construct": q_sparql_construct,
         "sparql_describe": q_sparql_describe,
         "sparql_values": q_sparql_values,
+        "sparql_minus": q_sparql_minus,
         "k5_squirtle_blocks": q_k5_squirtle_blocks,
         "k4_rdfjson_lines": q_k4_rdfjson_lines,
         "k6_dictionary_roundtrip": q_k6_dictionary_roundtrip,
@@ -2054,6 +2073,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '<' || s_value || '>', '', '<' || o_value || '>'
             FROM doc_triples WHERE p_value = '{HASDOC}'
+        """,
+        "sparql_minus": f"""
+            WITH {_DOC_TRIPLES_CTE},
+            excl AS (SELECT o_value AS d FROM doc_triples
+                     WHERE p_value = '{HASDOC}'
+                       AND regexp_matches(s_value, '/src1[0-9]$'))
+            SELECT '<' || t.s_value || '>' AS d,
+                   '"' || t.o_value || '"' AS lang
+            FROM doc_triples t
+            WHERE t.p_value = '{INLANG}'
+              AND t.s_value NOT IN (SELECT d FROM excl)
         """,
         "sparql_values": f"""
             WITH {_DOC_TRIPLES_CTE},

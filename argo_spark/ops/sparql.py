@@ -17,7 +17,8 @@ onto DataFrame operators):
     ASK Group
     CONSTRUCT '{' Triple+ '}' WHERE Group (modifiers)?
     DESCRIBE (<iri>+ | ?v+ WHERE Group (modifiers)?)
-    Group   := '{' ( Triple '.'? | OPTIONAL Group | FILTER Expr
+    Group   := '{' ( Triple '.'? | OPTIONAL Group | MINUS Group
+                   | FILTER Expr
                    | VALUES (?v | '(' ?v+ ')') '{' data '}'
                    | Group (UNION Group)* '.'? )* '}'
     Expr    := Or | '(' Expr ')' ; Or/And/'!' over comparisons and
@@ -241,6 +242,9 @@ class _Parser:
             if kind == "kw" and val.upper() == "OPTIONAL":
                 self.next()
                 elements.append(("optional", self.parse_group()))
+            elif kind == "kw" and val.upper() == "MINUS":
+                self.next()
+                elements.append(("minus", self.parse_group()))
             elif kind == "kw" and val.upper() == "VALUES":
                 self.next()
                 elements.append(self.parse_values())
@@ -806,6 +810,30 @@ def _eval_group_impl(
             frame = _values_frame(
                 triples.sparkSession, vnames, rows, structs
             )
+        elif kind == "minus":
+            # SPARQL §8.3.3: remove solutions compatible with some
+            # RHS solution sharing ≥1 bound variable. With ALL
+            # variables bound and ≥1 shared, that is exactly a
+            # left-anti equi-join; disjoint domains remove nothing
+            # (spec) = no-op here. Possibly-unbound shared vars would
+            # need the compatibility relation — guarded.
+            if acc is None:
+                raise SparqlSyntaxError("leading MINUS is not supported")
+            # in_optional=False: MINUS's RHS never sees LHS bindings
+            # (§8.3.3 — unlike the OPTIONAL LeftJoin expression), so a
+            # filter referencing an outer var correctly evaluates it
+            # as unbound rather than raising
+            sub, sub_nulls = _eval_group_impl(triples, payload, False, structs)
+            shared = [
+                c for c in sub.columns
+                if c in acc.columns and not c.startswith(_TERM_STRUCT_PREFIX)
+            ]
+            if shared:
+                _guard_compat_join(shared, maybe_null | sub_nulls, "MINUS")
+                acc = acc.join(
+                    sub.select(*shared), on=shared, how="left_anti"
+                )
+            continue
         else:  # optional
             if acc is None:
                 raise SparqlSyntaxError("leading OPTIONAL is not supported")

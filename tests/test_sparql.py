@@ -609,3 +609,39 @@ def test_filter_iskind_and_sameterm(spark):
         "SELECT ?s WHERE { ?s ?p ?o . FILTER(isBlank(?s)) }",
     )
     assert out.count() == 0
+
+
+def test_minus(spark):
+    g = graph2(spark)
+    # names minus those who have an age
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who WHERE {
+             ?who s:name ?n .
+             MINUS { ?who s:age ?age }
+           }""",
+    )
+    assert {r.who for r in out.collect()} == {"<http://e/c>"}
+    # disjoint domains: MINUS removes nothing (spec 8.3.3)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who WHERE {
+             ?who s:name ?n .
+             MINUS { ?x s:age ?age }
+           }""",
+    )
+    assert out.count() == 3
+    # filter inside MINUS referencing an outer var: evaluated with the
+    # var unbound (RHS never sees LHS bindings) -> filter false ->
+    # empty RHS -> nothing removed
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who WHERE {
+             ?who s:name ?n .
+             MINUS { ?who s:age ?age FILTER(BOUND(?n)) }
+           }""",
+    )
+    assert out.count() == 3
