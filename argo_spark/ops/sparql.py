@@ -18,7 +18,7 @@ onto DataFrame operators):
     CONSTRUCT '{' Triple+ '}' WHERE Group (modifiers)?
     DESCRIBE (<iri>+ | ?v+ WHERE Group (modifiers)?)
     Group   := '{' ( Triple '.'? | OPTIONAL Group | MINUS Group
-                   | FILTER Expr
+                   | FILTER (Expr | (NOT)? EXISTS Group)
                    | VALUES (?v | '(' ?v+ ')') '{' data '}'
                    | Group (UNION Group)* '.'? )* '}'
     Expr    := Or | '(' Expr ')' ; Or/And/'!' over comparisons and
@@ -326,6 +326,12 @@ class _Parser:
 
     def parse_constraint(self) -> tuple:
         kind, val = self.peek()
+        if kind == "kw" and val.upper() in ("EXISTS", "NOT"):
+            positive = val.upper() == "EXISTS"
+            self.next()
+            if not positive:
+                self.expect_kw("EXISTS")
+            return ("exists", positive, self.parse_group())
         if kind == "punct" and val == "(":
             self.next()
             e = self.parse_or()
@@ -881,6 +887,30 @@ def _eval_group_impl(
     if acc is None:
         raise SparqlSyntaxError("group has no graph patterns")
     for f in group.filters:
+        if f[0] == "exists":
+            # FILTER (NOT) EXISTS: correlated via the shared variables
+            # — a left-semi/anti join implements the §8.1.1 substitute
+            # semantics exactly when every shared variable is bound
+            # (guarded). Uncorrelated EXISTS (no shared vars) would
+            # need a whole-table emptiness probe — unsupported.
+            positive, g = f[1], f[2]
+            sub, sub_nulls = _eval_group_impl(triples, g, False, structs)
+            shared = [
+                c for c in sub.columns
+                if c in acc.columns and not c.startswith(_TERM_STRUCT_PREFIX)
+            ]
+            if not shared:
+                raise SparqlSyntaxError(
+                    "EXISTS sharing no variables with the group is "
+                    "not supported"
+                )
+            _guard_compat_join(shared, maybe_null | sub_nulls, "EXISTS")
+            acc = acc.join(
+                sub.select(*shared),
+                on=shared,
+                how="left_semi" if positive else "left_anti",
+            )
+            continue
         if in_optional:
             unbound = _expr_vars(f) - set(_binding_vars(acc.columns))
             if unbound:

@@ -645,3 +645,36 @@ def test_minus(spark):
            }""",
     )
     assert out.count() == 3
+
+
+def test_filter_exists_and_not_exists(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who WHERE {
+             ?who s:name ?n .
+             FILTER EXISTS { ?who s:age ?age }
+           }""",
+    )
+    assert {r.who for r in out.collect()} == {"<http://e/a>", "<http://e/b>"}
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who WHERE {
+             ?who s:name ?n .
+             FILTER NOT EXISTS { ?who s:age ?age }
+           }""",
+    )
+    assert {r.who for r in out.collect()} == {"<http://e/c>"}
+    # the case where NOT EXISTS differs from MINUS is the uncorrelated
+    # one — which we refuse rather than answer wrong
+    with pytest.raises(SparqlSyntaxError, match="EXISTS sharing no"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?who WHERE {
+                 ?who s:name ?n .
+                 FILTER NOT EXISTS { ?x s:age ?a }
+               }""",
+        )
