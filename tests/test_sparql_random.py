@@ -208,6 +208,18 @@ def _eval_group_py(triples, group):
                 {v: nt for v, nt in zip(vnames, row) if nt is not None}
                 for row in vrows
             ]
+        elif kind == "minus":
+            # remove rows compatible with some RHS row sharing >= 1 var
+            sub = _eval_group_py(triples, payload)
+            acc = [
+                a for a in acc
+                if not any(
+                    (set(a) & set(b))
+                    and all(a[v] == b[v] for v in set(a) & set(b))
+                    for b in sub
+                )
+            ]
+            continue
         else:  # optional
             sub = _eval_group_py(triples, payload)
             sub_vars = set().union(*(set(r) for r in sub)) if sub else set()
@@ -322,6 +334,13 @@ def test_sparql_algebra_matches_python_oracle(spark):
             body.append(
                 "{ " + _pat_text(b1[0]) + " } UNION { " + _pat_text(b2[0]) + " }"
             )
+        if rnd.random() < 0.35 and base_vars:
+            # MINUS anchored on a base-bound var (all-bound shared
+            # vars — the compat guard covers the rest by raising)
+            mpat = [("?" + rnd.choice(base_vars),
+                     f"<http://e/p{rnd.randint(0, 9)}>", "?m")]
+            elements.append(("minus", ([("bgp", mpat)], [])))
+            body.append("MINUS { " + _pat_text(mpat[0]) + " }")
         filters = []
         if rnd.random() < 0.8:
             ftext, fexpr = _gen_filter(rnd, filter_pool)
