@@ -680,6 +680,24 @@ def q_sparql_minus(spark, sf_dir):
     )
 
 
+def q_sparql_path(spark, sf_dir):
+    """§2.5 E3: property-path sugar — the 2-hop sequence
+    ``v:hasDoc/s:inLanguage`` desugars into a join through an
+    internal variable (dropped from the solution); DuckDB replays
+    the join."""
+    from argo_spark.ops.sparql import sparql_select
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?src ?lang WHERE {
+             ?src v:hasDoc/s:inLanguage ?lang
+           }""",
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-K per group (§2.4): 3 longest docs per source, id tiebreak."""
     from pyspark.sql.window import Window
@@ -1265,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_describe": q_sparql_describe,
         "sparql_values": q_sparql_values,
         "sparql_minus": q_sparql_minus,
+        "sparql_path": q_sparql_path,
         "k5_squirtle_blocks": q_k5_squirtle_blocks,
         "k4_rdfjson_lines": q_k4_rdfjson_lines,
         "k6_dictionary_roundtrip": q_k6_dictionary_roundtrip,
@@ -2073,6 +2092,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '<' || s_value || '>', '', '<' || o_value || '>'
             FROM doc_triples WHERE p_value = '{HASDOC}'
+        """,
+        "sparql_path": f"""
+            WITH {_DOC_TRIPLES_CTE}
+            SELECT '<' || h.s_value || '>' AS src,
+                   '"' || l.o_value || '"' AS lang
+            FROM doc_triples h
+            JOIN doc_triples l ON h.o_value = l.s_value
+            WHERE h.p_value = '{HASDOC}' AND l.p_value = '{INLANG}'
         """,
         "sparql_minus": f"""
             WITH {_DOC_TRIPLES_CTE},

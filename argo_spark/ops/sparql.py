@@ -17,6 +17,12 @@ onto DataFrame operators):
     ASK Group
     CONSTRUCT '{' Triple+ '}' WHERE Group (modifiers)?
     DESCRIBE (<iri>+ | ?v+ WHERE Group (modifiers)?)
+    Triple  := Term Path Term ; Path := Seq ('|' Seq)* ;
+               Seq := ('^'? IRI) ('/' '^'? IRI)*   — sequence,
+               alternation and inverse desugar into joins/UNIONs with
+               internal variables (dropped from results); +/* closures
+               raise (transitive reachability is the traversal
+               operator's job, ops/traversal.py)
     Group   := '{' ( Triple '.'? | OPTIONAL Group | MINUS Group
                    | FILTER (Expr | (NOT)? EXISTS Group)
                    | VALUES (?v | '(' ?v+ ')') '{' data '}'
@@ -90,7 +96,7 @@ _TOKEN = re.compile(
   | (?P<dec>[0-9]+\.[0-9]+)
   | (?P<num>[0-9]+)
   | (?P<op>!=|<=|>=|&&|\|\||[=<>!])
-  | (?P<punct>[{}.*;,()])
+  | (?P<punct>[{}.*;,()/|^+])
     """,
     re.VERBOSE,
 )
@@ -150,11 +156,15 @@ _BOOL_BUILTINS = (
 )
 
 
+_PATH_VAR_PREFIX = "__path"
+
+
 class _Parser:
     def __init__(self, query: str):
         self.toks = _tokenize(query)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self._pathvar = 0
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -202,6 +212,11 @@ class _Parser:
     def parse_term(self, position: str):
         kind, val = self.next()
         if kind == "var":
+            if val[1:].startswith(_PATH_VAR_PREFIX):
+                raise SparqlSyntaxError(
+                    f"variable name {val!r} collides with the internal "
+                    f"path-variable prefix"
+                )
             return "?" + val[1:]
         if kind == "iri":
             return val[1:-1]
@@ -263,18 +278,96 @@ class _Parser:
                 elements.append(("union", branches))
             else:
                 s = self.parse_term("s")
-                p = self.parse_term("p")
+                p = self.parse_path()
                 o = self.parse_term("o")
-                if elements and elements[-1][0] == "bgp":
-                    elements[-1][1].append((s, p, o))
+                if isinstance(p, tuple) and p[0] == "path":
+                    self._expand_path(elements, s, p[1], o)
                 else:
-                    elements.append(("bgp", [(s, p, o)]))
+                    if elements and elements[-1][0] == "bgp":
+                        elements[-1][1].append((s, p, o))
+                    else:
+                        elements.append(("bgp", [(s, p, o)]))
             kind, val = self.peek()
             if kind == "punct" and val == ".":
                 self.next()
         if not elements and not filters:
             raise SparqlSyntaxError("empty group pattern")
         return Group(elements, filters)
+
+    # -- property paths (sequence / alternation / inverse sugar) ----
+
+    def parse_path(self):
+        """Predicate position: a variable, a plain IRI, or a property
+        path — ``alt := seq ('|' seq)*; seq := elt ('/' elt)*;
+        elt := '^'? iri``. Plain predicates return unchanged (str);
+        real paths return ("path", [seq, ...]) with seq a list of
+        (inverse, iri). ``+``/``*`` closures are unsupported (they
+        need the iterative traversal operator, ops/traversal.py, not
+        a static join chain) and raise."""
+        kind, val = self.peek()
+        if kind == "var":
+            return self.parse_term("p")
+
+        def elt():
+            inv = False
+            if self.peek() == ("punct", "^"):
+                self.next()
+                inv = True
+            iri_ = self.parse_term("p")
+            if isinstance(iri_, str) and iri_.startswith("?"):
+                raise SparqlSyntaxError("variables not allowed inside paths")
+            k2, v2 = self.peek()
+            if k2 == "punct" and v2 in ("+", "*"):
+                raise SparqlSyntaxError(
+                    "path closures +/* are unsupported (use the "
+                    "traversal operators for transitive reachability)"
+                )
+            return (inv, iri_)
+
+        def seq():
+            out = [elt()]
+            while self.peek() == ("punct", "/"):
+                self.next()
+                out.append(elt())
+            return out
+
+        alts = [seq()]
+        while self.peek() == ("punct", "|"):
+            self.next()
+            alts.append(seq())
+        if len(alts) == 1 and len(alts[0]) == 1 and not alts[0][0][0]:
+            return alts[0][0][1]  # plain predicate, no sugar
+        return ("path", alts)
+
+    def _fresh_path_var(self) -> str:
+        self._pathvar += 1
+        return f"?{_PATH_VAR_PREFIX}{self._pathvar}"
+
+    def _seq_triples(self, s, seq, o) -> list[tuple]:
+        out = []
+        cur = s
+        for i, (inv, iri_) in enumerate(seq):
+            nxt = o if i == len(seq) - 1 else self._fresh_path_var()
+            out.append((nxt, iri_, cur) if inv else (cur, iri_, nxt))
+            cur = nxt
+        return out
+
+    def _expand_path(self, elements: list, s, alts, o) -> None:
+        """Desugar: a sequence extends the current BGP with fresh
+        intermediate variables; an alternation becomes a UNION whose
+        branches share the path's endpoints."""
+        if len(alts) == 1:
+            pats = self._seq_triples(s, alts[0], o)
+            if elements and elements[-1][0] == "bgp":
+                elements[-1][1].extend(pats)
+            else:
+                elements.append(("bgp", pats))
+        else:
+            branches = [
+                Group([("bgp", self._seq_triples(s, seq, o))], [])
+                for seq in alts
+            ]
+            elements.append(("union", branches))
 
     def parse_values(self) -> tuple:
         """VALUES ?v { t... } | VALUES (?v...) { (t...)... } with
@@ -1272,6 +1365,10 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     /root/reference/sparql/result.go."""
     variables, group, distinct, limit, order, offset = parse_select(query)
     out = eval_group(triples, group)
+    internal = [c for c in out.columns if c.startswith(_PATH_VAR_PREFIX)]
+    if internal:
+        # path-sugar intermediates are not solution variables
+        out = out.drop(*internal)
     if distinct:
         out = out.dropDuplicates()
     if variables is not None:

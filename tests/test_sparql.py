@@ -678,3 +678,71 @@ def test_filter_exists_and_not_exists(spark):
                  FILTER NOT EXISTS { ?x s:age ?a }
                }""",
         )
+
+
+# -- property-path sugar (sequence / alternation / inverse) ---------------
+
+
+def path_graph(spark):
+    E = "http://e/"
+    return TripleGraph.of(
+        spark,
+        [
+            TripleT(iri(E + "a"), iri(E + "knows"), iri(E + "b")),
+            TripleT(iri(E + "b"), iri(E + "knows"), iri(E + "c")),
+            TripleT(iri(E + "b"), iri(E + "likes"), iri(E + "d")),
+            TripleT(iri(E + "c"), iri(E + "name"), literal("Cee")),
+        ],
+    ).df
+
+
+def test_path_sequence_and_inverse(spark):
+    g = path_graph(spark)
+    out = sparql_select(
+        g,
+        "SELECT ?n WHERE { <http://e/a> <http://e/knows>/<http://e/knows>/<http://e/name> ?n }",
+    )
+    assert {r.n for r in out.collect()} == {'"Cee"'}
+    # internal path vars are not solution variables
+    out = sparql_select(
+        g, "SELECT * WHERE { ?s <http://e/knows>/<http://e/likes> ?o }"
+    )
+    assert sorted(out.columns) == ["o", "s"]
+    assert {(r.s, r.o) for r in out.collect()} == {
+        ("<http://e/a>", "<http://e/d>")
+    }
+    # inverse: ^knows from b reaches a
+    out = sparql_select(
+        g, "SELECT ?x WHERE { <http://e/b> ^<http://e/knows> ?x }"
+    )
+    assert {r.x for r in out.collect()} == {"<http://e/a>"}
+
+
+def test_path_alternation(spark):
+    g = path_graph(spark)
+    out = sparql_select(
+        g,
+        "SELECT ?o WHERE { <http://e/b> <http://e/knows>|<http://e/likes> ?o }",
+    )
+    assert {r.o for r in out.collect()} == {"<http://e/c>", "<http://e/d>"}
+    # alternation of sequences, endpoints shared
+    out = sparql_select(
+        g,
+        """SELECT ?o WHERE {
+             <http://e/a> <http://e/knows>/<http://e/likes>
+                          | <http://e/knows>/<http://e/knows> ?o }""",
+    )
+    assert {r.o for r in out.collect()} == {"<http://e/c>", "<http://e/d>"}
+
+
+def test_path_closure_raises(spark):
+    with pytest.raises(SparqlSyntaxError, match="closure"):
+        sparql_select(
+            path_graph(spark),
+            "SELECT ?o WHERE { <http://e/a> <http://e/knows>+ ?o }",
+        )
+    with pytest.raises(SparqlSyntaxError, match="path-variable"):
+        sparql_select(
+            path_graph(spark),
+            "SELECT ?__path1 WHERE { ?__path1 <http://e/knows> ?o }",
+        )
