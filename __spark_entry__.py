@@ -698,6 +698,21 @@ def q_sparql_path(spark, sf_dir):
     )
 
 
+def q_sparql_group_agg(spark, sf_dir):
+    """§2.5 E3: GROUP BY + aggregates through SPARQL text — per-source
+    doc count and mean charCount-free proxy (COUNT long, documented
+    native-numeric aggregate columns); DuckDB replays the groupBy."""
+    from argo_spark.ops.sparql import sparql_select
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return sparql_select(
+        tr,
+        """PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?src (COUNT(?d) AS ?n) WHERE { ?src v:hasDoc ?d }
+           GROUP BY ?src""",
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-K per group (§2.4): 3 longest docs per source, id tiebreak."""
     from pyspark.sql.window import Window
@@ -1284,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_values": q_sparql_values,
         "sparql_minus": q_sparql_minus,
         "sparql_path": q_sparql_path,
+        "sparql_group_agg": q_sparql_group_agg,
         "k5_squirtle_blocks": q_k5_squirtle_blocks,
         "k4_rdfjson_lines": q_k4_rdfjson_lines,
         "k6_dictionary_roundtrip": q_k6_dictionary_roundtrip,
@@ -2092,6 +2108,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '<' || s_value || '>', '', '<' || o_value || '>'
             FROM doc_triples WHERE p_value = '{HASDOC}'
+        """,
+        "sparql_group_agg": f"""
+            WITH {_DOC_TRIPLES_CTE}
+            SELECT '<' || s_value || '>' AS src, count(*)::BIGINT AS n
+            FROM doc_triples WHERE p_value = '{HASDOC}'
+            GROUP BY s_value
         """,
         "sparql_path": f"""
             WITH {_DOC_TRIPLES_CTE}

@@ -12,8 +12,12 @@ Supported grammar (BGP core + the algebra subset that maps directly
 onto DataFrame operators):
 
     PREFIX p: <uri> ...
-    SELECT (DISTINCT)? (?v ... | *) WHERE Group
+    SELECT (DISTINCT)? (?v | '(' AGG '(' DISTINCT? (?v|*) ')' AS ?a ')'
+        ... | *) WHERE Group (GROUP BY ?v+)?
         (ORDER BY (?v | ASC(?v) | DESC(?v))+)? (LIMIT n)? (OFFSET n)?
+    AGG := COUNT | SUM | AVG | MIN | MAX — aggregate result columns
+        are NATIVE numerics (COUNT long; the rest double over the
+        lexical cast, non-numeric bindings skipped), not NT strings
     ASK Group
     CONSTRUCT '{' Triple+ '}' WHERE Group (modifiers)?
     DESCRIBE (<iri>+ | ?v+ WHERE Group (modifiers)?)
@@ -368,6 +372,43 @@ class _Parser:
                 for seq in alts
             ]
             elements.append(("union", branches))
+
+    _AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
+
+    def parse_agg_projection(self) -> tuple:
+        """'(' AGG '(' DISTINCT? (?v | '*') ')' AS ?alias ')' ->
+        ("agg", fn, target-var | "*", distinct, alias)."""
+        self.expect_punct("(")
+        fk, fv = self.next()
+        if fk != "kw" or fv.upper() not in self._AGG_FNS:
+            raise SparqlSyntaxError(
+                f"expected aggregate {self._AGG_FNS}, got {fv!r}"
+            )
+        fn = fv.upper()
+        self.expect_punct("(")
+        dist = False
+        kind, val = self.peek()
+        if kind == "kw" and val.upper() == "DISTINCT":
+            dist = True
+            self.next()
+        kind, val = self.peek()
+        if kind == "punct" and val == "*":
+            if fn != "COUNT":
+                raise SparqlSyntaxError(f"{fn}(*) is not valid")
+            target = "*"
+            self.next()
+        elif kind == "var":
+            target = val[1:]
+            self.next()
+        else:
+            raise SparqlSyntaxError(f"{fn} needs a variable or *")
+        self.expect_punct(")")
+        self.expect_kw("AS")
+        ak, av = self.next()
+        if ak != "var":
+            raise SparqlSyntaxError("AS needs a variable")
+        self.expect_punct(")")
+        return ("agg", fn, target, dist, av[1:])
 
     def parse_values(self) -> tuple:
         """VALUES ?v { t... } | VALUES (?v...) { (t...)... } with
@@ -1027,7 +1068,7 @@ def parse_select(query: str):
     if kind == "kw" and val.upper() == "DISTINCT":
         distinct = True
         p.next()
-    variables: list[str] | None = []
+    variables: list | None = []
     kind, val = p.peek()
     if kind == "punct" and val == "*":
         variables = None
@@ -1035,18 +1076,34 @@ def parse_select(query: str):
     else:
         while True:
             kind, val = p.peek()
-            if kind != "var":
+            if kind == "var":
+                variables.append(val[1:])
+                p.next()
+            elif kind == "punct" and val == "(":
+                variables.append(p.parse_agg_projection())
+            else:
                 break
-            variables.append(val[1:])
-            p.next()
         if not variables:
             raise SparqlSyntaxError("SELECT needs variables or *")
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "WHERE":
         p.next()
     group = p.parse_group()
+    group_by: list[str] = []
+    kind, val = p.peek()
+    if kind == "kw" and val.upper() == "GROUP":
+        p.next()
+        p.expect_kw("BY")
+        while True:
+            kind, val = p.peek()
+            if kind != "var":
+                break
+            group_by.append(val[1:])
+            p.next()
+        if not group_by:
+            raise SparqlSyntaxError("GROUP BY needs at least one variable")
     order, limit, offset = _parse_modifiers(p)
-    return variables, group, distinct, limit, order, offset
+    return variables, group, distinct, limit, order, offset, group_by
 
 
 def _parse_modifiers(p: "_Parser"):
@@ -1363,12 +1420,70 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     """SELECT text -> bindings DataFrame: one column per selected
     variable (bare name, NT lexical form) — the SelectResult keys of
     /root/reference/sparql/result.go."""
-    variables, group, distinct, limit, order, offset = parse_select(query)
+    from pyspark.sql import functions as F
+
+    variables, group, distinct, limit, order, offset, group_by = (
+        parse_select(query)
+    )
     out = eval_group(triples, group)
     internal = [c for c in out.columns if c.startswith(_PATH_VAR_PREFIX)]
     if internal:
         # path-sugar intermediates are not solution variables
         out = out.drop(*internal)
+    aggs = [v for v in (variables or []) if isinstance(v, tuple)]
+    if aggs or group_by:
+        # GROUP BY + aggregates -> groupBy/agg. Documented semantics
+        # subset: aggregate columns are NATIVE numerics (COUNT long,
+        # SUM/AVG/MIN/MAX double over the lexical cast), not NT
+        # strings; a non-numeric binding contributes NULL and is
+        # skipped (error-eliminates-value, vs SPARQL's group error).
+        if variables is None:
+            raise SparqlSyntaxError(
+                "SELECT * cannot combine with aggregates/GROUP BY"
+            )
+        plain = [v for v in variables if isinstance(v, str)]
+        stray = [v for v in plain if v not in group_by]
+        if stray:
+            raise SparqlSyntaxError(
+                f"non-aggregated SELECT vars must appear in GROUP BY: "
+                f"{stray}"
+            )
+        needed = set(group_by) | {a[2] for a in aggs if a[2] != "*"}
+        missing = [v for v in sorted(needed) if v not in out.columns]
+        if missing:
+            raise SparqlSyntaxError(
+                f"vars not bound in WHERE: {missing}"
+            )
+        exprs = []
+        for _, fn, tgt, dist, alias in aggs:
+            if fn == "COUNT":
+                if tgt == "*":
+                    if dist:
+                        raise SparqlSyntaxError(
+                            "COUNT(DISTINCT *) is not supported"
+                        )
+                    e = F.count(F.lit(1))
+                else:
+                    c = F.col(tgt)
+                    e = F.count_distinct(c) if dist else F.count(c)
+            else:
+                if dist:
+                    raise SparqlSyntaxError(
+                        f"DISTINCT inside {fn} is not supported"
+                    )
+                num = _lex_col(F.col(tgt)).try_cast("double")
+                e = {"SUM": F.sum, "AVG": F.avg,
+                     "MIN": F.min, "MAX": F.max}[fn](num)
+            exprs.append(e.alias(alias))
+        out = (
+            out.groupBy(*group_by).agg(*exprs)
+            if group_by
+            else out.agg(*exprs)
+        )
+        out = out.select(
+            *[v if isinstance(v, str) else v[4] for v in variables]
+        )
+        variables = None  # projection done
     if distinct:
         out = out.dropDuplicates()
     if variables is not None:
@@ -1386,9 +1501,18 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             out = out.select(*variables).dropDuplicates()
             variables = None  # already projected
     if order:
+        dtypes = dict(out.dtypes)
         cols = []
         for v, desc in order:
-            cols.extend(_order_cols(v, desc, out.columns))
+            if v in dtypes and dtypes[v] != "string":
+                # native numeric column (aggregate alias)
+                cols.append(
+                    F.col(v).desc_nulls_last()
+                    if desc
+                    else F.col(v).asc_nulls_first()
+                )
+            else:
+                cols.extend(_order_cols(v, desc, out.columns))
         out = out.orderBy(*cols)
     # non-DISTINCT: ORDER BY may reference non-selected vars, so
     # projection stays after sort+limit (limit-after-sort keeps the

@@ -31,7 +31,7 @@ def graph(spark):
 
 
 def test_parse_select_terms():
-    variables, group, distinct, limit, order, offset = parse_select(
+    variables, group, distinct, limit, order, offset, group_by = parse_select(
         """PREFIX s: <http://schema.org/>
            SELECT DISTINCT ?x ?n WHERE {
              ?x a s:Person .
@@ -93,19 +93,19 @@ def test_unbound_select_var(spark):
 
 def test_trailing_clauses_rejected_not_ignored():
     with pytest.raises(SparqlSyntaxError, match="trailing"):
-        parse_select("SELECT ?d WHERE { ?d ?p ?o } GROUP BY ?d")
+        parse_select("SELECT ?d WHERE { ?d ?p ?o } GROUP BY ?d HAVING ?d")
     with pytest.raises(SparqlSyntaxError, match="trailing"):
         parse_select("SELECT ?d WHERE { ?d ?p ?o } LIMIT 5 HAVING ?d")
 
 
 def test_order_limit_offset_parse():
-    _, _, _, limit, order, offset = parse_select(
+    _, _, _, limit, order, offset, _gb = parse_select(
         "SELECT ?d WHERE { ?d ?p ?o } ORDER BY DESC(?o) ?d LIMIT 5 OFFSET 2"
     )
     assert order == [("o", True), ("d", False)]
     assert limit == 5 and offset == 2
     # LIMIT/OFFSET accepted in either order (SPARQL grammar)
-    _, _, _, limit, order, offset = parse_select(
+    _, _, _, limit, order, offset, _gb = parse_select(
         "SELECT ?d WHERE { ?d ?p ?o } OFFSET 2 LIMIT 5"
     )
     assert limit == 5 and offset == 2
@@ -745,4 +745,60 @@ def test_path_closure_raises(spark):
         sparql_select(
             path_graph(spark),
             "SELECT ?__path1 WHERE { ?__path1 <http://e/knows> ?o }",
+        )
+
+
+# -- GROUP BY + aggregates ------------------------------------------------
+
+
+def test_group_by_count_and_sum(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who (COUNT(*) AS ?n) WHERE { ?who ?p ?o }
+           GROUP BY ?who ORDER BY DESC(?n) ?who""",
+    )
+    rows = [(r.who, r.n) for r in out.collect()]
+    assert rows[0][1] == 3 and rows[-1] == ("<http://e/c>", 1)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT (SUM(?age) AS ?total) (AVG(?age) AS ?mean)
+                  (MIN(?age) AS ?lo) (MAX(?age) AS ?hi)
+           WHERE { ?who s:age ?age }""",
+    )
+    r = out.collect()[0]
+    assert (r.total, r.mean, r.lo, r.hi) == (43.0, 21.5, 7.0, 36.0)
+
+
+def test_group_by_count_var_and_distinct(spark):
+    g = graph2(spark)
+    # COUNT(?age) counts only bound values (Cat has none)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT (COUNT(?age) AS ?n) WHERE {
+             ?who s:name ?x OPTIONAL { ?who s:age ?age } }""",
+    )
+    assert out.collect()[0].n == 2
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT (COUNT(DISTINCT ?who) AS ?n) WHERE { ?who ?p ?o }""",
+    )
+    assert out.collect()[0].n == 3
+
+
+def test_group_by_validation(spark):
+    g = graph2(spark)
+    with pytest.raises(SparqlSyntaxError, match="GROUP BY"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?who (COUNT(*) AS ?n) WHERE { ?who ?p ?o }""",
+        )
+    with pytest.raises(SparqlSyntaxError, match="SELECT \\*"):
+        sparql_select(
+            g, "SELECT * WHERE { ?s ?p ?o } GROUP BY ?s"
         )
