@@ -13,7 +13,7 @@ onto DataFrame operators):
 
     PREFIX p: <uri> ...
     SELECT (DISTINCT)? (?v | '(' AGG '(' DISTINCT? (?v|*) ')' AS ?a ')'
-        ... | *) WHERE Group (GROUP BY ?v+)?
+        ... | *) WHERE Group (GROUP BY ?v+)? (HAVING Expr)?
         (ORDER BY (?v | ASC(?v) | DESC(?v))+)? (LIMIT n)? (OFFSET n)?
     AGG := COUNT | SUM | AVG | MIN | MAX — aggregate result columns
         are NATIVE numerics (COUNT long; the rest double over the
@@ -593,13 +593,19 @@ def _lex_col(c):
     )
 
 
-def _operand_info(node, columns):
-    """-> (nt_col | None, lex_col, num_col, is_numeric_const)."""
+def _operand_info(node, columns, numeric_cols=frozenset()):
+    """-> (nt_col | None, lex_col, num_col, is_numeric_const).
+    ``numeric_cols`` marks NATIVE-numeric columns (aggregate aliases
+    after GROUP BY) whose values are used directly instead of being
+    parsed out of an NT form."""
     from pyspark.sql import functions as F
 
     from argo_spark.terms import escape_literal, format_term
 
     kind, payload = node[0], node[1]
+    if kind == "var" and payload in numeric_cols:
+        c = F.col(payload)
+        return None, c.cast("string"), c.cast("double"), True
     if kind == "var":
         c = F.col(payload) if payload in columns else F.lit(None).cast("string")
         lex = _lex_col(c)
@@ -660,19 +666,21 @@ def _operand_info(node, columns):
     )
 
 
-def _expr_col(expr, columns):
+def _expr_col(expr, columns, numeric_cols=frozenset()):
     """FILTER expression tuple -> boolean Column over the binding
     frame's columns (see module docstring for the semantics subset)."""
     from pyspark.sql import functions as F
 
     op = expr[0]
     if op == "or":
-        return _expr_col(expr[1], columns) | _expr_col(expr[2], columns)
+        return (_expr_col(expr[1], columns, numeric_cols)
+                | _expr_col(expr[2], columns, numeric_cols))
     if op == "and":
-        return _expr_col(expr[1], columns) & _expr_col(expr[2], columns)
+        return (_expr_col(expr[1], columns, numeric_cols)
+                & _expr_col(expr[2], columns, numeric_cols))
     if op == "not":
         # SPARQL error semantics: NULL stays NULL (row still drops)
-        return ~_expr_col(expr[1], columns)
+        return ~_expr_col(expr[1], columns, numeric_cols)
     if op == "bound":
         if expr[1] not in columns:
             return F.lit(False)
@@ -692,15 +700,15 @@ def _expr_col(expr, columns):
             )
         return lnt == rnt
     if op == "regex":
-        _, lex, _, _ = _operand_info(expr[1], columns)
+        _, lex, _, _ = _operand_info(expr[1], columns, numeric_cols)
         pat = expr[2]
         if "i" in expr[3]:
             pat = "(?i)" + pat
         return lex.rlike(pat)
     if op == "cmp":
         cmp_op, left, right = expr[1], expr[2], expr[3]
-        lnt, llex, lnum, lnumeric = _operand_info(left, columns)
-        rnt, rlex, rnum, rnumeric = _operand_info(right, columns)
+        lnt, llex, lnum, lnumeric = _operand_info(left, columns, numeric_cols)
+        rnt, rlex, rnum, rnumeric = _operand_info(right, columns, numeric_cols)
         numeric = lnumeric or rnumeric
         if cmp_op in ("=", "!="):
             if numeric:
@@ -1102,8 +1110,15 @@ def parse_select(query: str):
             p.next()
         if not group_by:
             raise SparqlSyntaxError("GROUP BY needs at least one variable")
+    having: list[tuple] = []
+    kind, val = p.peek()
+    if kind == "kw" and val.upper() == "HAVING":
+        p.next()
+        having.append(p.parse_constraint())
     order, limit, offset = _parse_modifiers(p)
-    return variables, group, distinct, limit, order, offset, group_by
+    return (
+        variables, group, distinct, limit, order, offset, group_by, having
+    )
 
 
 def _parse_modifiers(p: "_Parser"):
@@ -1422,7 +1437,7 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     /root/reference/sparql/result.go."""
     from pyspark.sql import functions as F
 
-    variables, group, distinct, limit, order, offset, group_by = (
+    variables, group, distinct, limit, order, offset, group_by, having = (
         parse_select(query)
     )
     out = eval_group(triples, group)
@@ -1480,10 +1495,19 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             if group_by
             else out.agg(*exprs)
         )
+        for h in having:
+            # aggregate aliases are native numerics — mark them so
+            # the filter evaluator compares values, not NT forms
+            out = out.where(
+                _expr_col(h, out.columns,
+                          frozenset(a[4] for a in aggs))
+            )
         out = out.select(
             *[v if isinstance(v, str) else v[4] for v in variables]
         )
         variables = None  # projection done
+    elif having:
+        raise SparqlSyntaxError("HAVING needs GROUP BY / aggregates")
     if distinct:
         out = out.dropDuplicates()
     if variables is not None:

@@ -31,7 +31,7 @@ def graph(spark):
 
 
 def test_parse_select_terms():
-    variables, group, distinct, limit, order, offset, group_by = parse_select(
+    variables, group, distinct, limit, order, offset, group_by, having = parse_select(
         """PREFIX s: <http://schema.org/>
            SELECT DISTINCT ?x ?n WHERE {
              ?x a s:Person .
@@ -93,19 +93,19 @@ def test_unbound_select_var(spark):
 
 def test_trailing_clauses_rejected_not_ignored():
     with pytest.raises(SparqlSyntaxError, match="trailing"):
-        parse_select("SELECT ?d WHERE { ?d ?p ?o } GROUP BY ?d HAVING ?d")
+        parse_select("SELECT ?d WHERE { ?d ?p ?o } VALUES ?d { 1 }")
     with pytest.raises(SparqlSyntaxError, match="trailing"):
         parse_select("SELECT ?d WHERE { ?d ?p ?o } LIMIT 5 HAVING ?d")
 
 
 def test_order_limit_offset_parse():
-    _, _, _, limit, order, offset, _gb = parse_select(
+    _, _, _, limit, order, offset, _gb, _hv = parse_select(
         "SELECT ?d WHERE { ?d ?p ?o } ORDER BY DESC(?o) ?d LIMIT 5 OFFSET 2"
     )
     assert order == [("o", True), ("d", False)]
     assert limit == 5 and offset == 2
     # LIMIT/OFFSET accepted in either order (SPARQL grammar)
-    _, _, _, limit, order, offset, _gb = parse_select(
+    _, _, _, limit, order, offset, _gb, _hv = parse_select(
         "SELECT ?d WHERE { ?d ?p ?o } OFFSET 2 LIMIT 5"
     )
     assert limit == 5 and offset == 2
@@ -802,3 +802,17 @@ def test_group_by_validation(spark):
         sparql_select(
             g, "SELECT * WHERE { ?s ?p ?o } GROUP BY ?s"
         )
+
+
+def test_having(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who (COUNT(*) AS ?n) WHERE { ?who ?p ?o }
+           GROUP BY ?who HAVING(?n >= 2) ORDER BY ?who""",
+    )
+    rows = [(r.who, r.n) for r in out.collect()]
+    assert rows == [("<http://e/a>", 3), ("<http://e/b>", 3)]
+    with pytest.raises(SparqlSyntaxError, match="HAVING needs"):
+        sparql_select(g, "SELECT ?s WHERE { ?s ?p ?o } HAVING(?s > 1)")
