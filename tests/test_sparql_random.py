@@ -37,7 +37,9 @@ def _gen_graph(rnd: random.Random):
         elif kind == 1:
             o = literal(f"w{rnd.randint(0, 4)}")
         else:
-            o = literal(str(rnd.randint(0, 9)), dt=XSD_INT)
+            # multi-digit range: numeric order must beat lexical
+            # ("100" < "9" lexically) for the ORDER BY cross-check
+            o = literal(str(rnd.randint(0, 120)), dt=XSD_INT)
         triples.append(TripleT(iri(s), iri(p), o))
     # NT forms, deduped the way a set-semantics store would hold them
     seen, uniq = set(), []
@@ -373,6 +375,40 @@ def test_sparql_algebra_matches_python_oracle(spark):
             f"seed {seed}: query {query!r}\n got {got[:6]}\nwant {want[:6]}"
         )
         total_rows += len(want)
+
+        # ORDER BY cross-check: the documented total term order
+        # (unbound < blank < IRI < numeric-by-value < other-by-lexical,
+        # NT tiebreak) replayed in Python; comparing the ordered
+        # SEQUENCE of the key variable's values (rows tied on the full
+        # key carry identical values, so the sequence is deterministic)
+        if expected and base_vars and rnd.random() < 0.6:
+            ov = rnd.choice(sorted({v for r in expected for v in r}
+                                   & set(base_vars + ["o"]) or set(base_vars)))
+            desc = rnd.random() < 0.5
+            oq = query + f" ORDER BY {'DESC(?' + ov + ')' if desc else '?' + ov}"
+
+            def okey(row):
+                nt = row.get(ov)
+                if nt is None:
+                    return (0, 0.0, "", "")
+                rank = 1 if nt.startswith("_:") else 2 if nt.startswith("<") else 3
+                num = _num(nt)
+                if rank == 3 and num is None:
+                    rank = 4
+                return (rank, num if num is not None else float("-inf"),
+                        _lex(nt) or "", nt)
+
+            py_sorted = sorted(expected, key=okey, reverse=desc)
+            want_seq = [r.get(ov) for r in py_sorted]
+            odf = sparql_select(df, oq)
+            got_seq = [
+                getattr(r, ov) if ov in odf.columns else None
+                for r in odf.collect()
+            ]
+            assert got_seq == want_seq, (
+                f"seed {seed}: ORDER BY mismatch for {oq!r}\n"
+                f" got {got_seq[:8]}\nwant {want_seq[:8]}"
+            )
         total_null_ext += sum(1 for t in want if None in t)
     # vacuity guard: the generator must keep producing real matches
     # AND real null extensions, or the oracle proves nothing
