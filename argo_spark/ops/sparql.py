@@ -30,6 +30,8 @@ onto DataFrame operators):
     Group   := '{' ( Triple '.'? | OPTIONAL Group | MINUS Group
                    | FILTER (Expr | (NOT)? EXISTS Group)
                    | VALUES (?v | '(' ?v+ ')') '{' data '}'
+                   | BIND '(' (?v | Term | STR|LANG|DATATYPE(?v))
+                              AS ?new ')'
                    | Group (UNION Group)* '.'? )* '}'
     Expr    := Or | '(' Expr ')' ; Or/And/'!' over comparisons and
                BOUND(?v) / REGEX(?v, "pat" (, "i")?) /
@@ -267,6 +269,22 @@ class _Parser:
             elif kind == "kw" and val.upper() == "VALUES":
                 self.next()
                 elements.append(self.parse_values())
+            elif kind == "kw" and val.upper() == "BIND":
+                self.next()
+                self.expect_punct("(")
+                opnode = self.parse_operand()
+                if opnode[0] == "num":
+                    raise SparqlSyntaxError(
+                        "BIND of a bare number is unsupported (no "
+                        "canonical NT form chosen) — bind a typed "
+                        "literal instead"
+                    )
+                self.expect_kw("AS")
+                bk, bv = self.next()
+                if bk != "var":
+                    raise SparqlSyntaxError("BIND needs AS ?var")
+                self.expect_punct(")")
+                elements.append(("bind", (opnode, bv[1:])))
             elif kind == "kw" and val.upper() == "FILTER":
                 self.next()
                 filters.append(self.parse_constraint())
@@ -958,6 +976,51 @@ def _eval_group_impl(
             frame = _values_frame(
                 triples.sparkSession, vnames, rows, structs
             )
+        elif kind == "bind":
+            # BIND(expr AS ?v): extend each solution with the NT form
+            # of the expression's value — a plain literal for
+            # STR/LANG, an IRI for DATATYPE, a copy for a variable, a
+            # constant term's NT otherwise; expression errors leave
+            # the new variable unbound (NULL). Non-struct mode only:
+            # recovering a RAW value for the CONSTRUCT term structs
+            # would need NT unescaping, which column exprs can't do.
+            from pyspark.sql import functions as F
+
+            opnode, bvar = payload
+            if acc is None:
+                raise SparqlSyntaxError("leading BIND is not supported")
+            if structs:
+                raise SparqlSyntaxError(
+                    "BIND inside CONSTRUCT is not supported"
+                )
+            if bvar in _binding_vars(acc.columns):
+                raise SparqlSyntaxError(
+                    f"BIND target ?{bvar} is already bound"
+                )
+            cols = acc.columns
+            if opnode[0] == "var":
+                ntc = (
+                    F.col(opnode[1])
+                    if opnode[1] in cols
+                    else F.lit(None).cast("string")
+                )
+            elif opnode[0] == "func":
+                _, lex, _, _ = _operand_info(opnode, cols)
+                fn = opnode[1]
+                if fn == "DATATYPE":
+                    ntc = F.concat(F.lit("<"), lex, F.lit(">"))
+                else:  # STR / LANG: escaped lexical -> plain literal
+                    ntc = F.concat(F.lit('"'), lex, F.lit('"'))
+            else:  # constant term
+                t = opnode[1]
+                from argo_spark.terms import format_term
+
+                nt = format_term(t) if isinstance(t, Term) else "<" + t + ">"
+                ntc = F.lit(nt)
+            acc = acc.withColumn(bvar, ntc)
+            # the expression may be NULL (error) — conservative
+            maybe_null.add(bvar)
+            continue
         elif kind == "minus":
             # SPARQL §8.3.3: remove solutions compatible with some
             # RHS solution sharing ≥1 bound variable. With ALL

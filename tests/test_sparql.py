@@ -816,3 +816,49 @@ def test_having(spark):
     assert rows == [("<http://e/a>", 3), ("<http://e/b>", 3)]
     with pytest.raises(SparqlSyntaxError, match="HAVING needs"):
         sparql_select(g, "SELECT ?s WHERE { ?s ?p ?o } HAVING(?s > 1)")
+
+
+def test_bind(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n ?l WHERE {
+             ?who s:name ?n . BIND(LANG(?n) AS ?l)
+           }""",
+    )
+    got = {(r.n, r.l) for r in out.collect()}
+    assert got == {('"Ada"', '""'), ('"Bob"@en', '"en"'), ('"Cat"', '""')}
+    # BIND a var copy + constant; filter over the bound var
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+           SELECT ?who ?dt WHERE {
+             ?who s:age ?age . BIND(DATATYPE(?age) AS ?dt)
+             FILTER(?dt = xsd:integer)
+           }""",
+    )
+    assert out.count() == 2
+    # error -> unbound: DATATYPE of an IRI binding
+    out = sparql_select(
+        g,
+        """SELECT ?t ?dt WHERE {
+             ?who a ?t . BIND(DATATYPE(?t) AS ?dt) }""",
+    )
+    assert {r.dt for r in out.collect()} == {None}
+    with pytest.raises(SparqlSyntaxError, match="already bound"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?n WHERE { ?who s:name ?n . BIND(STR(?n) AS ?n) }""",
+        )
+    from argo_spark.ops.sparql import sparql_construct
+
+    with pytest.raises(SparqlSyntaxError, match="BIND inside CONSTRUCT"):
+        sparql_construct(
+            g,
+            """PREFIX s: <http://schema.org/>
+               CONSTRUCT { ?who s:tag ?l }
+               WHERE { ?who s:name ?n . BIND(LANG(?n) AS ?l) }""",
+        )
