@@ -416,3 +416,46 @@ def test_sparql_algebra_matches_python_oracle(spark):
     assert total_null_ext > 5, (
         f"no null-extension coverage: {total_null_ext} rows"
     )
+
+
+def test_sparql_group_agg_matches_python_oracle(spark):
+    """GROUP BY + COUNT/SUM/MIN/MAX/AVG replayed in Python over the
+    same generated graphs: group rows by the key var's NT form,
+    aggregate the numeric lexicals (non-numeric -> skipped), compare
+    values (AVG rounded to 9 dp for float tolerance)."""
+    from argo_spark.ops.graph import TripleGraph
+    from argo_spark.ops.sparql import sparql_select
+
+    for seed in range(10):
+        rnd = random.Random(7000 + seed)
+        triples = _gen_graph(rnd)
+        df = TripleGraph.of(spark, triples).df
+        p = f"<http://e/p{rnd.randint(0, 2)}>"
+        q = (
+            "SELECT ?s (COUNT(*) AS ?n) (COUNT(?v) AS ?nv) "
+            "(SUM(?v) AS ?sm) (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) "
+            "(AVG(?v) AS ?mean) "
+            f"WHERE {{ ?s {p} ?v }} GROUP BY ?s"
+        )
+        rows = _eval_group_py(triples, ([("bgp", [("?s", p, "?v")])], []))
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(r["s"], []).append(r["v"])
+        want = {}
+        for s, vals in groups.items():
+            nums = [n for n in (_num(v) for v in vals) if n is not None]
+            want[s] = (
+                len(vals), len(vals),
+                sum(nums) if nums else None,
+                min(nums) if nums else None,
+                max(nums) if nums else None,
+                round(sum(nums) / len(nums), 9) if nums else None,
+            )
+        got = {}
+        for r in sparql_select(df, q).collect():
+            got[r.s] = (
+                r.n, r.nv, r.sm, r.lo, r.hi,
+                round(r.mean, 9) if r.mean is not None else None,
+            )
+        assert got == want, f"seed {seed}: {p}\n got {got}\nwant {want}"
+        assert want, f"seed {seed}: no groups generated (vacuous)"
