@@ -141,11 +141,17 @@ def _fast_parse(html: str) -> Optional[Node]:
             continue
         nxt = html[lt + 1] if lt + 1 < n else ""
         if nxt in "!?":
-            # doctype / processing instruction: dropped (no handler);
-            # a '>' inside would need stdlib's declaration parser
+            # doctype / processing instruction: dropped (no handler).
+            # Marked sections (<![CDATA[...]]>) and DOCTYPEs with an
+            # internal subset may legally contain '>', so only
+            # first-'>'-terminated declarations take the fast path;
+            # anything with a '[' before the '>' gets stdlib's
+            # declaration parser.
             end = find(">", lt + 1)
             if end < 0:
                 return None
+            if nxt == "!" and "[" in html[lt + 2 : end]:
+                return None  # <![...]> / <!DOCTYPE ... [: stdlib rules
             i = end + 1
             continue
         if nxt == "/":

@@ -47,8 +47,9 @@ onto DataFrame operators):
 with terms ``?var``/``$var``, ``<iri>``, ``prefix:local``, the ``a``
 keyword (rdf:type), ``"literal"`` with optional ``@lang`` or
 ``^^<dt>``/``^^prefix:local``, and bare integer/decimal numbers in
-FILTER expressions. Property paths / subqueries / BIND stay out of
-scope. Algebra mapping (SPARQL 1.1 §18.2 translation, evaluated
+FILTER expressions. Residual exclusions: subqueries, GROUP_CONCAT
+separator arguments beyond a plain string, federated SERVICE, and
+named graphs. Algebra mapping (SPARQL 1.1 §18.2 translation, evaluated
 left-to-right): triple blocks join on shared variables, OPTIONAL is a
 left outer join on the shared variables, UNION is ``unionByName``
 with null-extension of disjoint variables, group-scoped FILTERs apply
@@ -720,8 +721,18 @@ def _expr_col(expr, columns, numeric_cols=frozenset()):
     if op == "regex":
         _, lex, _, _ = _operand_info(expr[1], columns, numeric_cols)
         pat = expr[2]
-        if "i" in expr[3]:
-            pat = "(?i)" + pat
+        # XPath flags i/s/m map 1:1 onto Java inline flags; anything
+        # else (x, q) has no faithful rlike translation — an ignored
+        # modifier is a WRONG result, so reject it.
+        flag_map = {"i": "i", "s": "s", "m": "m"}
+        bad = [f for f in expr[3] if f not in flag_map]
+        if bad:
+            raise SparqlSyntaxError(
+                f"unsupported REGEX flag(s) {''.join(bad)!r}: only i/s/m "
+                "translate to Spark rlike semantics"
+            )
+        if expr[3]:
+            pat = "(?" + "".join(flag_map[f] for f in expr[3]) + ")" + pat
         return lex.rlike(pat)
     if op == "cmp":
         cmp_op, left, right = expr[1], expr[2], expr[3]
@@ -766,7 +777,11 @@ def _expr_vars(expr) -> set[str]:
                 out.add(o[2])
         return out
     if op == "regex":
-        return {expr[1][1]} if expr[1][0] == "var" else set()
+        if expr[1][0] == "var":
+            return {expr[1][1]}
+        if expr[1][0] == "func":
+            return {expr[1][2]}
+        return set()
     if op == "cmp":
         out = set()
         for o in (expr[2], expr[3]):
@@ -1553,11 +1568,16 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                 e = {"SUM": F.sum, "AVG": F.avg,
                      "MIN": F.min, "MAX": F.max}[fn](num)
             exprs.append(e.alias(alias))
-        out = (
-            out.groupBy(*group_by).agg(*exprs)
-            if group_by
-            else out.agg(*exprs)
-        )
+        if not exprs:
+            # GROUP BY with no aggregate projections: grouped
+            # projection == distinct over the group keys
+            out = out.select(*group_by).dropDuplicates()
+        else:
+            out = (
+                out.groupBy(*group_by).agg(*exprs)
+                if group_by
+                else out.agg(*exprs)
+            )
         for h in having:
             # aggregate aliases are native numerics — mark them so
             # the filter evaluator compares values, not NT forms

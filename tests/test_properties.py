@@ -436,3 +436,28 @@ def test_fast_html_parse_never_differs_on_soup(doc):
     fast = _fast_parse(doc)
     if fast is not None:
         assert _tree_eq(fast, _parse_html_stdlib(doc))
+
+
+def test_fast_html_parse_bails_on_marked_sections():
+    """<![CDATA[...]]> and DOCTYPE internal subsets contain '>' inside
+    the declaration; the fast path must bail to stdlib rather than
+    truncate at the first '>' (round-3 advisor finding)."""
+    from argo_spark.extract.html import (
+        _fast_parse,
+        _parse_html_stdlib,
+        extract_text_from_tree,
+        parse_html,
+    )
+
+    cases = [
+        "<div><![CDATA[x > y]]> hi</div>",
+        "<!DOCTYPE html [ <!ENTITY x 'y'> ]><p>body</p>",
+        "<![if !IE]>cond<![endif]><span>tail</span>",
+    ]
+    for doc in cases:
+        assert _fast_parse(doc) is None, doc
+        # parse_html must land on the stdlib tree transparently
+        assert extract_text_from_tree(parse_html(doc)) == \
+            extract_text_from_tree(_parse_html_stdlib(doc)), doc
+    # plain doctype (no subset) still takes the fast path
+    assert _fast_parse("<!DOCTYPE html><p>x</p>") is not None

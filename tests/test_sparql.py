@@ -862,3 +862,49 @@ def test_bind(spark):
                CONSTRUCT { ?who s:tag ?l }
                WHERE { ?who s:name ?n . BIND(LANG(?n) AS ?l) }""",
         )
+
+
+def test_group_by_without_aggregates(spark):
+    """GROUP BY with no aggregate projections == grouped projection
+    (distinct over the group keys) — round-3 advisor finding."""
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who WHERE { ?who s:name ?n } GROUP BY ?who
+           ORDER BY ?who""",
+    )
+    assert [r.who for r in out.collect()] == [
+        "<http://e/a>", "<http://e/b>", "<http://e/c>",
+    ]
+
+
+def test_regex_flags(spark):
+    g = graph2(spark)
+    # 'i' still supported
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?w s:name ?n . FILTER(REGEX(?n, "^ada", "i")) }""",
+    )
+    assert [r.n for r in out.collect()] == ['"Ada"']
+    # unsupported flag raises instead of silently mis-matching
+    with pytest.raises(SparqlSyntaxError, match="REGEX flag"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?n WHERE { ?w s:name ?n . FILTER(REGEX(?n, "a", "q")) }""",
+        )
+
+
+def test_optional_filter_regex_func_outer_var_guard(spark):
+    """FILTER(REGEX(STR(?outer), ...)) inside OPTIONAL must hit the
+    LeftJoin-expression guard like bare-var references do."""
+    with pytest.raises(SparqlSyntaxError, match="outer variables"):
+        sparql_select(
+            graph2(spark),
+            """PREFIX s: <http://schema.org/>
+               SELECT ?who ?age WHERE {
+                 ?who s:name ?n .
+                 OPTIONAL { ?who s:age ?age . FILTER(REGEX(STR(?n), "A")) }
+               }""",
+        )
