@@ -15,18 +15,25 @@ onto DataFrame operators):
     SELECT (DISTINCT)? (?v | '(' AGG '(' DISTINCT? (?v|*) ')' AS ?a ')'
         ... | *) WHERE Group (GROUP BY ?v+)? (HAVING Expr)?
         (ORDER BY (?v | ASC(?v) | DESC(?v))+)? (LIMIT n)? (OFFSET n)?
-    AGG := COUNT | SUM | AVG | MIN | MAX — aggregate result columns
-        are NATIVE numerics (COUNT long; the rest double over the
-        lexical cast, non-numeric bindings skipped), not NT strings
+    AGG := COUNT | SUM | AVG | MIN | MAX | GROUP_CONCAT | SAMPLE —
+        numeric aggregates are NATIVE numerics (COUNT long; the rest
+        double over the lexical cast, non-numeric bindings skipped),
+        not NT strings; GROUP_CONCAT joins SORTED lexical forms
+        (deterministic order — documented divergence from the spec's
+        undefined order) with an optional ``; SEPARATOR="..."``;
+        SAMPLE is the minimum NT form (deterministic choice)
     ASK Group
     CONSTRUCT '{' Triple+ '}' WHERE Group (modifiers)?
     DESCRIBE (<iri>+ | ?v+ WHERE Group (modifiers)?)
     Triple  := Term Path Term ; Path := Seq ('|' Seq)* ;
-               Seq := ('^'? IRI) ('/' '^'? IRI)*   — sequence,
+               Seq := ('^'? IRI '+'|'*'?) ('/' ...)*   — sequence,
                alternation and inverse desugar into joins/UNIONs with
                internal variables (dropped from results); +/* closures
-               raise (transitive reachability is the traversal
-               operator's job, ops/traversal.py)
+               (entire-path position only) evaluate via
+               ops/traversal.py::transitive_closure (pointer doubling,
+               O(log diameter) rounds, raises past 2^10 hops);
+               '*' adds the spec's zero-length pairs (n, n) for every
+               subject/object term of the graph
     Group   := '{' ( Triple '.'? | OPTIONAL Group | MINUS Group
                    | FILTER (Expr | (NOT)? EXISTS Group)
                    | VALUES (?v | '(' ?v+ ')') '{' data '}'
@@ -303,7 +310,9 @@ class _Parser:
                 s = self.parse_term("s")
                 p = self.parse_path()
                 o = self.parse_term("o")
-                if isinstance(p, tuple) and p[0] == "path":
+                if isinstance(p, tuple) and p[0] == "closure":
+                    elements.append(("closure", (s, p[1], p[2], p[3], o)))
+                elif isinstance(p, tuple) and p[0] == "path":
                     self._expand_path(elements, s, p[1], o)
                 else:
                     if elements and elements[-1][0] == "bgp":
@@ -322,11 +331,13 @@ class _Parser:
     def parse_path(self):
         """Predicate position: a variable, a plain IRI, or a property
         path — ``alt := seq ('|' seq)*; seq := elt ('/' elt)*;
-        elt := '^'? iri``. Plain predicates return unchanged (str);
-        real paths return ("path", [seq, ...]) with seq a list of
-        (inverse, iri). ``+``/``*`` closures are unsupported (they
-        need the iterative traversal operator, ops/traversal.py, not
-        a static join chain) and raise."""
+        elt := '^'? iri ('+' | '*')?``. Plain predicates return
+        unchanged (str); static paths return ("path", [seq, ...]) with
+        seq a list of (inverse, iri); a ``+``/``*`` closure returns
+        ("closure", iri, inverse, op) and is only supported as the
+        ENTIRE path (a closure nested in a sequence or alternation
+        would need the iterative evaluation inside a static join chain
+        — raises)."""
         kind, val = self.peek()
         if kind == "var":
             return self.parse_term("p")
@@ -339,13 +350,12 @@ class _Parser:
             iri_ = self.parse_term("p")
             if isinstance(iri_, str) and iri_.startswith("?"):
                 raise SparqlSyntaxError("variables not allowed inside paths")
+            clo = None
             k2, v2 = self.peek()
             if k2 == "punct" and v2 in ("+", "*"):
-                raise SparqlSyntaxError(
-                    "path closures +/* are unsupported (use the "
-                    "traversal operators for transitive reachability)"
-                )
-            return (inv, iri_)
+                clo = v2
+                self.next()
+            return (inv, iri_, clo)
 
         def seq():
             out = [elt()]
@@ -358,6 +368,16 @@ class _Parser:
         while self.peek() == ("punct", "|"):
             self.next()
             alts.append(seq())
+        closures = [e for s in alts for e in s if e[2] is not None]
+        if closures:
+            if len(alts) != 1 or len(alts[0]) != 1:
+                raise SparqlSyntaxError(
+                    "path closures +/* are only supported as the entire "
+                    "path (not inside a sequence or alternation)"
+                )
+            inv, iri_, clo = alts[0][0]
+            return ("closure", iri_, inv, clo)
+        alts = [[(inv, iri_) for inv, iri_, _ in s] for s in alts]
         if len(alts) == 1 and len(alts[0]) == 1 and not alts[0][0][0]:
             return alts[0][0][1]  # plain predicate, no sugar
         return ("path", alts)
@@ -392,11 +412,16 @@ class _Parser:
             ]
             elements.append(("union", branches))
 
-    _AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
+    _AGG_FNS = (
+        "COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"
+    )
 
     def parse_agg_projection(self) -> tuple:
-        """'(' AGG '(' DISTINCT? (?v | '*') ')' AS ?alias ')' ->
-        ("agg", fn, target-var | "*", distinct, alias)."""
+        """'(' AGG '(' DISTINCT? (?v | '*') (';' SEPARATOR '=' str)?
+        ')' AS ?alias ')' ->
+        ("agg", fn, target-var | "*", distinct, alias, separator).
+        The separator (GROUP_CONCAT only, default single space per
+        SPARQL 1.1 §18.5.1.7) rides in slot 5."""
         self.expect_punct("(")
         fk, fv = self.next()
         if fk != "kw" or fv.upper() not in self._AGG_FNS:
@@ -421,13 +446,29 @@ class _Parser:
             self.next()
         else:
             raise SparqlSyntaxError(f"{fn} needs a variable or *")
+        sep = " "
+        kind, val = self.peek()
+        if kind == "punct" and val == ";":
+            if fn != "GROUP_CONCAT":
+                raise SparqlSyntaxError(
+                    f"SEPARATOR is only valid in GROUP_CONCAT, not {fn}"
+                )
+            self.next()
+            self.expect_kw("SEPARATOR")
+            ok_, ov = self.next()
+            if (ok_, ov) != ("op", "="):
+                raise SparqlSyntaxError("SEPARATOR needs '=' then a string")
+            sk, sv = self.next()
+            if sk != "lit":
+                raise SparqlSyntaxError("SEPARATOR value must be a string")
+            sep = _unescape(sv[1:-1])
         self.expect_punct(")")
         self.expect_kw("AS")
         ak, av = self.next()
         if ak != "var":
             raise SparqlSyntaxError("AS needs a variable")
         self.expect_punct(")")
-        return ("agg", fn, target, dist, av[1:])
+        return ("agg", fn, target, dist, av[1:], sep)
 
     def parse_values(self) -> tuple:
         """VALUES ?v { t... } | VALUES (?v...) { (t...)... } with
@@ -930,6 +971,81 @@ def eval_group(
     return _eval_group_impl(triples, group, in_optional, structs)[0]
 
 
+_CLOSURE_MAX_ROUNDS = 10  # doubling rounds: covers diameters to 2^10
+
+
+def _closure_frame(triples, s, iri_, inv, op, o) -> DataFrame:
+    """Evaluate ``s p+ o`` / ``s p* o`` (SPARQL 1.1 §18.4
+    ZeroOrMorePath / OneOrMorePath) as a solution frame.
+
+    The single-predicate edge set feeds
+    :func:`argo_spark.ops.traversal.transitive_closure` (pointer
+    doubling, O(log diameter) shuffle rounds); ``*`` additionally
+    unions the zero-length pairs — per spec, (n, n) for every term n
+    appearing as a subject or object of the active graph. ``^p+``
+    swaps the edge direction first. Endpoint variables become binding
+    columns (NT forms, same key scheme as bgp_match); a constant
+    endpoint filters; two constant endpoints would make this an
+    ASK-shaped emptiness probe and raise."""
+    from pyspark.sql import functions as F
+
+    from argo_spark.ops.traversal import transitive_closure
+    from argo_spark.terms import format_term, term_nt_col
+
+    s_var = isinstance(s, str) and s.startswith("?")
+    o_var = isinstance(o, str) and o.startswith("?")
+    if not s_var and not o_var:
+        raise SparqlSyntaxError(
+            "path closure with two constant endpoints is not supported"
+        )
+    src_nt = term_nt_col(F.col("s_kind"), F.col("s_value"))
+    dst_nt = term_nt_col(
+        F.col("o_kind"), F.col("o_value"), F.col("o_lang"), F.col("o_dt")
+    )
+    edges = (
+        triples.where(F.col("p_value") == iri_)
+        .select(src_nt.alias("src"), dst_nt.alias("dst"))
+        .dropDuplicates()
+    )
+    if inv:
+        edges = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    pairs = transitive_closure(edges, max_rounds=_CLOSURE_MAX_ROUNDS)
+    if op == "*":
+        nodes = (
+            triples.select(src_nt.alias("n"))
+            .unionByName(triples.select(dst_nt.alias("n")))
+            .dropDuplicates()
+        )
+        pairs = pairs.unionByName(
+            nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+        ).dropDuplicates()
+
+    def const_nt(t):
+        if isinstance(t, Term):
+            return format_term(t)
+        return "<" + t + ">"
+
+    if s_var and o_var and s == o:
+        # ?x p+ ?x — cycle membership: one binding column
+        return (
+            pairs.where(F.col("src") == F.col("dst"))
+            .select(F.col("src").alias(s[1:]))
+            .dropDuplicates()
+        )
+    out = pairs
+    if s_var:
+        out = out.withColumnRenamed("src", s[1:])
+    else:
+        out = out.where(F.col("src") == F.lit(const_nt(s))).drop("src")
+    if o_var:
+        out = out.withColumnRenamed("dst", o[1:])
+    else:
+        out = out.where(F.col("dst") == F.lit(const_nt(o))).drop("dst")
+    return out
+
+
 def _guard_compat_join(shared, maybe_null, what: str) -> None:
     """SPARQL's join treats an UNBOUND variable as compatible with
     anything; an equi-join on a NULL key instead matches nothing. Any
@@ -967,6 +1083,12 @@ def _eval_group_impl(
                 if structs
                 else bgp_match(triples, payload, distinct=False)
             )
+        elif kind == "closure":
+            if structs:
+                raise SparqlSyntaxError(
+                    "path closures inside CONSTRUCT are not supported"
+                )
+            frame = _closure_frame(triples, *payload)
         elif kind == "union":
             evaled = [
                 _eval_group_impl(triples, g, False, structs) for g in payload
@@ -1548,7 +1670,7 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                 f"vars not bound in WHERE: {missing}"
             )
         exprs = []
-        for _, fn, tgt, dist, alias in aggs:
+        for _, fn, tgt, dist, alias, sep in aggs:
             if fn == "COUNT":
                 if tgt == "*":
                     if dist:
@@ -1559,6 +1681,20 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                 else:
                     c = F.col(tgt)
                     e = F.count_distinct(c) if dist else F.count(c)
+            elif fn == "GROUP_CONCAT":
+                # SPARQL leaves the concatenation order undefined; we
+                # make it DETERMINISTIC (sorted lexical forms) so the
+                # result is stable across partitionings — documented
+                # divergence, same spirit as G9's deterministic Get
+                lex = _lex_col(F.col(tgt))
+                collected = (
+                    F.collect_set(lex) if dist else F.collect_list(lex)
+                )
+                e = F.array_join(F.array_sort(collected), sep)
+            elif fn == "SAMPLE":
+                # SAMPLE picks an arbitrary bound value; deterministic
+                # choice = minimum NT form (stable across runs)
+                e = F.min(F.col(tgt))
             else:
                 if dist:
                     raise SparqlSyntaxError(
@@ -1583,7 +1719,9 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             # the filter evaluator compares values, not NT forms
             out = out.where(
                 _expr_col(h, out.columns,
-                          frozenset(a[4] for a in aggs))
+                          frozenset(a[4] for a in aggs
+                                    if a[1] not in
+                                    ("GROUP_CONCAT", "SAMPLE")))
             )
         out = out.select(
             *[v if isinstance(v, str) else v[4] for v in variables]

@@ -65,6 +65,54 @@ def reachable(
     return visited
 
 
+def transitive_closure(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
+    """All (src, dst) pairs connected by a path of >= 1 edges.
+
+    Pointer doubling — ``P_{k+1} = P_k ∪ (P_k ∘ P_k)`` — so after k
+    rounds every pair within 2^k hops is present: O(log diameter)
+    shuffle rounds instead of one join per hop, the property-path
+    closure shape that survives deep chains at scale. Each round is
+    one self-equi-join on ``dst == src`` plus an anti-join against the
+    accumulated pairs; lineage is cut per round with localCheckpoint.
+    Converges (returns) when a round adds nothing; raises if the
+    diameter exceeds 2^max_rounds rather than silently truncating
+    (same contract as connected_components' non-convergence guard).
+
+    Input must have exactly the columns (src, dst); output the same.
+    Note the closure of a graph can be O(|V|^2) pairs — that is the
+    semantics of SPARQL's ``p+``, not an implementation artifact; the
+    doubling keeps the ROUND COUNT logarithmic, and AQE handles the
+    growing intermediate sizes.
+
+    Convergence is detected by pair-count fixpoint (the checkpoint
+    materializes the round anyway, so the count is a cheap RDD count)
+    rather than an anti-join emptiness probe: an anti-join between two
+    localCheckpoint'd frames trips a Catalyst constraint-rewrite bug
+    on this Spark version (NoSuchElementException in
+    UnionBase.rewriteConstraints when the LogicalRDD's inherited
+    constraints reference pruned attributes).
+    """
+    paths = edges.select("src", "dst").dropDuplicates()
+    paths = paths.localCheckpoint(eager=True)
+    n = paths.count()
+    for _ in range(max_rounds):
+        hop2 = (
+            paths.alias("a")
+            .join(paths.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        nxt = paths.unionByName(hop2).dropDuplicates()
+        nxt = nxt.localCheckpoint(eager=True)
+        n2 = nxt.count()
+        if n2 == n:
+            return paths
+        paths, n = nxt, n2
+    raise RuntimeError(
+        f"transitive_closure did not converge in {max_rounds} doubling "
+        f"rounds (path diameter > {2 ** max_rounds})"
+    )
+
+
 def iter_lists_distributed(
     triples: DataFrame, heads: DataFrame, max_len: int = 64
 ) -> DataFrame:

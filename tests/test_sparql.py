@@ -735,12 +735,61 @@ def test_path_alternation(spark):
     assert {r.o for r in out.collect()} == {"<http://e/c>", "<http://e/d>"}
 
 
-def test_path_closure_raises(spark):
-    with pytest.raises(SparqlSyntaxError, match="closure"):
+def test_path_closure_plus(spark):
+    out = sparql_select(
+        path_graph(spark),
+        "SELECT ?o WHERE { <http://e/a> <http://e/knows>+ ?o } ORDER BY ?o",
+    )
+    assert [r.o for r in out.collect()] == ["<http://e/b>", "<http://e/c>"]
+
+
+def test_path_closure_star_and_nested_raise(spark):
+    g = path_graph(spark)
+    # * includes the zero-length pairs: every subject/object term
+    out = sparql_select(
+        g,
+        "SELECT ?o WHERE { <http://e/a> <http://e/knows>* ?o } ORDER BY ?o",
+    )
+    assert [r.o for r in out.collect()] == [
+        "<http://e/a>", "<http://e/b>", "<http://e/c>",
+    ]
+    with pytest.raises(SparqlSyntaxError, match="entire path"):
         sparql_select(
-            path_graph(spark),
-            "SELECT ?o WHERE { <http://e/a> <http://e/knows>+ ?o }",
+            g,
+            "SELECT ?o WHERE { <http://e/a> <http://e/knows>+/<http://e/name> ?o }",
         )
+    with pytest.raises(SparqlSyntaxError, match="two constant"):
+        sparql_select(
+            g,
+            "SELECT ?x WHERE { <http://e/a> <http://e/knows>+ <http://e/c> . "
+            "?x <http://e/name> ?n }",
+        )
+
+
+def test_path_closure_cycle_terminates(spark):
+    E = "http://e/"
+    g = TripleGraph.of(
+        spark,
+        [
+            TripleT(iri(E + "a"), iri(E + "knows"), iri(E + "b")),
+            TripleT(iri(E + "b"), iri(E + "knows"), iri(E + "c")),
+            TripleT(iri(E + "c"), iri(E + "knows"), iri(E + "a")),
+        ],
+    ).df
+    # a 3-cycle: every node reaches every node (incl. itself)
+    out = sparql_select(
+        g, "SELECT ?a ?b WHERE { ?a <http://e/knows>+ ?b }"
+    )
+    assert out.count() == 9
+    out = sparql_select(
+        g, "SELECT ?x WHERE { ?x <http://e/knows>+ ?x } ORDER BY ?x"
+    )
+    assert [r.x for r in out.collect()] == [
+        f"<{E}a>", f"<{E}b>", f"<{E}c>",
+    ]
+
+
+def test_path_var_reserved(spark):
     with pytest.raises(SparqlSyntaxError, match="path-variable"):
         sparql_select(
             path_graph(spark),
@@ -908,3 +957,27 @@ def test_optional_filter_regex_func_outer_var_guard(spark):
                  OPTIONAL { ?who s:age ?age . FILTER(REGEX(STR(?n), "A")) }
                }""",
         )
+
+
+def test_group_concat_and_sample(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who (GROUP_CONCAT(?n; SEPARATOR="|") AS ?names)
+                  (SAMPLE(?n) AS ?one)
+           WHERE { ?who s:name ?n } GROUP BY ?who ORDER BY ?who""",
+    )
+    rows = [(r.who, r.names, r.one) for r in out.collect()]
+    assert rows == [
+        ("<http://e/a>", "Ada", '"Ada"'),
+        ("<http://e/b>", "Bob", '"Bob"@en'),
+        ("<http://e/c>", "Cat", '"Cat"'),
+    ]
+    # concatenation order is deterministic (sorted lexical forms)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT (GROUP_CONCAT(?n) AS ?all) WHERE { ?w s:name ?n }""",
+    )
+    assert out.collect()[0].all == "Ada Bob Cat"

@@ -315,3 +315,70 @@ def test_graph_construct_parity_with_native(spark):
     assert headers["Accept"] == "application/rdf+xml"
     assert urllib.parse.parse_qs(data.decode()) == {"query": [query]}
     assert got == native and len(native) == 2
+
+
+def test_urllib_transport_live_loopback():
+    """End-to-end through the DEFAULT transport: a stdlib http.server
+    on 127.0.0.1 serves a canned sparql-results+xml body; covers the
+    one code path (request construction through real urllib) the
+    injected fakes can't (round-3 verdict ask #5)."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    from argo_spark.ops.sparql_client import SparqlHttpError, SparqlService
+
+    canned = """<?xml version="1.0"?>
+<sparql xmlns="http://www.w3.org/2005/sparql-results#">
+  <head><variable name="x"/></head>
+  <results>
+    <result><binding name="x"><uri>http://e/live</uri></binding></result>
+  </results>
+</sparql>
+"""
+    seen = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            length = int(self.headers["Content-Length"])
+            seen["path"] = self.path
+            seen["accept"] = self.headers.get("Accept")
+            seen["ctype"] = self.headers.get("Content-Type")
+            seen["form"] = urllib.parse.parse_qs(
+                self.rfile.read(length).decode("ascii")
+            )
+            if seen["form"].get("query", [""])[0].startswith("SELECT"):
+                body = canned.encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "application/sparql-results+xml")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(500, "boom")
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/ds/query"
+        svc = SparqlService(url)  # DEFAULT urllib transport
+        parser = svc.select("SELECT ?x WHERE { ?x ?p ?o }")
+        assert [format_term(r["x"]) for r in parser.results] == [
+            "<http://e/live>"
+        ]
+        assert seen["path"] == "/ds/query"
+        assert seen["accept"] == "application/sparql-results+xml"
+        assert seen["ctype"] == "application/x-www-form-urlencoded"
+        # a 500 must surface as SparqlHttpError through real urllib
+        # (urllib raises HTTPError; the transport converts, EnsureOK
+        # rejects)
+        with pytest.raises(SparqlHttpError):
+            svc.update("DELETE WHERE { ?s ?p ?o }")
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -89,3 +89,33 @@ def test_reachable_random_graphs_vs_python_bfs(spark):
                     q.append(v)
         want = set(dist.items())
         assert got == want, f"seed {seed}"
+
+
+def test_transitive_closure_chain_and_cycle(spark):
+    from argo_spark.ops.traversal import transitive_closure
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x")],
+        "src string, dst string",
+    )
+    got = {(r.src, r.dst) for r in transitive_closure(edges).collect()}
+    assert got == {
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"),
+        ("x", "y"), ("y", "x"), ("x", "x"), ("y", "y"),
+    }
+
+
+def test_transitive_closure_nonconvergence_raises(spark):
+    import pytest
+
+    from argo_spark.ops.traversal import transitive_closure
+
+    # a 40-hop chain cannot converge in 2 doubling rounds (max 4 hops)
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(40)], "src string, dst string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        transitive_closure(edges, max_rounds=2)
+    # ...but converges fine with the default budget
+    assert transitive_closure(edges).count() == 40 * 41 // 2
