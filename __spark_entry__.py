@@ -42,7 +42,27 @@ def entry(spark: SparkSession) -> DataFrame:
     # persist: entity dedup runs several actions over the triples
     triples = extract_triples_df(pages).select(*TRIPLE_COLS).persist()
     mapping = entity_dedup_mapping(triples)
-    squished = apply_entity_mapping(triples, mapping, broadcast=True).dropDuplicates(TRIPLE_COLS)
+    rewritten = apply_entity_mapping(triples, mapping, broadcast=True)
+    # Materialize the rewritten triples BUCKETED BY SUBJECT before the
+    # squish (storage.write_bucketed, PLANS.md §8): the shuffle is
+    # paid once at ingest, and the squish's dropDuplicates over the
+    # 7-col canonical key then rides the bucket layout with ZERO
+    # Exchange — HashPartitioning(s_value) satisfies the dedup's
+    # ClusteredDistribution because s_value is part of the key
+    # (pinned by tests/test_storage.py::test_entry_squish_rides_buckets).
+    # Falls back to the direct one-shuffle plan if the driver
+    # environment has no writable warehouse dir.
+    try:
+        from argo_spark.storage import read_table, write_bucketed
+
+        write_bucketed(
+            rewritten, "entry_triples_bucketed", ["s_value"], n_buckets=8
+        )
+        squished = read_table(spark, "entry_triples_bucketed").dropDuplicates(
+            TRIPLE_COLS
+        )
+    except Exception:
+        squished = rewritten.dropDuplicates(TRIPLE_COLS)
     doc_triples = _doc_triples(spark, SF0001).select(*TRIPLE_COLS)
     return squished.unionByName(doc_triples)
 

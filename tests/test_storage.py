@@ -90,3 +90,15 @@ def test_bucketed_overwrite_qualified_name_spares_default_table(spark):
     spark.sql("DROP TABLE IF EXISTS qdb.qt")
     spark.sql("DROP TABLE IF EXISTS qt")
     spark.sql("DROP DATABASE IF EXISTS qdb")
+
+
+def test_entry_squish_rides_buckets(spark):
+    """The flagship entry() materializes the rewritten triples
+    bucketed by subject and the squish re-read must plan with ZERO
+    Exchange (PLANS.md §8 / round-3 verdict stretch #8)."""
+    import __spark_entry__ as em
+
+    df = em.entry(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert df.count() > 0
