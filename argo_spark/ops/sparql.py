@@ -26,13 +26,14 @@ onto DataFrame operators):
     CONSTRUCT '{' Triple+ '}' WHERE Group (modifiers)?
     DESCRIBE (<iri>+ | ?v+ WHERE Group (modifiers)?)
     Triple  := Term Path Term ; Path := Seq ('|' Seq)* ;
-               Seq := ('^'? IRI '+'|'*'?) ('/' ...)*   — sequence,
+               Seq := ('^'? IRI ('+'|'*'|'?')?) ('/' ...)*   — sequence,
                alternation and inverse desugar into joins/UNIONs with
-               internal variables (dropped from results); +/* closures
-               (entire-path position only) evaluate via
+               internal variables (dropped from results); +/*/?
+               modifiers (entire-path position only): +/* evaluate via
                ops/traversal.py::transitive_closure (pointer doubling,
-               O(log diameter) rounds, raises past 2^10 hops);
-               '*' adds the spec's zero-length pairs (n, n) for every
+               O(log diameter) rounds, raises past 2^10 hops), '?' is
+               the one-hop edges plus zero-length pairs; '*'/'?' add
+               the spec's zero-length pairs (n, n) for every
                subject/object term of the graph
     Group   := '{' ( Triple '.'? | OPTIONAL Group | MINUS Group
                    | FILTER (Expr | (NOT)? EXISTS Group)
@@ -41,11 +42,14 @@ onto DataFrame operators):
                               AS ?new ')'
                    | Group (UNION Group)* '.'? )* '}'
     Expr    := Or | '(' Expr ')' ; Or/And/'!' over comparisons and
-               BOUND(?v) / REGEX(?v, "pat" (, "i")?) /
+               BOUND(?v) / REGEX(?v, "pat" (, "ism"*)?) /
                isIRI|isURI|isLiteral|isBlank(?v) (NT-prefix checks;
                error->NULL on unbound) / sameTerm(a, b) (strict NT
-               identity); comparison
-               operands may be STR(?v) / LANG(?v) / DATATYPE(?v)
+               identity) / STRSTARTS|STRENDS|CONTAINS(a, b) (escaped
+               lexical comparison; the spec's @lang argument-
+               compatibility check is simplified away); comparison
+               operands may be STR(?v) / LANG(?v) / DATATYPE(?v) /
+               STRLEN(?v) (numeric) / UCASE(?v) / LCASE(?v)
                (LANG is "" for untagged literals; DATATYPE is
                xsd:string for plain and rdf:langString for tagged
                literals per SPARQL 1.1; both are errors — NULL,
@@ -110,7 +114,7 @@ _TOKEN = re.compile(
   | (?P<dec>[0-9]+\.[0-9]+)
   | (?P<num>[0-9]+)
   | (?P<op>!=|<=|>=|&&|\|\||[=<>!])
-  | (?P<punct>[{}.*;,()/|^+])
+  | (?P<punct>[{}.*;,()/|^+?])
     """,
     re.VERBOSE,
 )
@@ -166,7 +170,8 @@ def _unescape(body: str) -> str:
 
 
 _BOOL_BUILTINS = (
-    "BOUND", "REGEX", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "SAMETERM"
+    "BOUND", "REGEX", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "SAMETERM",
+    "STRSTARTS", "STRENDS", "CONTAINS",
 )
 
 
@@ -333,11 +338,11 @@ class _Parser:
         path — ``alt := seq ('|' seq)*; seq := elt ('/' elt)*;
         elt := '^'? iri ('+' | '*')?``. Plain predicates return
         unchanged (str); static paths return ("path", [seq, ...]) with
-        seq a list of (inverse, iri); a ``+``/``*`` closure returns
-        ("closure", iri, inverse, op) and is only supported as the
-        ENTIRE path (a closure nested in a sequence or alternation
-        would need the iterative evaluation inside a static join chain
-        — raises)."""
+        seq a list of (inverse, iri); a ``+``/``*``/``?`` modifier
+        returns ("closure", iri, inverse, op) and is only supported as
+        the ENTIRE path (one nested in a sequence or alternation would
+        need the iterative evaluation inside a static join chain —
+        raises)."""
         kind, val = self.peek()
         if kind == "var":
             return self.parse_term("p")
@@ -352,7 +357,7 @@ class _Parser:
                 raise SparqlSyntaxError("variables not allowed inside paths")
             clo = None
             k2, v2 = self.peek()
-            if k2 == "punct" and v2 in ("+", "*"):
+            if k2 == "punct" and v2 in ("+", "*", "?"):
                 clo = v2
                 self.next()
             return (inv, iri_, clo)
@@ -593,6 +598,12 @@ class _Parser:
             b = self.parse_operand()
             self.expect_punct(")")
             return ("sameterm", a, b)
+        if fn in ("STRSTARTS", "STRENDS", "CONTAINS"):
+            a = self.parse_operand()
+            self.expect_punct(",")
+            b = self.parse_operand()
+            self.expect_punct(")")
+            return ("strfn2", fn, a, b)
         # REGEX(operand, "pattern" (, "flags")?)
         target = self.parse_operand()
         self.expect_punct(",")
@@ -617,7 +628,9 @@ class _Parser:
         if kind in ("num", "dec"):
             self.next()
             return ("num", float(val))
-        if kind == "kw" and val.upper() in ("STR", "LANG", "DATATYPE"):
+        if kind == "kw" and val.upper() in (
+            "STR", "LANG", "DATATYPE", "STRLEN", "UCASE", "LCASE"
+        ):
             self.next()
             fn = val.upper()
             self.expect_punct("(")
@@ -678,6 +691,15 @@ def _operand_info(node, columns, numeric_cols=frozenset()):
         c = F.col(var) if var in columns else F.lit(None).cast("string")
         if fn == "STR":
             lex = _lex_col(c)
+        elif fn == "STRLEN":
+            # returns a NUMBER (xsd:integer): the True flag forces
+            # numeric comparison like a numeric constant does
+            n = F.length(_lex_col(c))
+            return None, n.cast("string"), n.cast("double"), True
+        elif fn == "UCASE":
+            lex = F.upper(_lex_col(c))
+        elif fn == "LCASE":
+            lex = F.lower(_lex_col(c))
         elif fn == "LANG":
             # "" when the literal has no tag (regexp_extract returns ''
             # on no-match); error (NULL) on non-literals. The quoted
@@ -759,6 +781,19 @@ def _expr_col(expr, columns, numeric_cols=frozenset()):
                 "sameTerm needs RDF-term operands (variable or term)"
             )
         return lnt == rnt
+    if op == "strfn2":
+        # STRSTARTS/STRENDS/CONTAINS over escaped lexical forms
+        # (SPARQL 17.4.3; the spec's argument-compatibility subtleties
+        # for @lang pairs are simplified to lexical comparison —
+        # documented); unbound operand -> NULL -> row drops
+        fn = expr[1]
+        _, alex, _, _ = _operand_info(expr[2], columns, numeric_cols)
+        _, blex, _, _ = _operand_info(expr[3], columns, numeric_cols)
+        if fn == "STRSTARTS":
+            return alex.startswith(blex)
+        if fn == "STRENDS":
+            return alex.endswith(blex)
+        return alex.contains(blex)
     if op == "regex":
         _, lex, _, _ = _operand_info(expr[1], columns, numeric_cols)
         pat = expr[2]
@@ -823,6 +858,14 @@ def _expr_vars(expr) -> set[str]:
         if expr[1][0] == "func":
             return {expr[1][2]}
         return set()
+    if op == "strfn2":
+        out = set()
+        for o in (expr[2], expr[3]):
+            if o[0] == "var":
+                out.add(o[1])
+            elif o[0] == "func":
+                out.add(o[2])
+        return out
     if op == "cmp":
         out = set()
         for o in (expr[2], expr[3]):
@@ -975,8 +1018,9 @@ _CLOSURE_MAX_ROUNDS = 10  # doubling rounds: covers diameters to 2^10
 
 
 def _closure_frame(triples, s, iri_, inv, op, o) -> DataFrame:
-    """Evaluate ``s p+ o`` / ``s p* o`` (SPARQL 1.1 §18.4
-    ZeroOrMorePath / OneOrMorePath) as a solution frame.
+    """Evaluate ``s p+ o`` / ``s p* o`` / ``s p? o`` (SPARQL 1.1
+    §18.4 OneOrMorePath / ZeroOrMorePath / ZeroOrOnePath) as a
+    solution frame.
 
     The single-predicate edge set feeds
     :func:`argo_spark.ops.traversal.transitive_closure` (pointer
@@ -1011,8 +1055,14 @@ def _closure_frame(triples, s, iri_, inv, op, o) -> DataFrame:
         edges = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
-    pairs = transitive_closure(edges, max_rounds=_CLOSURE_MAX_ROUNDS)
-    if op == "*":
+    # '?' (ZeroOrOnePath) is the one-hop edge set + zero-length pairs
+    # — no iteration; '+'/'*' run the doubling closure
+    pairs = (
+        edges
+        if op == "?"
+        else transitive_closure(edges, max_rounds=_CLOSURE_MAX_ROUNDS)
+    )
+    if op in ("*", "?"):
         nodes = (
             triples.select(src_nt.alias("n"))
             .unionByName(triples.select(dst_nt.alias("n")))

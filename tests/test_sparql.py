@@ -981,3 +981,52 @@ def test_group_concat_and_sample(spark):
            SELECT (GROUP_CONCAT(?n) AS ?all) WHERE { ?w s:name ?n }""",
     )
     assert out.collect()[0].all == "Ada Bob Cat"
+
+
+def test_path_zero_or_one(spark):
+    g = path_graph(spark)
+    out = sparql_select(
+        g,
+        "SELECT ?o WHERE { <http://e/a> <http://e/knows>? ?o } ORDER BY ?o",
+    )
+    # zero hops (itself) + one hop (b); NOT c (two hops)
+    assert [r.o for r in out.collect()] == ["<http://e/a>", "<http://e/b>"]
+
+
+def test_string_builtins(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?w s:name ?n . FILTER(STRSTARTS(?n, "A")) }""",
+    )
+    assert [r.n for r in out.collect()] == ['"Ada"']
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?w s:name ?n . FILTER(STRENDS(?n, "t")) }""",
+    )
+    assert [r.n for r in out.collect()] == ['"Cat"']
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?w s:name ?n . FILTER(CONTAINS(LCASE(?n), "o")) }
+           ORDER BY ?n""",
+    )
+    assert [r.n for r in out.collect()] == ['"Bob"@en']
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?w s:name ?n . FILTER(STRLEN(?n) >= 3) }""",
+    )
+    assert out.count() == 3  # all three names are 3 chars
+    # UCASE via BIND; STRLEN as a bound plain literal
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?u ?l WHERE {
+             ?w s:name ?n . BIND(UCASE(?n) AS ?u) BIND(STRLEN(?n) AS ?l)
+           } ORDER BY ?u""",
+    )
+    rows = [(r.u, r.l) for r in out.collect()]
+    assert rows == [('"ADA"', '"3"'), ('"BOB"', '"3"'), ('"CAT"', '"3"')]
