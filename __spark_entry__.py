@@ -793,6 +793,26 @@ def q_sparql_path_closure(spark, sf_dir):
     )
 
 
+def q_sparql_subquery(spark, sf_dir):
+    """§2.5 E3: subquery (§18.2.2.14) — an inner ORDER BY + LIMIT
+    top-100 SELECT evaluated bottom-up, its projection joined with
+    the outer hasDoc pattern; DuckDB replays the inner top-k (NT
+    string order, all-ASCII) and the join."""
+    from argo_spark.ops.sparql import sparql_select
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?src ?d ?lang WHERE {
+             { SELECT ?d ?lang WHERE { ?d s:inLanguage ?lang }
+               ORDER BY ?d LIMIT 100 }
+             ?src v:hasDoc ?d .
+           }""",
+    )
+
+
 def q_sparql_path(spark, sf_dir):
     """§2.5 E3: property-path sugar — the 2-hop sequence
     ``v:hasDoc/s:inLanguage`` desugars into a join through an
@@ -1430,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union": q_sparql_union,
         "sparql_values": q_sparql_values,
         "sparql_minus": q_sparql_minus,
+        "sparql_subquery": q_sparql_subquery,
         "text_token_count": q_text_token_count,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -2311,6 +2332,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '<' || u.x || '>' END AS x
             FROM u JOIN vals v ON u.lang = v.lang_raw
             WHERE u.d NOT IN (SELECT d FROM excl)
+        """,
+        "sparql_subquery": f"""
+            WITH {_DOC_TRIPLES_CTE},
+            inner_q AS (
+              -- the engine's documented term order sorts IRIs by the
+              -- lexical form SANS angle brackets, so sort s_value
+              SELECT '<' || s_value || '>' AS d,
+                     '"' || o_value || '"' AS lang
+              FROM doc_triples WHERE p_value = '{INLANG}'
+              ORDER BY s_value LIMIT 100),
+            hd AS (SELECT '<' || s_value || '>' AS src,
+                          '<' || o_value || '>' AS d
+                   FROM doc_triples WHERE p_value = '{HASDOC}')
+            SELECT hd.src, i.d, i.lang
+            FROM inner_q i JOIN hd ON i.d = hd.d
         """,
         "sparql_path_closure": f"""
             WITH RECURSIVE e AS (

@@ -40,6 +40,12 @@ onto DataFrame operators):
                    | VALUES (?v | '(' ?v+ ')') '{' data '}'
                    | BIND '(' (?v | Term | STR|LANG|DATATYPE(?v))
                               AS ?new ')'
+                   | '{' SELECT ... '}'   — subquery, evaluated
+                     bottom-up (§18.2.2.14; outer bindings invisible
+                     inside) and joined on its projected variables;
+                     not usable as a UNION branch, and joining the
+                     outer group on a native-numeric aggregate alias
+                     raises
                    | Group (UNION Group)* '.'? )* '}'
     Expr    := Or | '(' Expr ')' ; Or/And/'!' over comparisons and
                BOUND(?v) / REGEX(?v, "pat" (, "ism"*)?) /
@@ -58,9 +64,10 @@ onto DataFrame operators):
 with terms ``?var``/``$var``, ``<iri>``, ``prefix:local``, the ``a``
 keyword (rdf:type), ``"literal"`` with optional ``@lang`` or
 ``^^<dt>``/``^^prefix:local``, and bare integer/decimal numbers in
-FILTER expressions. Residual exclusions: subqueries, GROUP_CONCAT
-separator arguments beyond a plain string, federated SERVICE, and
-named graphs. Algebra mapping (SPARQL 1.1 §18.2 translation, evaluated
+FILTER expressions. Residual exclusions: subqueries as UNION
+branches, GROUP_CONCAT separator arguments beyond a plain string,
+federated SERVICE, and named graphs.
+Algebra mapping (SPARQL 1.1 §18.2 translation, evaluated
 left-to-right): triple blocks join on shared variables, OPTIONAL is a
 left outer join on the shared variables, UNION is ``unionByName``
 with null-extension of disjoint variables, group-scoped FILTERs apply
@@ -188,6 +195,10 @@ class _Parser:
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
 
+    def peek_at(self, n: int):
+        j = self.i + n
+        return self.toks[j] if j < len(self.toks) else (None, None)
+
     def next(self):
         t = self.peek()
         if t[0] is None:
@@ -302,6 +313,22 @@ class _Parser:
                 self.next()
                 filters.append(self.parse_constraint())
             elif kind == "punct" and val == "{":
+                nk, nv = self.peek_at(1)
+                if nk == "kw" and nv.upper() == "SELECT":
+                    # subquery: '{ SELECT ... }' — evaluated
+                    # bottom-up, joined on its projected variables
+                    # (§18.2.2.14); a subquery as a UNION branch is
+                    # not supported (the next token would fail the
+                    # triple parse)
+                    self.next()
+                    self.next()
+                    parts = _parse_select_body(self, stop_at_brace=True)
+                    self.expect_punct("}")
+                    elements.append(("subquery", parts))
+                    kind, val = self.peek()
+                    if kind == "punct" and val == ".":
+                        self.next()
+                    continue
                 branches = [self.parse_group()]
                 while True:
                     k2, v2 = self.peek()
@@ -1139,6 +1166,27 @@ def _eval_group_impl(
                     "path closures inside CONSTRUCT are not supported"
                 )
             frame = _closure_frame(triples, *payload)
+        elif kind == "subquery":
+            # §18.2.2.14: the subquery evaluates bottom-up against
+            # the full graph (outer bindings are NOT visible inside)
+            # and its projected variables join with the enclosing
+            # group like any other frame
+            if structs:
+                raise SparqlSyntaxError(
+                    "subqueries inside CONSTRUCT are not supported"
+                )
+            frame, frame_nulls = _select_frame(triples, payload)
+            if acc is not None:
+                bad = [
+                    c for c, t in frame.dtypes
+                    if c in acc.columns and t != "string"
+                ]
+                if bad:
+                    raise SparqlSyntaxError(
+                        f"joining on subquery aggregate alias(es) "
+                        f"{bad} is not supported (native-numeric vs "
+                        f"NT-form key)"
+                    )
         elif kind == "union":
             evaled = [
                 _eval_group_impl(triples, g, False, structs) for g in payload
@@ -1321,6 +1369,14 @@ def parse_select(query: str):
     p = _Parser(query)
     p.parse_prefixes()
     p.expect_kw("SELECT")
+    return _parse_select_body(p)
+
+
+def _parse_select_body(p: "_Parser", stop_at_brace: bool = False):
+    """Everything after the SELECT keyword — shared by the top-level
+    parse and the '{ SELECT ... }' subquery form (which sets
+    ``stop_at_brace`` so the modifier tail stops at the closing
+    brace instead of demanding end-of-input)."""
     distinct = False
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "DISTINCT":
@@ -1365,16 +1421,17 @@ def parse_select(query: str):
     if kind == "kw" and val.upper() == "HAVING":
         p.next()
         having.append(p.parse_constraint())
-    order, limit, offset = _parse_modifiers(p)
+    order, limit, offset = _parse_modifiers(p, stop_at_brace=stop_at_brace)
     return (
         variables, group, distinct, limit, order, offset, group_by, having
     )
 
 
-def _parse_modifiers(p: "_Parser"):
+def _parse_modifiers(p: "_Parser", stop_at_brace: bool = False):
     """ORDER BY / LIMIT / OFFSET tail shared by SELECT and CONSTRUCT;
     raises on anything left over (an ignored modifier is a WRONG
-    result)."""
+    result). ``stop_at_brace``: a subquery's tail legitimately ends
+    at the enclosing '}'."""
     order: list[tuple[str, bool]] = []
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "ORDER":
@@ -1417,6 +1474,8 @@ def _parse_modifiers(p: "_Parser"):
                 raise SparqlSyntaxError(f"bad OFFSET {nv!r}")
             offset = int(nv)
     kind, val = p.peek()
+    if stop_at_brace and kind == "punct" and val == "}":
+        return order, limit, offset
     if kind is not None:
         raise SparqlSyntaxError(f"unsupported trailing clause at {val!r}")
     return order, limit, offset
@@ -1685,12 +1744,20 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     """SELECT text -> bindings DataFrame: one column per selected
     variable (bare name, NT lexical form) — the SelectResult keys of
     /root/reference/sparql/result.go."""
+    return _select_frame(triples, parse_select(query))[0]
+
+
+def _select_frame(triples: DataFrame, parts):
+    """Evaluate a parsed SELECT -> (frame, maybe_null_vars). Shared by
+    the top-level entry point and '{ SELECT ... }' subquery elements
+    (which need the null set for the compatibility-join guard)."""
     from pyspark.sql import functions as F
 
     variables, group, distinct, limit, order, offset, group_by, having = (
-        parse_select(query)
+        parts
     )
-    out = eval_group(triples, group)
+    out, group_nulls = _eval_group_impl(triples, group, False, False)
+    agg_null_aliases: set[str] = set()
     internal = [c for c in out.columns if c.startswith(_PATH_VAR_PREFIX)]
     if internal:
         # path-sugar intermediates are not solution variables
@@ -1776,6 +1843,12 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         out = out.select(
             *[v if isinstance(v, str) else v[4] for v in variables]
         )
+        # COUNT and GROUP_CONCAT never yield NULL for an existing
+        # group; the numeric aggs and SAMPLE do when every
+        # contribution is null/non-numeric
+        agg_null_aliases = {
+            a[4] for a in aggs if a[1] not in ("COUNT", "GROUP_CONCAT")
+        }
         variables = None  # projection done
     elif having:
         raise SparqlSyntaxError("HAVING needs GROUP BY / aggregates")
@@ -1818,7 +1891,7 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         out = out.limit(limit)
     if variables is not None:
         out = out.select(*variables)
-    return out
+    return out, (group_nulls & set(out.columns)) | agg_null_aliases
 
 
 def sparql_ask(triples: DataFrame, query: str) -> bool:

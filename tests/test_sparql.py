@@ -1030,3 +1030,69 @@ def test_string_builtins(spark):
     )
     rows = [(r.u, r.l) for r in out.collect()]
     assert rows == [('"ADA"', '"3"'), ('"BOB"', '"3"'), ('"CAT"', '"3"')]
+
+
+def test_subquery_join_and_limit(spark):
+    g = graph2(spark)
+    # inner top-2 by name joins the outer age pattern
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who ?age WHERE {
+             { SELECT ?who WHERE { ?who s:name ?n } ORDER BY ?n LIMIT 2 }
+             ?who s:age ?age .
+           } ORDER BY ?who""",
+    )
+    rows = [(r.who, r.age) for r in out.collect()]
+    assert rows == [
+        ("<http://e/a>", '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://e/b>", '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    ]
+
+
+def test_subquery_aggregate_join_on_group_key(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who ?cnt WHERE {
+             ?who s:name ?n .
+             { SELECT ?who (COUNT(?p) AS ?cnt)
+               WHERE { ?who ?p ?o } GROUP BY ?who }
+           } ORDER BY ?who""",
+    )
+    rows = [(r.who, r.cnt) for r in out.collect()]
+    assert rows == [
+        ("<http://e/a>", 3), ("<http://e/b>", 3), ("<http://e/c>", 1),
+    ]
+
+
+def test_subquery_agg_alias_join_guard(spark):
+    g = graph2(spark)
+    with pytest.raises(SparqlSyntaxError, match="aggregate alias"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?cnt WHERE {
+                 ?x s:name ?cnt .
+                 { SELECT (COUNT(?o) AS ?cnt) WHERE { ?w ?p ?o } }
+               }""",
+        )
+
+
+def test_subquery_bottom_up_scoping(spark):
+    """Outer bindings are invisible inside the subquery (§18.2.2.14):
+    the inner SELECT over ?n is NOT restricted by the outer FILTER."""
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who ?best WHERE {
+             ?who s:name ?n . FILTER(STRSTARTS(?n, "C"))
+             { SELECT ?best WHERE { ?x s:name ?best }
+               ORDER BY ?best LIMIT 1 }
+           }""",
+    )
+    rows = [(r.who, r.best) for r in out.collect()]
+    # cross join: one outer row (Cat) x the global minimum name (Ada)
+    assert rows == [("<http://e/c>", '"Ada"')]
