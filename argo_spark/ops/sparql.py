@@ -53,7 +53,9 @@ onto DataFrame operators):
                error->NULL on unbound) / sameTerm(a, b) (strict NT
                identity) / STRSTARTS|STRENDS|CONTAINS(a, b) (escaped
                lexical comparison; the spec's @lang argument-
-               compatibility check is simplified away); comparison
+               compatibility check is simplified away) /
+               LANGMATCHES(tag, range) (RFC 4647 basic filtering:
+               '*', case-insensitive exact, '-'-prefix); comparison
                operands may be STR(?v) / LANG(?v) / DATATYPE(?v) /
                STRLEN(?v) (numeric) / UCASE(?v) / LCASE(?v)
                (LANG is "" for untagged literals; DATATYPE is
@@ -178,7 +180,7 @@ def _unescape(body: str) -> str:
 
 _BOOL_BUILTINS = (
     "BOUND", "REGEX", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "SAMETERM",
-    "STRSTARTS", "STRENDS", "CONTAINS",
+    "STRSTARTS", "STRENDS", "CONTAINS", "LANGMATCHES",
 )
 
 
@@ -631,6 +633,12 @@ class _Parser:
             b = self.parse_operand()
             self.expect_punct(")")
             return ("strfn2", fn, a, b)
+        if fn == "LANGMATCHES":
+            a = self.parse_operand()
+            self.expect_punct(",")
+            b = self.parse_operand()
+            self.expect_punct(")")
+            return ("langmatches", a, b)
         # REGEX(operand, "pattern" (, "flags")?)
         target = self.parse_operand()
         self.expect_punct(",")
@@ -808,6 +816,16 @@ def _expr_col(expr, columns, numeric_cols=frozenset()):
                 "sameTerm needs RDF-term operands (variable or term)"
             )
         return lnt == rnt
+    if op == "langmatches":
+        # RFC 4647 basic filtering (SPARQL 17.4.3.2): '*' matches any
+        # non-empty tag; else case-insensitive exact or '-'-prefix
+        # match; NULL (unbound) propagates -> row drops
+        _, alex, _, _ = _operand_info(expr[1], columns, numeric_cols)
+        _, blex, _, _ = _operand_info(expr[2], columns, numeric_cols)
+        tag, rng = F.lower(alex), F.lower(blex)
+        return F.when(rng == "*", tag != "").otherwise(
+            (tag == rng) | tag.startswith(F.concat(rng, F.lit("-")))
+        )
     if op == "strfn2":
         # STRSTARTS/STRENDS/CONTAINS over escaped lexical forms
         # (SPARQL 17.4.3; the spec's argument-compatibility subtleties
@@ -888,6 +906,14 @@ def _expr_vars(expr) -> set[str]:
     if op == "strfn2":
         out = set()
         for o in (expr[2], expr[3]):
+            if o[0] == "var":
+                out.add(o[1])
+            elif o[0] == "func":
+                out.add(o[2])
+        return out
+    if op == "langmatches":
+        out = set()
+        for o in (expr[1], expr[2]):
             if o[0] == "var":
                 out.add(o[1])
             elif o[0] == "func":

@@ -1096,3 +1096,36 @@ def test_subquery_bottom_up_scoping(spark):
     rows = [(r.who, r.best) for r in out.collect()]
     # cross join: one outer row (Cat) x the global minimum name (Ada)
     assert rows == [("<http://e/c>", '"Ada"')]
+
+
+def test_langmatches(spark):
+    g = TripleGraph.of(
+        spark,
+        [
+            TripleT(iri("http://e/a"), iri(SCHEMA + "name"),
+                    literal("color", lang="en")),
+            TripleT(iri("http://e/b"), iri(SCHEMA + "name"),
+                    literal("colour", lang="en-GB")),
+            TripleT(iri("http://e/c"), iri(SCHEMA + "name"),
+                    literal("couleur", lang="fr")),
+            TripleT(iri("http://e/d"), iri(SCHEMA + "name"),
+                    literal("plain")),
+        ],
+    ).df
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             ?w s:name ?n . FILTER(LANGMATCHES(LANG(?n), "EN"))
+           } ORDER BY ?n""",
+    )
+    # 'en' exact (case-insensitive) + 'en-GB' prefix; not fr, not plain
+    assert [r.n for r in out.collect()] == ['"color"@en', '"colour"@en-GB']
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             ?w s:name ?n . FILTER(LANGMATCHES(LANG(?n), "*"))
+           }""",
+    )
+    assert out.count() == 3  # any tagged literal; plain has tag ''
