@@ -399,6 +399,15 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Within-doc duplicate-2-gram fraction (Gopher/C4-style
+    repetition filter) — ops/textstats.py::repetition_score."""
+    from argo_spark.ops.textstats import repetition_score
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", repetition_score(F.col("text")).alias("rep2"))
+
+
 def q_text_scrub_pii(spark, sf_dir):
     """PII scrubbing (training-data hygiene): deterministic synthetic
     PII is appended so all three redaction patterns are exercised."""
@@ -1451,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_values": q_sparql_values,
         "sparql_minus": q_sparql_minus,
         "sparql_subquery": q_sparql_subquery,
+        "text_repetition": q_text_repetition,
         "text_token_count": q_text_token_count,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -2332,6 +2342,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '<' || u.x || '>' END AS x
             FROM u JOIN vals v ON u.lang = v.lang_raw
             WHERE u.d NOT IN (SELECT d FROM excl)
+        """,
+        "text_repetition": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+            g AS (SELECT doc_id, len(w) - 1 AS total,
+                         list_transform(range(1, greatest(len(w), 2)),
+                                        i -> w[i] || ' ' || w[i+1]) AS grams
+                  FROM toks)
+            SELECT doc_id,
+                   CASE WHEN total <= 0 THEN 0.0
+                        ELSE round(1 - len(list_distinct(grams)) / total::DOUBLE, 6)
+                   END::DOUBLE AS rep2
+            FROM g
         """,
         "sparql_subquery": f"""
             WITH {_DOC_TRIPLES_CTE},

@@ -96,6 +96,26 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_score(col: Column, n: int = 2) -> Column:
+    """Within-document repetition: 1 - distinct/total word n-grams
+    (the Gopher/C4-style duplicate-n-gram filter signal — boilerplate
+    and spam score high). 0.0 for docs shorter than n tokens. Pure
+    column expressions: explode-free (the n-gram list is built with
+    transform over a sequence, then size/array_distinct), so the
+    whole thing is one projection at 100 TB."""
+    toks = tokens(col)
+    total = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            1 - F.size(F.array_distinct(grams)) / total.cast("double"), 6
+        )
+    )
+
+
 def scrub_pii(col: Column) -> Column:
     """Redact common PII patterns (training-data hygiene): emails,
     then phone-like number runs, then bare IPv4s — pure codegen'd

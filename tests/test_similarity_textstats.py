@@ -199,3 +199,26 @@ def test_multimodal_real_decode_seam_raises(spark):
     df = extract_media_features(media, decode_stub=False)
     with pytest.raises(PythonException, match="real decode requires PIL/ffmpeg"):
         df.collect()
+
+
+def test_repetition_score(spark):
+    from pyspark.sql import functions as F
+
+    from argo_spark.ops.textstats import repetition_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # 2-grams: ab ba ab ba ab -> 2/5 distinct
+            (2, "all words differ here now"),  # 4 distinct / 4
+            (3, "one"),                # shorter than n -> 0.0
+            (4, ""),                   # empty -> 0.0
+        ],
+        "id long, text string",
+    )
+    got = {
+        r.id: r.rep
+        for r in df.select(
+            "id", repetition_score(F.col("text")).alias("rep")
+        ).collect()
+    }
+    assert got == {1: 0.6, 2: 0.0, 3: 0.0, 4: 0.0}
