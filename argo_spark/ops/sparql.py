@@ -57,7 +57,9 @@ onto DataFrame operators):
                LANGMATCHES(tag, range) (RFC 4647 basic filtering:
                '*', case-insensitive exact, '-'-prefix); comparison
                operands may be STR(?v) / LANG(?v) / DATATYPE(?v) /
-               STRLEN(?v) (numeric) / UCASE(?v) / LCASE(?v)
+               STRLEN(?v) (numeric) / UCASE(?v) / LCASE(?v) /
+               COALESCE(var|term|number, ...) (first BOUND value;
+               also usable in BIND when no bare-number arm)
                (LANG is "" for untagged literals; DATATYPE is
                xsd:string for plain and rdf:langString for tagged
                literals per SPARQL 1.1; both are errors — NULL,
@@ -674,6 +676,24 @@ class _Parser:
                 raise SparqlSyntaxError(f"{fn} takes a variable")
             self.expect_punct(")")
             return ("func", fn, vv[1:])
+        if kind == "kw" and val.upper() == "COALESCE":
+            # COALESCE over variables/constant terms only (first
+            # BOUND value; SPARQL 17.4.1.3's error-skipping collapses
+            # to null-skipping for this operand subset)
+            self.next()
+            self.expect_punct("(")
+            ops = [self.parse_operand()]
+            while self.peek() == ("punct", ","):
+                self.next()
+                ops.append(self.parse_operand())
+            self.expect_punct(")")
+            bad = [o for o in ops if o[0] not in ("var", "term", "num")]
+            if bad:
+                raise SparqlSyntaxError(
+                    "COALESCE arguments must be variables, constant "
+                    "terms, or numbers"
+                )
+            return ("coalesce", ops)
         if kind in ("iri", "pname", "lit"):
             return ("term", self.parse_term("o"))
         raise SparqlSyntaxError(f"bad FILTER operand {val!r}")
@@ -761,6 +781,18 @@ def _operand_info(node, columns, numeric_cols=frozenset()):
                 ),
             )
         return None, lex, lex.try_cast("double"), False
+    if kind == "coalesce":
+        infos = [_operand_info(o, columns, numeric_cols) for o in payload]
+        # a bare-number argument has no NT form; the NT column (used
+        # by term-equality and BIND) exists only when every arm does
+        nt = (
+            F.coalesce(*[i[0] for i in infos])
+            if all(i[0] is not None for i in infos)
+            else None
+        )
+        lex = F.coalesce(*[i[1] for i in infos])
+        numeric = any(i[3] for i in infos)
+        return nt, lex, lex.try_cast("double"), numeric
     if kind == "num":
         s = repr(payload) if payload != int(payload) else str(int(payload))
         return None, F.lit(s), F.lit(float(payload)), True
@@ -879,6 +911,20 @@ def _expr_col(expr, columns, numeric_cols=frozenset()):
     raise SparqlSyntaxError(f"unknown filter op {op!r}")
 
 
+def _operand_vars(o) -> set[str]:
+    """Variables referenced by a FILTER operand node."""
+    if o[0] == "var":
+        return {o[1]}
+    if o[0] == "func":
+        return {o[2]}
+    if o[0] == "coalesce":
+        out: set[str] = set()
+        for sub in o[1]:
+            out |= _operand_vars(sub)
+        return out
+    return set()
+
+
 def _expr_vars(expr) -> set[str]:
     op = expr[0]
     if op in ("or", "and"):
@@ -889,44 +935,12 @@ def _expr_vars(expr) -> set[str]:
         return {expr[1]}
     if op == "iskind":
         return {expr[2]}
-    if op == "sameterm":
-        out = set()
-        for o in (expr[1], expr[2]):
-            if o[0] == "var":
-                out.add(o[1])
-            elif o[0] == "func":
-                out.add(o[2])
-        return out
+    if op in ("sameterm", "langmatches"):
+        return _operand_vars(expr[1]) | _operand_vars(expr[2])
     if op == "regex":
-        if expr[1][0] == "var":
-            return {expr[1][1]}
-        if expr[1][0] == "func":
-            return {expr[1][2]}
-        return set()
-    if op == "strfn2":
-        out = set()
-        for o in (expr[2], expr[3]):
-            if o[0] == "var":
-                out.add(o[1])
-            elif o[0] == "func":
-                out.add(o[2])
-        return out
-    if op == "langmatches":
-        out = set()
-        for o in (expr[1], expr[2]):
-            if o[0] == "var":
-                out.add(o[1])
-            elif o[0] == "func":
-                out.add(o[2])
-        return out
-    if op == "cmp":
-        out = set()
-        for o in (expr[2], expr[3]):
-            if o[0] == "var":
-                out.add(o[1])
-            elif o[0] == "func":
-                out.add(o[2])
-        return out
+        return _operand_vars(expr[1])
+    if op in ("strfn2", "cmp"):
+        return _operand_vars(expr[2]) | _operand_vars(expr[3])
     return set()
 
 
@@ -1265,6 +1279,15 @@ def _eval_group_impl(
                     if opnode[1] in cols
                     else F.lit(None).cast("string")
                 )
+            elif opnode[0] == "coalesce":
+                # first bound value, as its full NT form
+                ntc = _operand_info(opnode, cols)[0]
+                if ntc is None:
+                    raise SparqlSyntaxError(
+                        "BIND(COALESCE(...)) with a bare-number arm "
+                        "has no canonical NT form — use a typed "
+                        "literal"
+                    )
             elif opnode[0] == "func":
                 _, lex, _, _ = _operand_info(opnode, cols)
                 fn = opnode[1]

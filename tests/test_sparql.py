@@ -1129,3 +1129,41 @@ def test_langmatches(spark):
            }""",
     )
     assert out.count() == 3  # any tagged literal; plain has tag ''
+
+
+def test_coalesce(spark):
+    g = graph2(spark)
+    # default value for missing ages via BIND(COALESCE(...))
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n ?a WHERE {
+             ?who s:name ?n .
+             OPTIONAL { ?who s:age ?age }
+             BIND(COALESCE(?age, "unknown") AS ?a)
+           } ORDER BY ?n""",
+    )
+    rows = [(r.n, r.a) for r in out.collect()]
+    assert rows == [
+        ('"Ada"', '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ('"Bob"@en', '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ('"Cat"', '"unknown"'),
+    ]
+    # COALESCE inside a FILTER comparison
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             ?who s:name ?n .
+             OPTIONAL { ?who s:age ?age }
+             FILTER(COALESCE(?age, 0) < 18)
+           }""",
+    )
+    assert {r.n for r in out.collect()} == {'"Bob"@en', '"Cat"'}
+    with pytest.raises(SparqlSyntaxError, match="COALESCE arguments"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?n WHERE { ?w s:name ?n .
+                 FILTER(COALESCE(STRLEN(?n), 0) > 1) }""",
+        )

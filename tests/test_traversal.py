@@ -119,3 +119,37 @@ def test_transitive_closure_nonconvergence_raises(spark):
         transitive_closure(edges, max_rounds=2)
     # ...but converges fine with the default budget
     assert transitive_closure(edges).count() == 40 * 41 // 2
+
+
+def test_transitive_closure_random_vs_python(spark):
+    """Randomized oracle: the distributed doubling closure must equal
+    a driver-side Warshall closure on seeded random digraphs
+    (cycles, self-loops, disconnected bits all arise at these sizes)."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = rng.randint(5, 12)
+        edges = {
+            (f"v{rng.randrange(n)}", f"v{rng.randrange(n)}")
+            for _ in range(rng.randint(4, 20))
+        }
+        # python reference: iterate to fixpoint
+        closure = set(edges)
+        while True:
+            new = {
+                (a, d)
+                for a, b in closure
+                for c, d in closure
+                if b == c and (a, d) not in closure
+            }
+            if not new:
+                break
+            closure |= new
+        from argo_spark.ops.traversal import transitive_closure
+
+        df = spark.createDataFrame(
+            sorted(edges), "src string, dst string"
+        )
+        got = {(r.src, r.dst) for r in transitive_closure(df).collect()}
+        assert got == closure, f"seed {seed}"
