@@ -59,7 +59,9 @@ onto DataFrame operators):
                operands may be STR(?v) / LANG(?v) / DATATYPE(?v) /
                STRLEN(?v) (numeric) / UCASE(?v) / LCASE(?v) /
                COALESCE(var|term|number, ...) (first BOUND value;
-               also usable in BIND when no bare-number arm)
+               also usable in BIND when no bare-number arm) /
+               IF(Expr, then, else) (error condition -> NULL result,
+               not the else branch; same branch-operand subset)
                (LANG is "" for untagged literals; DATATYPE is
                xsd:string for plain and rdf:langString for tagged
                literals per SPARQL 1.1; both are errors — NULL,
@@ -676,6 +678,25 @@ class _Parser:
                 raise SparqlSyntaxError(f"{fn} takes a variable")
             self.expect_punct(")")
             return ("func", fn, vv[1:])
+        if kind == "kw" and val.upper() == "IF":
+            # IF(boolean-expr, then, else) with var/term/number
+            # branches; an ERROR (null) condition nulls the result
+            # (spec 17.4.1.2) rather than taking the else branch
+            self.next()
+            self.expect_punct("(")
+            cond = self.parse_or()
+            self.expect_punct(",")
+            a = self.parse_operand()
+            self.expect_punct(",")
+            b = self.parse_operand()
+            self.expect_punct(")")
+            bad = [o for o in (a, b) if o[0] not in ("var", "term", "num")]
+            if bad:
+                raise SparqlSyntaxError(
+                    "IF branches must be variables, constant terms, "
+                    "or numbers"
+                )
+            return ("if", cond, a, b)
         if kind == "kw" and val.upper() == "COALESCE":
             # COALESCE over variables/constant terms only (first
             # BOUND value; SPARQL 17.4.1.3's error-skipping collapses
@@ -781,6 +802,22 @@ def _operand_info(node, columns, numeric_cols=frozenset()):
                 ),
             )
         return None, lex, lex.try_cast("double"), False
+    if kind == "if":
+        cond = _expr_col(payload, columns, numeric_cols)
+        ai = _operand_info(node[2], columns, numeric_cols)
+        bi = _operand_info(node[3], columns, numeric_cols)
+        # two-sided when: a NULL condition (SPARQL error) yields NULL,
+        # not the else branch
+        def pick(x, y):
+            return F.when(cond, x).when(~cond, y)
+
+        nt = (
+            pick(ai[0], bi[0])
+            if ai[0] is not None and bi[0] is not None
+            else None
+        )
+        lex = pick(ai[1], bi[1])
+        return nt, lex, lex.try_cast("double"), ai[3] or bi[3]
     if kind == "coalesce":
         infos = [_operand_info(o, columns, numeric_cols) for o in payload]
         # a bare-number argument has no NT form; the NT column (used
@@ -922,6 +959,8 @@ def _operand_vars(o) -> set[str]:
         for sub in o[1]:
             out |= _operand_vars(sub)
         return out
+    if o[0] == "if":
+        return _expr_vars(o[1]) | _operand_vars(o[2]) | _operand_vars(o[3])
     return set()
 
 
@@ -1279,14 +1318,14 @@ def _eval_group_impl(
                     if opnode[1] in cols
                     else F.lit(None).cast("string")
                 )
-            elif opnode[0] == "coalesce":
-                # first bound value, as its full NT form
+            elif opnode[0] in ("coalesce", "if"):
+                # NT form of the selected value
                 ntc = _operand_info(opnode, cols)[0]
                 if ntc is None:
                     raise SparqlSyntaxError(
-                        "BIND(COALESCE(...)) with a bare-number arm "
-                        "has no canonical NT form — use a typed "
-                        "literal"
+                        f"BIND({opnode[0].upper()}(...)) with a "
+                        "bare-number arm has no canonical NT form — "
+                        "use a typed literal"
                     )
             elif opnode[0] == "func":
                 _, lex, _, _ = _operand_info(opnode, cols)

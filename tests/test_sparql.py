@@ -1167,3 +1167,31 @@ def test_coalesce(spark):
                SELECT ?n WHERE { ?w s:name ?n .
                  FILTER(COALESCE(STRLEN(?n), 0) > 1) }""",
         )
+
+
+def test_if_expression(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n ?band WHERE {
+             ?who s:name ?n .
+             OPTIONAL { ?who s:age ?age }
+             BIND(IF(?age >= 18, "adult", "minor") AS ?band)
+           } ORDER BY ?n""",
+    )
+    rows = [(r.n, r.band) for r in out.collect()]
+    # Cat has no age: the IF condition errors -> ?band stays unbound
+    assert rows == [
+        ('"Ada"', '"adult"'), ('"Bob"@en', '"minor"'), ('"Cat"', None),
+    ]
+    # IF inside a FILTER comparison
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             ?who s:name ?n . ?who s:age ?age .
+             FILTER(IF(?age >= 18, 1, 0) = 1)
+           }""",
+    )
+    assert [r.n for r in out.collect()] == ['"Ada"']
