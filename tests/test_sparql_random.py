@@ -435,6 +435,8 @@ def test_sparql_group_agg_matches_python_oracle(spark):
             "SELECT ?s (COUNT(*) AS ?n) (COUNT(?v) AS ?nv) "
             "(SUM(?v) AS ?sm) (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) "
             "(AVG(?v) AS ?mean) "
+            '(GROUP_CONCAT(?v; SEPARATOR="|") AS ?gc) '
+            "(SAMPLE(?v) AS ?one) "
             f"WHERE {{ ?s {p} ?v }} GROUP BY ?s"
         )
         rows = _eval_group_py(triples, ([("bgp", [("?s", p, "?v")])], []))
@@ -450,12 +452,63 @@ def test_sparql_group_agg_matches_python_oracle(spark):
                 min(nums) if nums else None,
                 max(nums) if nums else None,
                 round(sum(nums) / len(nums), 9) if nums else None,
+                # GROUP_CONCAT: sorted lexical forms (the documented
+                # deterministic order); SAMPLE: min NT form
+                "|".join(sorted(_lex(v) or "" for v in vals)),
+                min(vals),
             )
         got = {}
         for r in sparql_select(df, q).collect():
             got[r.s] = (
                 r.n, r.nv, r.sm, r.lo, r.hi,
                 round(r.mean, 9) if r.mean is not None else None,
+                r.gc, r.one,
             )
         assert got == want, f"seed {seed}: {p}\n got {got}\nwant {want}"
         assert want, f"seed {seed}: no groups generated (vacuous)"
+
+
+def test_sparql_closure_matches_python_oracle(spark):
+    """p+ and p* replayed in Python (Warshall fixpoint over the
+    predicate's edge set; * adds (n, n) for every subject/object term
+    of the graph) on seeded random graphs — cycles, self-loops,
+    diamond shapes all arise at these densities."""
+    total_pairs = 0
+    for seed in range(6):
+        rnd = random.Random(4000 + seed)
+        triples = _gen_graph(rnd)
+        df = TripleGraph.of(spark, triples).df
+        pnum = rnd.randint(0, 2)
+        p = f"http://e/p{pnum}"
+        edges = {
+            (_nt(t.s), _nt(t.o)) for t in triples if t.p.value == p
+        }
+        closure = set(edges)
+        while True:
+            new = {
+                (a, d)
+                for a, b in closure
+                for c, d in closure
+                if b == c and (a, d) not in closure
+            }
+            if not new:
+                break
+            closure |= new
+        got = {
+            (r.a, r.b)
+            for r in sparql_select(
+                df, f"SELECT ?a ?b WHERE {{ ?a <{p}>+ ?b }}"
+            ).collect()
+        }
+        assert got == closure, f"seed {seed}: p+ mismatch"
+        nodes = {_nt(t.s) for t in triples} | {_nt(t.o) for t in triples}
+        want_star = closure | {(n, n) for n in nodes}
+        got_star = {
+            (r.a, r.b)
+            for r in sparql_select(
+                df, f"SELECT ?a ?b WHERE {{ ?a <{p}>* ?b }}"
+            ).collect()
+        }
+        assert got_star == want_star, f"seed {seed}: p* mismatch"
+        total_pairs += len(closure)
+    assert total_pairs > 100, f"generator vacuous: {total_pairs} pairs"
