@@ -399,6 +399,34 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_corpus_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling + stratified mix
+    (ops/sampling.py): ~30% of 'en' docs, 100% of 'fr', 0% of the
+    rest, by md5(doc_id‖salt) threshold — map-only, reproducible at
+    any partitioning; DuckDB replays the md5-prefix comparison
+    verbatim."""
+    from argo_spark.ops.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    out = stratified_sample(
+        d, "lang", {"en": 0.3, "fr": 1.0}, key_col="doc_id"
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_corpus_source_quota(spark, sf_dir):
+    """Per-source quota (domain caps): keep at most 5 docs per
+    source, chosen by the deterministic md5 within-group order
+    (unbiased within-group sample, not first-N-by-ingest); one
+    shuffle on the group key."""
+    from argo_spark.ops.sampling import cap_per_group
+
+    d = _docs(spark, sf_dir)
+    return cap_per_group(
+        d, "source", 5, key_col="doc_id"
+    ).select("doc_id", "source")
+
+
 def q_text_repetition(spark, sf_dir):
     """Within-doc duplicate-2-gram fraction (Gopher/C4-style
     repetition filter) — ops/textstats.py::repetition_score."""
@@ -1460,6 +1488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_values": q_sparql_values,
         "sparql_minus": q_sparql_minus,
         "sparql_subquery": q_sparql_subquery,
+        "corpus_hash_sample": q_corpus_hash_sample,
+        "corpus_source_quota": q_corpus_source_quota,
         "text_repetition": q_text_repetition,
         "text_token_count": q_text_token_count,
         "text_lang_id": q_text_lang_id,
@@ -2342,6 +2372,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '<' || u.x || '>' END AS x
             FROM u JOIN vals v ON u.lang = v.lang_raw
             WHERE u.d NOT IN (SELECT d FROM excl)
+        """,
+        "corpus_hash_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(doc_id::VARCHAR || 's0'), 1, 8) <
+                  CASE lang WHEN 'en' THEN '4ccccccd'
+                            WHEN 'fr' THEN 'g'
+                            ELSE '00000000' END
+        """,
+        "corpus_source_quota": """
+            WITH ranked AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substr(md5(doc_id::VARCHAR || 'quota'), 1, 8),
+                                doc_id) AS rk
+              FROM documents)
+            SELECT doc_id, source FROM ranked WHERE rk <= 5
         """,
         "text_repetition": f"""
             WITH toks AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
