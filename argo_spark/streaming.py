@@ -170,6 +170,68 @@ def dedup_stream(
     )
 
 
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization via Spark's native session windows:
+    per-user sessions close after ``gap`` of inactivity, state is
+    bounded by the watermark (a session older than the watermark can
+    never reopen, so its state is evicted and the finished session
+    emitted). The batch twin (__spark_entry__.q_sessionize_events's
+    lag-based variant) counts the same sessions; this is the
+    readStream shape — groupBy(session_window) keeps the whole
+    aggregation JVM-side, no Python state function needed (unlike
+    dedup_stream, whose per-key FIFO genuinely needs
+    applyInPandasWithState)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("session"),
+            F.col(user_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_sessionize_to_memory(
+    spark: SparkSession,
+    input_path: str,
+    input_schema: str,
+    checkpoint_path: str,
+    gap: str = "30 minutes",
+    query_name: str = "sessions",
+):
+    """Continuous sessionization of an events directory into an
+    in-memory sink (smoke/monitoring shape; production writes a
+    table)."""
+    src = (
+        spark.readStream.schema(input_schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_path)
+    )
+    return (
+        sessionize_stream(src, gap=gap)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dedup_to_parquet(
     spark: SparkSession,
     input_path: str,

@@ -138,3 +138,61 @@ def test_streaming_dedup_eviction_bound(spark, tmp_path):
     # re-emitted; its own arrival pushed "beta" out -> cumulative 2
     assert (4, "alpha", 2) in got2
     assert not any(r[0] == 5 for r in got2)  # within-capacity exactly-once
+
+
+def test_streaming_sessionization(spark, tmp_path):
+    """session_window sessions: gap > 30 min splits; batch replay of
+    the same events through the lag-based batch sessionizer counts
+    the same number of sessions per user."""
+    import datetime as dt
+
+    from argo_spark.streaming import stream_sessionize_to_memory
+
+    base = dt.datetime(2024, 1, 1, 8, 0, 0)
+    rows = []
+    # user 1: two sessions (3 events, 45-min gap, 2 events)
+    for m in (0, 5, 10, 55, 60):
+        rows.append((1, base + dt.timedelta(minutes=m), f"e1{m}"))
+    # user 2: one session
+    for m in (0, 20):
+        rows.append((2, base + dt.timedelta(minutes=m), f"e2{m}"))
+    # watermark flush: append-mode session aggs emit only once the
+    # watermark passes the session end, so a far-future event from a
+    # sentinel user pushes the final watermark past every real session
+    rows.append((99, base + dt.timedelta(days=1), "flush"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id string"
+    )
+    events_dir = str(tmp_path / "events")
+    ev.write.parquet(events_dir)
+
+    q = stream_sessionize_to_memory(
+        spark, events_dir, "user_id long, ts timestamp, event_id string",
+        str(tmp_path / "cp"), query_name="sess_t",
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_t").collect()
+        if r.user_id != 99
+    }
+    assert got == {(1, 3), (1, 2), (2, 2)}
+
+    # cross-check session COUNTS against the batch lag-based shape
+    import __spark_entry__ as em
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ns = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    batch = (
+        ev.where("user_id != 99").select("user_id", ns.alias("ns"))
+        .groupBy("user_id").agg(F.sum("ns").alias("n_sessions"))
+    )
+    batch_counts = {(r.user_id, r.n_sessions) for r in batch.collect()}
+    stream_counts = {}
+    for u, _n in got:
+        stream_counts[u] = stream_counts.get(u, 0) + 1
+    assert {(u, n) for u, n in stream_counts.items()} == batch_counts
