@@ -25,7 +25,12 @@ onto DataFrame operators):
     ASK Group
     CONSTRUCT '{' Triple+ '}' WHERE Group (modifiers)?
     DESCRIBE (<iri>+ | ?v+ WHERE Group (modifiers)?)
-    Triple  := Term Path Term ; Path := Seq ('|' Seq)* ;
+    Triple  := Term Path Term ;
+    Path := Seq ('|' Seq)* | '!' (IRI | '(' IRI ('|' IRI)* ')')
+               — negated property set (§9.1, plain-IRI members):
+               desugars to an internal predicate variable + a
+               set-exclusion filter ;
+    Path(cont.) :=
                Seq := ('^'? IRI ('+'|'*'|'?')?) ('/' ...)*   — sequence,
                alternation and inverse desugar into joins/UNIONs with
                internal variables (dropped from results); +/*/?
@@ -350,6 +355,17 @@ class _Parser:
                 o = self.parse_term("o")
                 if isinstance(p, tuple) and p[0] == "closure":
                     elements.append(("closure", (s, p[1], p[2], p[3], o)))
+                elif isinstance(p, tuple) and p[0] == "negset":
+                    # desugar: (s ?fresh o) + a group filter keeping
+                    # predicates outside the set; the fresh var is an
+                    # internal path var (dropped from solutions)
+                    pv = self._fresh_path_var()
+                    pat = (s, pv, o)
+                    if elements and elements[-1][0] == "bgp":
+                        elements[-1][1].append(pat)
+                    else:
+                        elements.append(("bgp", [pat]))
+                    filters.append(("notin_p", pv[1:], tuple(p[1])))
                 elif isinstance(p, tuple) and p[0] == "path":
                     self._expand_path(elements, s, p[1], o)
                 else:
@@ -379,6 +395,36 @@ class _Parser:
         kind, val = self.peek()
         if kind == "var":
             return self.parse_term("p")
+        if kind == "op" and val == "!":
+            # negated property set: !iri | !(iri ('|' iri)*) — any
+            # predicate OUTSIDE the set (§9.1; the ^-inverse members
+            # of the full grammar are not supported)
+            self.next()
+            k2, v2 = self.peek()
+            iris = []
+            if k2 == "punct" and v2 == "(":
+                self.next()
+                while True:
+                    t = self.parse_term("p")
+                    if not isinstance(t, str) or t.startswith("?"):
+                        raise SparqlSyntaxError(
+                            "negated property sets take plain IRIs"
+                        )
+                    iris.append(t)
+                    k3, v3 = self.peek()
+                    if k3 == "punct" and v3 == "|":
+                        self.next()
+                        continue
+                    break
+                self.expect_punct(")")
+            else:
+                t = self.parse_term("p")
+                if not isinstance(t, str) or t.startswith("?"):
+                    raise SparqlSyntaxError(
+                        "negated property sets take plain IRIs"
+                    )
+                iris.append(t)
+            return ("negset", iris)
 
         def elt():
             inv = False
@@ -885,6 +931,10 @@ def _expr_col(expr, columns, numeric_cols=frozenset()):
                 "sameTerm needs RDF-term operands (variable or term)"
             )
         return lnt == rnt
+    if op == "notin_p":
+        # negated-property-set membership: the internal predicate
+        # binding (always bound, NT IRI form) outside the set
+        return ~F.col(expr[1]).isin([f"<{i}>" for i in expr[2]])
     if op == "langmatches":
         # RFC 4647 basic filtering (SPARQL 17.4.3.2): '*' matches any
         # non-empty tag; else case-insensitive exact or '-'-prefix
@@ -980,6 +1030,8 @@ def _expr_vars(expr) -> set[str]:
         return _operand_vars(expr[1])
     if op in ("strfn2", "cmp"):
         return _operand_vars(expr[2]) | _operand_vars(expr[3])
+    if op == "notin_p":
+        return {expr[1]}
     return set()
 
 

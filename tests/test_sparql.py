@@ -1195,3 +1195,31 @@ def test_if_expression(spark):
            }""",
     )
     assert [r.n for r in out.collect()] == ['"Ada"']
+
+
+def test_negated_property_set(spark):
+    g = path_graph(spark)
+    # everything b links to by anything EXCEPT knows
+    out = sparql_select(
+        g,
+        "SELECT ?o WHERE { <http://e/b> !<http://e/knows> ?o }",
+    )
+    assert [r.o for r in out.collect()] == ["<http://e/d>"]
+    # multi-member set
+    out = sparql_select(
+        g,
+        """SELECT ?s ?o WHERE {
+             ?s !(<http://e/knows>|<http://e/likes>) ?o }""",
+    )
+    assert [(r.s, r.o) for r in out.collect()] == [
+        ("<http://e/c>", '"Cee"')
+    ]
+    # negset composed with a positive pattern on the same subject
+    out = sparql_select(
+        g,
+        """SELECT ?s WHERE {
+             ?s <http://e/knows> ?k . ?s !<http://e/knows> ?other }""",
+    )
+    assert [r.s for r in out.collect()] == ["<http://e/b>"]
+    with pytest.raises(SparqlSyntaxError, match="plain IRIs"):
+        sparql_select(g, "SELECT ?o WHERE { ?s !?p ?o }")
