@@ -427,6 +427,21 @@ def q_corpus_source_quota(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def q_text_quality_flags(spark, sf_dir):
+    """Gopher-style boolean quality gates (ops/textstats.py::
+    quality_flags), booleans cast to int for the driver's
+    value-hash; min_words lowered to 20 so the synthetic docs land on
+    both sides of the gate."""
+    from argo_spark.ops.textstats import quality_flags
+
+    d = _docs(spark, sf_dir)
+    flags = quality_flags(F.col("text"), min_words=20)
+    return d.select(
+        "doc_id",
+        *[c.cast("int").alias(n) for n, c in flags.items()],
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Within-doc duplicate-2-gram fraction (Gopher/C4-style
     repetition filter) — ops/textstats.py::repetition_score."""
@@ -1491,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hash_sample": q_corpus_hash_sample,
         "corpus_source_quota": q_corpus_source_quota,
         "text_repetition": q_text_repetition,
+        "text_quality_flags": q_text_quality_flags,
         "text_token_count": q_text_token_count,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -2372,6 +2388,43 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '<' || u.x || '>' END AS x
             FROM u JOIN vals v ON u.lang = v.lang_raw
             WHERE u.d NOT IN (SELECT d FROM excl)
+        """,
+        "text_quality_flags": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKENS} AS w FROM documents),
+            m AS (
+              SELECT doc_id, text, w,
+                     len(w) AS n_words,
+                     length(list_aggregate(w, 'string_agg', ''))
+                       / greatest(len(w), 1) AS mean_wl,
+                     (length(text) - length(replace(text, '#', '')))
+                       + (length(text) - length(replace(text, '...', ''))) / 3
+                       AS n_symbols,
+                     length(text) - length(replace(text, chr(10), '')) + 1
+                       AS n_lines,
+                     len(regexp_extract_all(text,
+                         '(^|' || chr(10) || ')[ ' || chr(9) || ']*[-*•]'))
+                       AS bullet_lines,
+                     len(regexp_extract_all(text,
+                         '\\.\\.\\.(' || chr(10) || '|$)')) AS ellipsis_lines,
+                     len(list_filter(list_distinct(w), x ->
+                         list_contains(['the','and','of','to','in','is','that','with'], x)))
+                       AS stop_hits
+              FROM t)
+            SELECT doc_id,
+                   (n_words >= 20 AND n_words <= 100000)::INT AS flag_word_count,
+                   (mean_wl >= 3 AND mean_wl <= 10)::INT AS flag_mean_word_len,
+                   (n_symbols / greatest(n_words, 1) <= 0.1)::INT AS flag_symbol_ratio,
+                   (bullet_lines / n_lines <= 0.9)::INT AS flag_bullet_ratio,
+                   (ellipsis_lines / n_lines <= 0.3)::INT AS flag_ellipsis_ratio,
+                   (stop_hits >= 2)::INT AS flag_stopwords,
+                   ((n_words >= 20 AND n_words <= 100000)
+                    AND (mean_wl >= 3 AND mean_wl <= 10)
+                    AND (n_symbols / greatest(n_words, 1) <= 0.1)
+                    AND (bullet_lines / n_lines <= 0.9)
+                    AND (ellipsis_lines / n_lines <= 0.3)
+                    AND (stop_hits >= 2))::INT AS pass_all
+            FROM m
         """,
         "corpus_hash_sample": """
             SELECT doc_id, lang FROM documents

@@ -116,6 +116,52 @@ def repetition_score(col: Column, n: int = 2) -> Column:
     )
 
 
+def quality_flags(col: Column, min_words: int = 50,
+                  max_words: int = 100_000):
+    """Gopher-style boolean quality rules (Rae et al. 2021 §A1.1, the
+    standard web-corpus repetition/format gate), each a pure column
+    expression; returns a dict of named flag Columns plus 'pass_all'.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [3, 10]; symbol-to-word ratio (# and ellipsis) <= 0.1; <= 90% of
+    lines bullet-started; <= 30% of lines ellipsis-ended; at least 2
+    distinct English stop words present."""
+    toks = tokens(col)
+    n_words = F.size(toks)
+    # mean word length WITHOUT a HOF aggregate (interpreted on this
+    # build — CLAUDE.md): total token chars = length of the
+    # separator-free token concat, a codegen'd expression
+    mean_wl = F.length(F.concat_ws("", toks)) / F.greatest(
+        n_words, F.lit(1)
+    )
+    n_symbols = (
+        F.length(col) - F.length(F.regexp_replace(col, r"#", ""))
+        + (F.length(col) - F.length(F.regexp_replace(col, r"\.\.\.", "")))
+        / 3
+    )
+    n_lines = F.regexp_count(col, F.lit(r"\n")) + 1
+    bullet_lines = F.regexp_count(col, F.lit(r"(^|\n)[ \t]*[-*•]"))
+    ellipsis_lines = F.regexp_count(col, F.lit(r"\.\.\.(\n|$)"))
+    stop_hits = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in _LANG_STOPWORDS["en"]])
+        )
+    )
+    flags = {
+        "flag_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "flag_mean_word_len": (mean_wl >= 3) & (mean_wl <= 10),
+        "flag_symbol_ratio": n_symbols / F.greatest(n_words, F.lit(1)) <= 0.1,
+        "flag_bullet_ratio": bullet_lines / n_lines <= 0.9,
+        "flag_ellipsis_ratio": ellipsis_lines / n_lines <= 0.3,
+        "flag_stopwords": stop_hits >= 2,
+    }
+    pass_all = None
+    for c in flags.values():
+        pass_all = c if pass_all is None else (pass_all & c)
+    flags["pass_all"] = pass_all
+    return flags
+
+
 def scrub_pii(col: Column) -> Column:
     """Redact common PII patterns (training-data hygiene): emails,
     then phone-like number runs, then bare IPv4s — pure codegen'd

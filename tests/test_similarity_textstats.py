@@ -222,3 +222,25 @@ def test_repetition_score(spark):
         ).collect()
     }
     assert got == {1: 0.6, 2: 0.0, 3: 0.0, 4: 0.0}
+
+
+def test_quality_flags(spark):
+    from pyspark.sql import functions as F
+
+    from argo_spark.ops.textstats import quality_flags
+
+    good = "the quick brown fox jumps over the lazy dog and " * 10
+    bully = "\n".join("- item %d" % i for i in range(10))
+    symbols = "### " * 100
+    docs = spark.createDataFrame(
+        [(1, good), (2, bully), (3, symbols), (4, "too short")],
+        "id long, text string",
+    )
+    flags = quality_flags(F.col("text"), min_words=20)
+    out = docs.select("id", *[c.alias(n) for n, c in flags.items()])
+    rows = {r.id: r.asDict() for r in out.collect()}
+    assert rows[1]["pass_all"] is True
+    assert rows[2]["flag_bullet_ratio"] is False  # 100% bullet lines
+    assert rows[3]["flag_symbol_ratio"] is False
+    assert rows[4]["flag_word_count"] is False
+    assert rows[4]["flag_stopwords"] is False
