@@ -435,7 +435,10 @@ def q_text_quality_flags(spark, sf_dir):
     from argo_spark.ops.textstats import quality_flags
 
     d = _docs(spark, sf_dir)
-    flags = quality_flags(F.col("text"), min_words=20)
+    # min_stop_words=1: the synthetic vocabulary carries only 'the'
+    # from the stop list, so the spec default of 2 would fail every
+    # doc and the gate would be a constant column
+    flags = quality_flags(F.col("text"), min_words=20, min_stop_words=1)
     return d.select(
         "doc_id",
         *[c.cast("int").alias(n) for n, c in flags.items()],
@@ -2417,13 +2420,13 @@ def oracle_sql() -> dict[str, str]:
                    (n_symbols / greatest(n_words, 1) <= 0.1)::INT AS flag_symbol_ratio,
                    (bullet_lines / n_lines <= 0.9)::INT AS flag_bullet_ratio,
                    (ellipsis_lines / n_lines <= 0.3)::INT AS flag_ellipsis_ratio,
-                   (stop_hits >= 2)::INT AS flag_stopwords,
+                   (stop_hits >= 1)::INT AS flag_stopwords,
                    ((n_words >= 20 AND n_words <= 100000)
                     AND (mean_wl >= 3 AND mean_wl <= 10)
                     AND (n_symbols / greatest(n_words, 1) <= 0.1)
                     AND (bullet_lines / n_lines <= 0.9)
                     AND (ellipsis_lines / n_lines <= 0.3)
-                    AND (stop_hits >= 2))::INT AS pass_all
+                    AND (stop_hits >= 1))::INT AS pass_all
             FROM m
         """,
         "corpus_hash_sample": """

@@ -117,15 +117,15 @@ def repetition_score(col: Column, n: int = 2) -> Column:
 
 
 def quality_flags(col: Column, min_words: int = 50,
-                  max_words: int = 100_000):
+                  max_words: int = 100_000, min_stop_words: int = 2):
     """Gopher-style boolean quality rules (Rae et al. 2021 §A1.1, the
     standard web-corpus repetition/format gate), each a pure column
     expression; returns a dict of named flag Columns plus 'pass_all'.
 
     Rules: word count in [min_words, max_words]; mean word length in
     [3, 10]; symbol-to-word ratio (# and ellipsis) <= 0.1; <= 90% of
-    lines bullet-started; <= 30% of lines ellipsis-ended; at least 2
-    distinct English stop words present."""
+    lines bullet-started; <= 30% of lines ellipsis-ended; at least
+    ``min_stop_words`` distinct English stop words present."""
     toks = tokens(col)
     n_words = F.size(toks)
     # mean word length WITHOUT a HOF aggregate (interpreted on this
@@ -153,7 +153,7 @@ def quality_flags(col: Column, min_words: int = 50,
         "flag_symbol_ratio": n_symbols / F.greatest(n_words, F.lit(1)) <= 0.1,
         "flag_bullet_ratio": bullet_lines / n_lines <= 0.9,
         "flag_ellipsis_ratio": ellipsis_lines / n_lines <= 0.3,
-        "flag_stopwords": stop_hits >= 2,
+        "flag_stopwords": stop_hits >= min_stop_words,
     }
     pass_all = None
     for c in flags.values():
