@@ -66,7 +66,11 @@ onto DataFrame operators):
                COALESCE(var|term|number, ...) (first BOUND value;
                also usable in BIND when no bare-number arm) /
                IF(Expr, then, else) (error condition -> NULL result,
-               not the else branch; same branch-operand subset)
+               not the else branch; same branch-operand subset) /
+               numeric arithmetic (+ - * / with standard precedence,
+               always-numeric: non-numeric bindings error the row
+               out; / is try_divide — divide-by-zero drops, never
+               aborts)
                (LANG is "" for untagged literals; DATATYPE is
                xsd:string for plain and rdf:langString for tagged
                literals per SPARQL 1.1; both are errors — NULL,
@@ -132,7 +136,7 @@ _TOKEN = re.compile(
   | (?P<dec>[0-9]+\.[0-9]+)
   | (?P<num>[0-9]+)
   | (?P<op>!=|<=|>=|&&|\|\||[=<>!])
-  | (?P<punct>[{}.*;,()/|^+?])
+  | (?P<punct>[{}.*;,()/|^+?-])
     """,
     re.VERBOSE,
 )
@@ -648,14 +652,40 @@ class _Parser:
             return e
         if kind == "kw" and val.upper() in _BOOL_BUILTINS:
             return self.parse_builtin()
-        left = self.parse_operand()
+        left = self.parse_additive()
         kind, val = self.peek()
         if kind == "op" and val in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
-            return ("cmp", val, left, self.parse_operand())
+            return ("cmp", val, left, self.parse_additive())
         raise SparqlSyntaxError(
             "FILTER primary must be a comparison or BOUND/REGEX"
         )
+
+    def parse_additive(self) -> tuple:
+        """Numeric expression grammar over operands:
+        additive := mult (('+'|'-') mult)* ;
+        mult := operand (('*'|'/') operand)*. A bare operand parses
+        unchanged; any arithmetic yields an ("arith", op, a, b) node
+        (always NUMERIC — a non-numeric binding makes it NULL and the
+        row drops, SPARQL's type-error semantics)."""
+        e = self.parse_multiplicative()
+        while True:
+            kind, val = self.peek()
+            if kind == "punct" and val in ("+", "-"):
+                self.next()
+                e = ("arith", val, e, self.parse_multiplicative())
+            else:
+                return e
+
+    def parse_multiplicative(self) -> tuple:
+        e = self.parse_operand()
+        while True:
+            kind, val = self.peek()
+            if kind == "punct" and val in ("*", "/"):
+                self.next()
+                e = ("arith", val, e, self.parse_operand())
+            else:
+                return e
 
     def parse_builtin(self) -> tuple:
         _, name = self.next()
@@ -713,6 +743,13 @@ class _Parser:
         if kind in ("num", "dec"):
             self.next()
             return ("num", float(val))
+        if kind == "punct" and val == "-":
+            # unary minus on a numeric literal
+            self.next()
+            nk, nv = self.next()
+            if nk not in ("num", "dec"):
+                raise SparqlSyntaxError("'-' needs a number")
+            return ("num", -float(nv))
         if kind == "kw" and val.upper() in (
             "STR", "LANG", "DATATYPE", "STRLEN", "UCASE", "LCASE"
         ):
@@ -864,6 +901,18 @@ def _operand_info(node, columns, numeric_cols=frozenset()):
         )
         lex = pick(ai[1], bi[1])
         return nt, lex, lex.try_cast("double"), ai[3] or bi[3]
+    if kind == "arith":
+        a = _operand_info(node[2], columns, numeric_cols)[2]
+        b = _operand_info(node[3], columns, numeric_cols)[2]
+        # try_divide: ANSI mode is on, and SPARQL's divide-by-zero is
+        # an error that drops the row (NULL), never a query abort
+        num = {
+            "+": lambda: a + b,
+            "-": lambda: a - b,
+            "*": lambda: a * b,
+            "/": lambda: F.try_divide(a, b),
+        }[payload]()
+        return None, num.cast("string"), num, True
     if kind == "coalesce":
         infos = [_operand_info(o, columns, numeric_cols) for o in payload]
         # a bare-number argument has no NT form; the NT column (used
@@ -1011,6 +1060,8 @@ def _operand_vars(o) -> set[str]:
         return out
     if o[0] == "if":
         return _expr_vars(o[1]) | _operand_vars(o[2]) | _operand_vars(o[3])
+    if o[0] == "arith":
+        return _operand_vars(o[2]) | _operand_vars(o[3])
     return set()
 
 

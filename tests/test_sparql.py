@@ -1223,3 +1223,40 @@ def test_negated_property_set(spark):
     assert [r.s for r in out.collect()] == ["<http://e/b>"]
     with pytest.raises(SparqlSyntaxError, match="plain IRIs"):
         sparql_select(g, "SELECT ?o WHERE { ?s !?p ?o }")
+
+
+def test_filter_arithmetic(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who WHERE { ?who s:age ?a . FILTER(?a * 2 > 20) }""",
+    )
+    assert [r.who for r in out.collect()] == ["<http://e/a>"]
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who WHERE { ?who s:age ?a . FILTER(?a - 10 <= -3) }""",
+    )
+    assert [r.who for r in out.collect()] == ["<http://e/b>"]
+    # precedence: 1 + a / 2 == 1 + (a/2)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who WHERE { ?who s:age ?a . FILTER(1 + ?a / 2 >= 19) }""",
+    )
+    assert [r.who for r in out.collect()] == ["<http://e/a>"]
+    # division by zero = error = row drops (never aborts)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who WHERE { ?who s:age ?a . FILTER(?a / 0 > 0) }""",
+    )
+    assert out.count() == 0
+    # non-numeric binding -> NULL -> drops
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?who s:name ?n . FILTER(?n + 1 > 0) }""",
+    )
+    assert out.count() == 0
