@@ -13,6 +13,9 @@ onto DataFrame operators):
 
     PREFIX p: <uri> ...
     SELECT (DISTINCT)? (?v | '(' AGG '(' DISTINCT? (?v|*) ')' AS ?a ')'
+        | '(' Operand AS ?a ')'   — expression projection, desugared
+          to a trailing BIND (§18.2.4.2 Extend); not mixable with
+          aggregate projections
         ... | *) WHERE Group (GROUP BY ?v+)? (HAVING Expr)?
         (ORDER BY (?v | ASC(?v) | DESC(?v))+)? (LIMIT n)? (OFFSET n)?
     AGG := COUNT | SUM | AVG | MIN | MAX | GROUP_CONCAT | SAMPLE —
@@ -1585,7 +1588,20 @@ def _parse_select_body(p: "_Parser", stop_at_brace: bool = False):
                 variables.append(val[1:])
                 p.next()
             elif kind == "punct" and val == "(":
-                variables.append(p.parse_agg_projection())
+                nk, nv = p.peek_at(1)
+                if nk == "kw" and nv.upper() in p._AGG_FNS:
+                    variables.append(p.parse_agg_projection())
+                else:
+                    # (expr AS ?alias) projection: BIND's operand
+                    # grammar, desugared into a trailing BIND below
+                    p.next()
+                    opnode = p.parse_operand()
+                    p.expect_kw("AS")
+                    ak, av = p.next()
+                    if ak != "var":
+                        raise SparqlSyntaxError("AS needs a variable")
+                    p.expect_punct(")")
+                    variables.append(("expr", opnode, av[1:]))
             else:
                 break
         if not variables:
@@ -1594,6 +1610,28 @@ def _parse_select_body(p: "_Parser", stop_at_brace: bool = False):
     if kind == "kw" and val.upper() == "WHERE":
         p.next()
     group = p.parse_group()
+    exprs = [v for v in (variables or []) if isinstance(v, tuple)
+             and v[0] == "expr"]
+    if exprs:
+        # SELECT-expression ≡ BIND at the end of the WHERE group
+        # (§18.2.4.2's Extend, evaluated after the group); rewrite
+        # the projection list to the plain alias names
+        if any(isinstance(v, tuple) and v[0] == "agg"
+               for v in variables):
+            raise SparqlSyntaxError(
+                "mixing (expr AS ?v) with aggregate projections is "
+                "not supported"
+            )
+        for _, opnode, alias in exprs:
+            if opnode[0] == "num":
+                raise SparqlSyntaxError(
+                    "projecting a bare number is unsupported (no "
+                    "canonical NT form chosen) — use a typed literal"
+                )
+            group.elements.append(("bind", (opnode, alias)))
+        variables = [
+            v if isinstance(v, str) else v[2] for v in variables
+        ]
     group_by: list[str] = []
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "GROUP":

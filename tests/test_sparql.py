@@ -1260,3 +1260,29 @@ def test_filter_arithmetic(spark):
            SELECT ?n WHERE { ?who s:name ?n . FILTER(?n + 1 > 0) }""",
     )
     assert out.count() == 0
+
+
+def test_select_expression_projection(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who (UCASE(?n) AS ?u) (COALESCE(?age, "-") AS ?a)
+           WHERE { ?who s:name ?n OPTIONAL { ?who s:age ?age } }
+           ORDER BY ?who""",
+    )
+    rows = [(r.who, r.u, r.a) for r in out.collect()]
+    assert rows == [
+        ("<http://e/a>", '"ADA"',
+         '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://e/b>", '"BOB"',
+         '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://e/c>", '"CAT"', '"-"'),
+    ]
+    with pytest.raises(SparqlSyntaxError, match="mixing"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT (STR(?n) AS ?x) (COUNT(*) AS ?c)
+               WHERE { ?w s:name ?n }""",
+        )
