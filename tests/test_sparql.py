@@ -1286,3 +1286,44 @@ def test_select_expression_projection(spark):
                SELECT (STR(?n) AS ?x) (COUNT(*) AS ?c)
                WHERE { ?w s:name ?n }""",
         )
+
+
+def test_parser_errors_are_sparql_syntax_errors():
+    """Totality: any input either parses or raises SparqlSyntaxError —
+    no hangs, no stray exception types (hypothesis soup + adversarial
+    near-miss corpus)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from argo_spark.ops.sparql import parse_select
+
+    near_misses = [
+        "SELECT", "SELECT ?x", "SELECT ?x WHERE {", "SELECT * WHERE {}",
+        "SELECT ?x WHERE { ?x ?p }", "SELECT ?x WHERE { ?x ?p ?o",
+        "SELECT (?x AS) WHERE { ?x ?p ?o }",
+        "SELECT ?x WHERE { ?x <p>++ ?o }",
+        "SELECT ?x WHERE { ?x !() ?o }",
+        "SELECT ?x WHERE { { SELECT } }",
+        "SELECT ?x WHERE { ?x ?p ?o } GROUP BY",
+        "SELECT ?x WHERE { ?x ?p ?o } ORDER BY LIMIT 1",
+        "SELECT ?x WHERE { ?x ?p ?o FILTER(?x + ) }",
+        "SELECT ?x WHERE { ?x ?p ?o FILTER(COALESCE()) }",
+        "PREFIX : SELECT ?x WHERE { ?x ?p ?o }",
+        "SELECT ?x WHERE { ?x ?p \"unterminated }",
+        "SELECT ?x WHERE { BIND( AS ?x) }",
+    ]
+    for q in near_misses:
+        try:
+            parse_select(q)
+        except SparqlSyntaxError:
+            pass
+
+    @given(st.text(max_size=120))
+    @settings(max_examples=300, deadline=None)
+    def soup(q):
+        try:
+            parse_select(q)
+        except SparqlSyntaxError:
+            pass
+
+    soup()
