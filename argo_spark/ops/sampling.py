@@ -32,9 +32,13 @@ def _threshold_hex(fraction: float) -> str:
     at both ends."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    if fraction >= 1.0:
+    v = round(fraction * 16 ** _HEX_DIGITS)
+    if v >= 16 ** _HEX_DIGITS:
+        # a fraction rounding up to the full space would format as 9
+        # hex digits and sort BELOW most 8-digit prefixes — keep-all
+        # is the correct meaning
         return "g"
-    return format(round(fraction * 16 ** _HEX_DIGITS), f"0{_HEX_DIGITS}x")
+    return format(v, f"0{_HEX_DIGITS}x")
 
 
 def _hash_prefix(key: Column, salt: str) -> Column:
@@ -93,11 +97,16 @@ def cap_per_group(
     skewed groups are exactly the ones being capped, and AQE's skew
     handling splits their partitions. ``keep_order`` overrides the
     ranking columns (e.g. quality-score descending) for
-    keep-the-best-N quotas."""
+    keep-the-best-N quotas; ``key_col`` is always appended as the
+    final tiebreak so ties stay deterministic."""
     from pyspark.sql.window import Window
 
+    # key_col always participates as the final tiebreak: ties in the
+    # caller's keep_order columns would otherwise make row_number —
+    # and therefore the kept subset — partition-order-dependent,
+    # breaking the module's reproducibility contract
     order = (
-        [F.col(c) for c in keep_order]
+        [F.col(c) for c in keep_order] + [F.col(key_col)]
         if keep_order
         else [_hash_prefix(F.col(key_col), "quota"), F.col(key_col)]
     )

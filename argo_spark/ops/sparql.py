@@ -1267,6 +1267,11 @@ def _closure_frame(triples, s, iri_, inv, op, o) -> DataFrame:
         edges = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
+    def const_nt(t):
+        if isinstance(t, Term):
+            return format_term(t)
+        return "<" + t + ">"
+
     # '?' (ZeroOrOnePath) is the one-hop edge set + zero-length pairs
     # — no iteration; '+'/'*' run the doubling closure
     pairs = (
@@ -1275,19 +1280,26 @@ def _closure_frame(triples, s, iri_, inv, op, o) -> DataFrame:
         else transitive_closure(edges, max_rounds=_CLOSURE_MAX_ROUNDS)
     )
     if op in ("*", "?"):
-        nodes = (
-            triples.select(src_nt.alias("n"))
-            .unionByName(triples.select(dst_nt.alias("n")))
-            .dropDuplicates()
+        nodes = triples.select(src_nt.alias("n")).unionByName(
+            triples.select(dst_nt.alias("n"))
         )
+        # §18.4: a BOUND endpoint X contributes (X, X) whether or not
+        # X appears in the graph — add constant endpoints explicitly
+        consts = [
+            const_nt(t)
+            for t in (s, o)
+            if not (isinstance(t, str) and t.startswith("?"))
+        ]
+        if consts:
+            nodes = nodes.unionByName(
+                triples.sparkSession.createDataFrame(
+                    [(c,) for c in consts], "n string"
+                )
+            )
+        nodes = nodes.dropDuplicates()
         pairs = pairs.unionByName(
             nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
         ).dropDuplicates()
-
-    def const_nt(t):
-        if isinstance(t, Term):
-            return format_term(t)
-        return "<" + t + ">"
 
     if s_var and o_var and s == o:
         # ?x p+ ?x — cycle membership: one binding column
@@ -1296,15 +1308,19 @@ def _closure_frame(triples, s, iri_, inv, op, o) -> DataFrame:
             .select(F.col("src").alias(s[1:]))
             .dropDuplicates()
         )
-    out = pairs
+    # move to reserved internal names first: a user variable literally
+    # named ?src or ?dst must not collide with the closure's working
+    # columns (the __path prefix is rejected as a query variable)
+    csrc, cdst = _PATH_VAR_PREFIX + "src", _PATH_VAR_PREFIX + "dst"
+    out = pairs.select(F.col("src").alias(csrc), F.col("dst").alias(cdst))
     if s_var:
-        out = out.withColumnRenamed("src", s[1:])
+        out = out.withColumnRenamed(csrc, s[1:])
     else:
-        out = out.where(F.col("src") == F.lit(const_nt(s))).drop("src")
+        out = out.where(F.col(csrc) == F.lit(const_nt(s))).drop(csrc)
     if o_var:
-        out = out.withColumnRenamed("dst", o[1:])
+        out = out.withColumnRenamed(cdst, o[1:])
     else:
-        out = out.where(F.col("dst") == F.lit(const_nt(o))).drop("dst")
+        out = out.where(F.col(cdst) == F.lit(const_nt(o))).drop(cdst)
     return out
 
 
@@ -1361,17 +1377,6 @@ def _eval_group_impl(
                     "subqueries inside CONSTRUCT are not supported"
                 )
             frame, frame_nulls = _select_frame(triples, payload)
-            if acc is not None:
-                bad = [
-                    c for c, t in frame.dtypes
-                    if c in acc.columns and t != "string"
-                ]
-                if bad:
-                    raise SparqlSyntaxError(
-                        f"joining on subquery aggregate alias(es) "
-                        f"{bad} is not supported (native-numeric vs "
-                        f"NT-form key)"
-                    )
         elif kind == "union":
             evaled = [
                 _eval_group_impl(triples, g, False, structs) for g in payload
@@ -1506,6 +1511,20 @@ def _eval_group_impl(
                 c for c in frame.columns
                 if c in acc.columns and not c.startswith(_TERM_STRUCT_PREFIX)
             ]
+            # a shared column that is NOT an NT string (a subquery's
+            # native-numeric aggregate alias — the only non-string
+            # binding source) cannot key an equi-join against NT
+            # forms; raise regardless of which side arrived first
+            dt_acc, dt_frame = dict(acc.dtypes), dict(frame.dtypes)
+            bad = [
+                c for c in shared
+                if dt_acc.get(c) != "string" or dt_frame.get(c) != "string"
+            ]
+            if bad:
+                raise SparqlSyntaxError(
+                    f"joining on subquery aggregate alias(es) {bad} "
+                    f"is not supported (native-numeric vs NT-form key)"
+                )
             _guard_compat_join(shared, maybe_null | frame_nulls, "group")
             dup_structs = [
                 c for c in frame.columns
@@ -1622,13 +1641,20 @@ def _parse_select_body(p: "_Parser", stop_at_brace: bool = False):
                 "mixing (expr AS ?v) with aggregate projections is "
                 "not supported"
             )
+        binds = []
         for _, opnode, alias in exprs:
             if opnode[0] == "num":
                 raise SparqlSyntaxError(
                     "projecting a bare number is unsupported (no "
                     "canonical NT form chosen) — use a typed literal"
                 )
-            group.elements.append(("bind", (opnode, alias)))
+            binds.append(("bind", (opnode, alias)))
+        # Extend evaluates AFTER the whole group (incl. its FILTERs):
+        # wrap the parsed group as a single-branch union so its own
+        # filters run first, then apply the binds — a FILTER inside
+        # WHERE referencing the projection alias correctly sees it
+        # unbound
+        group = Group([("union", [group])] + binds, [])
         variables = [
             v if isinstance(v, str) else v[2] for v in variables
         ]

@@ -1327,3 +1327,74 @@ def test_parser_errors_are_sparql_syntax_errors():
             pass
 
     soup()
+
+
+def test_review_fixes_round4(spark):
+    """Round-4 self-review regressions: guard order-independence,
+    closure var-name collisions, constant zero-length endpoints,
+    Extend-after-filter scoping."""
+    g = graph2(spark)
+    # (1) subquery FIRST, aggregate alias shared with a later pattern:
+    # the numeric-alias join guard must fire regardless of order
+    with pytest.raises(SparqlSyntaxError, match="aggregate alias"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?cnt WHERE {
+                 { SELECT (COUNT(?o) AS ?cnt) WHERE { ?w ?p ?o } }
+                 ?x s:name ?cnt .
+               }""",
+        )
+    # (2) endpoint variables literally named ?src / ?dst
+    pg = path_graph(spark)
+    out = sparql_select(
+        pg,
+        "SELECT ?src ?dst WHERE { ?src <http://e/knows>+ ?dst } "
+        "ORDER BY ?src ?dst",
+    )
+    assert [(r.src, r.dst) for r in out.collect()] == [
+        ("<http://e/a>", "<http://e/b>"),
+        ("<http://e/a>", "<http://e/c>"),
+        ("<http://e/b>", "<http://e/c>"),
+    ]
+    # (3) constant endpoint NOT in the graph still yields (X, X) for *
+    out = sparql_select(
+        pg,
+        "SELECT ?x WHERE { <http://e/ghost> <http://e/knows>* ?x }",
+    )
+    assert [r.x for r in out.collect()] == ["<http://e/ghost>"]
+    # (4) projection alias is OUT of scope inside WHERE filters
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT (UCASE(?n) AS ?u) WHERE {
+             ?w s:name ?n . FILTER(BOUND(?u))
+           }""",
+    )
+    assert out.count() == 0
+
+
+def test_cap_per_group_keep_order_ties_deterministic(spark):
+    from argo_spark.ops.sampling import cap_per_group
+    from pyspark.sql import functions as F
+
+    d = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s").alias("source"),
+        F.lit(1.0).alias("quality"),  # ALL tied
+    )
+    a = {r.doc_id for r in cap_per_group(
+        d, "source", 5, key_col="doc_id", keep_order=["quality"]
+    ).collect()}
+    b = {r.doc_id for r in cap_per_group(
+        d.repartition(13), "source", 5, key_col="doc_id",
+        keep_order=["quality"],
+    ).collect()}
+    assert a == b == {0, 1, 2, 3, 4}
+
+
+def test_threshold_hex_near_one():
+    from argo_spark.ops.sampling import _threshold_hex
+
+    assert _threshold_hex(1.0 - 1e-12) == "g"  # rounds to full space
+    assert len(_threshold_hex(0.9999)) == 8
