@@ -156,6 +156,26 @@ def _eval_expr(expr, row):
         return None if a is None else not a
     if op == "bound":
         return row.get(expr[1]) is not None
+    if op == "strfn2":
+        fn = expr[1]
+        a = _lex(row.get(expr[2][1])) if expr[2][0] == "var" else _lex(expr[2][1])
+        b = _lex(expr[3][1]) if expr[3][0] == "nt" else _lex(row.get(expr[3][1]))
+        if a is None or b is None:
+            return None
+        if fn == "STRSTARTS":
+            return a.startswith(b)
+        if fn == "STRENDS":
+            return a.endswith(b)
+        return b in a
+    if op == "arith_cmp":
+        # ("arith_cmp", cmp_op, var, arith_op, num_const, rhs_num)
+        _, cmp_op, v, aop, k, rhs = expr
+        n = _num(row.get(v))
+        if n is None:
+            return None
+        val = {"+": n + k, "-": n - k, "*": n * k}[aop]
+        return {"<": val < rhs, "<=": val <= rhs, ">": val > rhs,
+                ">=": val >= rhs, "=": val == rhs, "!=": val != rhs}[cmp_op]
     if op == "regex":
         lx = _lex(row.get(expr[1][1]))
         if lx is None:
@@ -256,7 +276,7 @@ def _pat_text(pat):
 def _gen_filter(rnd, vars_pool):
     """-> (text, expr-tuple for the python evaluator)."""
     v = rnd.choice(vars_pool)[1:]
-    choice = rnd.randint(0, 3)
+    choice = rnd.randint(0, 5)
     if choice == 0:
         n = rnd.randint(0, 9)
         op = rnd.choice(["<", "<=", ">", ">=", "=", "!="])
@@ -277,10 +297,26 @@ def _gen_filter(rnd, vars_pool):
             f"FILTER({'!' if neg else ''}BOUND(?{v}))",
             ("not", ("bound", v)) if neg else ("bound", v),
         )
-    pat = rnd.choice(["[0-4]", "w", "s[12]", "^h"])
+    if choice == 3:
+        pat = rnd.choice(["[0-4]", "w", "s[12]", "^h"])
+        return (
+            f'FILTER(REGEX(?{v}, "{pat}", ""))',
+            ("regex", ("var", v), pat, ""),
+        )
+    if choice == 4:
+        fn = rnd.choice(["STRSTARTS", "STRENDS", "CONTAINS"])
+        w = rnd.choice(["w", "w1", "http", "2"])
+        return (
+            f'FILTER({fn}(?{v}, "{w}"))',
+            ("strfn2", fn, ("var", v), ("nt", f'"{w}"')),
+        )
+    aop = rnd.choice(["+", "-", "*"])
+    k = rnd.randint(1, 5)
+    rhs = rnd.randint(0, 200)
+    cmp_op = rnd.choice(["<", "<=", ">", ">=", "=", "!="])
     return (
-        f'FILTER(REGEX(?{v}, "{pat}", ""))',
-        ("regex", ("var", v), pat, ""),
+        f"FILTER(?{v} {aop} {k} {cmp_op} {rhs})",
+        ("arith_cmp", cmp_op, v, aop, float(k), float(rhs)),
     )
 
 
@@ -512,3 +548,51 @@ def test_sparql_closure_matches_python_oracle(spark):
         assert got_star == want_star, f"seed {seed}: p* mismatch"
         total_pairs += len(closure)
     assert total_pairs > 100, f"generator vacuous: {total_pairs} pairs"
+
+
+def test_sparql_strfns_arith_match_python_oracle(spark):
+    """Focused randomized pinning of the round-4 filter surface:
+    STRSTARTS/STRENDS/CONTAINS and +-* arithmetic, one filter per
+    query over a literal-heavy pattern so the arms discriminate
+    (mutation-sensitive: swapping startswith/endswith flips rows on
+    'wN' literals)."""
+    total = kept = 0
+    for seed in range(10):
+        rnd = random.Random(5000 + seed)
+        triples = _gen_graph(rnd)
+        df = TripleGraph.of(spark, triples).df
+        p = f"http://e/p{rnd.randint(0, 2)}"
+        rows = _eval_group_py(
+            triples, ([("bgp", [("?s", f"<{p}>", "?v")])], [])
+        )
+        cases = [
+            ("strfn2", "STRSTARTS", "w"),
+            ("strfn2", "STRENDS", "0"),
+            ("strfn2", "CONTAINS", "s"),
+            ("arith", "+", 3.0, 60.0, ">"),
+            ("arith", "*", 2.0, 100.0, "<="),
+            ("arith", "-", 5.0, 50.0, ">="),
+        ]
+        for case in cases:
+            if case[0] == "strfn2":
+                _, fn, w = case
+                q = (f"SELECT ?s ?v WHERE {{ ?s <{p}> ?v . "
+                     f'FILTER({fn}(?v, "{w}")) }}')
+                expr = ("strfn2", fn, ("var", "v"), ("nt", f'"{w}"'))
+            else:
+                _, aop, k, rhs, cmp_op = case
+                q = (f"SELECT ?s ?v WHERE {{ ?s <{p}> ?v . "
+                     f"FILTER(?v {aop} {int(k)} {cmp_op} {int(rhs)}) }}")
+                expr = ("arith_cmp", cmp_op, "v", aop, k, rhs)
+            want = sorted(
+                (r["s"], r["v"]) for r in rows
+                if _eval_expr(expr, r) is True
+            )
+            got = sorted(
+                (r.s, r.v) for r in sparql_select(df, q).collect()
+            )
+            assert got == want, f"seed {seed}: {q}"
+            total += len(rows)
+            kept += len(want)
+    # vacuity: the filters must actually keep SOME and drop SOME
+    assert 0 < kept < total, (kept, total)
