@@ -1676,6 +1676,14 @@ def _parse_select_body(p: "_Parser", stop_at_brace: bool = False):
     if kind == "kw" and val.upper() == "HAVING":
         p.next()
         having.append(p.parse_constraint())
+        # HAVING takes 1+ constraints (HavingClause := 'HAVING'
+        # HavingCondition+), all of which must hold
+        while True:
+            kind, val = p.peek()
+            if kind == "punct" and val == "(":
+                having.append(p.parse_constraint())
+            else:
+                break
     order, limit, offset = _parse_modifiers(p, stop_at_brace=stop_at_brace)
     return (
         variables, group, distinct, limit, order, offset, group_by, having

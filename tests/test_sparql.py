@@ -1398,3 +1398,15 @@ def test_threshold_hex_near_one():
 
     assert _threshold_hex(1.0 - 1e-12) == "g"  # rounds to full space
     assert len(_threshold_hex(0.9999)) == 8
+
+
+def test_multiple_having_constraints(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who (COUNT(*) AS ?n) WHERE { ?who ?p ?o }
+           GROUP BY ?who HAVING(?n >= 2) (?n <= 3) ORDER BY ?who""",
+    )
+    rows = [(r.who, r.n) for r in out.collect()]
+    assert rows == [("<http://e/a>", 3), ("<http://e/b>", 3)]
