@@ -2146,6 +2146,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN qual USING (doc_id)
             JOIN fpq USING (doc_id)
         """,
+        "text_token_count": f"""
+            SELECT doc_id, len({_TOKENS}) AS n_tokens FROM documents
+        """,
         "text_lang_id": f"""
             WITH toks AS (SELECT doc_id, list_distinct({_TOKENS}) AS w FROM documents),
             votes AS (
