@@ -1339,22 +1339,39 @@ def _guard_compat_join(shared, maybe_null, what: str) -> None:
         )
 
 
+def _guard_non_nt_join(shared, non_nt, what: str) -> None:
+    """Aggregate result columns (native numerics, GROUP_CONCAT's bare
+    concatenated lexical) are NOT NT forms; an equi-join keying one
+    against NT-form bindings either type-errors under ANSI mode or
+    silently never matches — raise at every join site instead."""
+    bad = sorted(set(shared) & non_nt)
+    if bad:
+        raise SparqlSyntaxError(
+            f"{what} joins on subquery aggregate alias(es) {bad} — "
+            f"aggregate results are not NT-form keys (unsupported)"
+        )
+
+
 def _eval_group_impl(
     triples: DataFrame,
     group: Group,
     in_optional: bool,
     structs: bool,
 ):
-    """-> (frame, maybe_null_vars): the solution frame plus the set of
-    variables that may be NULL in some rows."""
+    """-> (frame, maybe_null_vars, non_nt_vars): the solution frame,
+    the set of variables that may be NULL in some rows, and the set
+    of variables whose values are NOT NT forms (subquery aggregate
+    aliases) — unjoinable against ordinary bindings."""
     from functools import reduce
 
     from argo_spark.ops.bgp import bgp_match
 
     acc = None
     maybe_null: set[str] = set()
+    non_nt: set[str] = set()
     for kind, payload in group.elements:
         frame_nulls: set[str] = set()
+        frame_non_nt: set[str] = set()
         if kind == "bgp":
             frame = (
                 _bgp_frame_structs(triples, payload)
@@ -1376,17 +1393,20 @@ def _eval_group_impl(
                 raise SparqlSyntaxError(
                     "subqueries inside CONSTRUCT are not supported"
                 )
-            frame, frame_nulls = _select_frame(triples, payload)
+            frame, frame_nulls, frame_non_nt = _select_frame(
+                triples, payload
+            )
         elif kind == "union":
             evaled = [
                 _eval_group_impl(triples, g, False, structs) for g in payload
             ]
-            frames = [f for f, _ in evaled]
+            frames = [f for f, _, _ in evaled]
             all_vars = set()
-            for f, nulls in evaled:
+            for f, nulls, nn in evaled:
                 all_vars |= set(_binding_vars(f.columns))
                 frame_nulls |= nulls
-            for f, _ in evaled:
+                frame_non_nt |= nn
+            for f, _, _ in evaled:
                 # vars absent from this branch are null in its rows
                 frame_nulls |= all_vars - set(_binding_vars(f.columns))
             frame = reduce(
@@ -1468,12 +1488,15 @@ def _eval_group_impl(
             # (§8.3.3 — unlike the OPTIONAL LeftJoin expression), so a
             # filter referencing an outer var correctly evaluates it
             # as unbound rather than raising
-            sub, sub_nulls = _eval_group_impl(triples, payload, False, structs)
+            sub, sub_nulls, sub_non_nt = _eval_group_impl(
+                triples, payload, False, structs
+            )
             shared = [
                 c for c in sub.columns
                 if c in acc.columns and not c.startswith(_TERM_STRUCT_PREFIX)
             ]
             if shared:
+                _guard_non_nt_join(shared, non_nt | sub_non_nt, "MINUS")
                 _guard_compat_join(shared, maybe_null | sub_nulls, "MINUS")
                 acc = acc.join(
                     sub.select(*shared), on=shared, how="left_anti"
@@ -1482,7 +1505,9 @@ def _eval_group_impl(
         else:  # optional
             if acc is None:
                 raise SparqlSyntaxError("leading OPTIONAL is not supported")
-            sub, sub_nulls = _eval_group_impl(triples, payload, True, structs)
+            sub, sub_nulls, sub_non_nt = _eval_group_impl(
+                triples, payload, True, structs
+            )
             shared = [
                 c for c in sub.columns
                 if c in acc.columns and not c.startswith(_TERM_STRUCT_PREFIX)
@@ -1492,6 +1517,7 @@ def _eval_group_impl(
                     "OPTIONAL sharing no variables with the preceding "
                     "pattern is not supported"
                 )
+            _guard_non_nt_join(shared, non_nt | sub_non_nt, "OPTIONAL")
             _guard_compat_join(shared, maybe_null | sub_nulls, "OPTIONAL")
             dup_structs = [
                 c for c in sub.columns
@@ -1502,29 +1528,18 @@ def _eval_group_impl(
             maybe_null |= (
                 set(_binding_vars(sub.columns)) - set(shared)
             ) | sub_nulls
+            non_nt |= sub_non_nt
             continue
         if acc is None:
             acc = frame
             maybe_null = frame_nulls
+            non_nt = frame_non_nt
         else:
             shared = [
                 c for c in frame.columns
                 if c in acc.columns and not c.startswith(_TERM_STRUCT_PREFIX)
             ]
-            # a shared column that is NOT an NT string (a subquery's
-            # native-numeric aggregate alias — the only non-string
-            # binding source) cannot key an equi-join against NT
-            # forms; raise regardless of which side arrived first
-            dt_acc, dt_frame = dict(acc.dtypes), dict(frame.dtypes)
-            bad = [
-                c for c in shared
-                if dt_acc.get(c) != "string" or dt_frame.get(c) != "string"
-            ]
-            if bad:
-                raise SparqlSyntaxError(
-                    f"joining on subquery aggregate alias(es) {bad} "
-                    f"is not supported (native-numeric vs NT-form key)"
-                )
+            _guard_non_nt_join(shared, non_nt | frame_non_nt, "group")
             _guard_compat_join(shared, maybe_null | frame_nulls, "group")
             dup_structs = [
                 c for c in frame.columns
@@ -1537,6 +1552,7 @@ def _eval_group_impl(
                 else acc.crossJoin(frame)
             )
             maybe_null |= frame_nulls
+            non_nt |= frame_non_nt
     if acc is None:
         raise SparqlSyntaxError("group has no graph patterns")
     for f in group.filters:
@@ -1547,7 +1563,9 @@ def _eval_group_impl(
             # (guarded). Uncorrelated EXISTS (no shared vars) would
             # need a whole-table emptiness probe — unsupported.
             positive, g = f[1], f[2]
-            sub, sub_nulls = _eval_group_impl(triples, g, False, structs)
+            sub, sub_nulls, sub_non_nt = _eval_group_impl(
+                triples, g, False, structs
+            )
             shared = [
                 c for c in sub.columns
                 if c in acc.columns and not c.startswith(_TERM_STRUCT_PREFIX)
@@ -1557,6 +1575,7 @@ def _eval_group_impl(
                     "EXISTS sharing no variables with the group is "
                     "not supported"
                 )
+            _guard_non_nt_join(shared, non_nt | sub_non_nt, "EXISTS")
             _guard_compat_join(shared, maybe_null | sub_nulls, "EXISTS")
             acc = acc.join(
                 sub.select(*shared),
@@ -1573,7 +1592,7 @@ def _eval_group_impl(
                     f"unsupported)"
                 )
         acc = acc.where(_expr_col(f, acc.columns))
-    return acc, maybe_null
+    return acc, maybe_null, non_nt
 
 
 def parse_select(query: str):
@@ -2019,8 +2038,11 @@ def _select_frame(triples: DataFrame, parts):
     variables, group, distinct, limit, order, offset, group_by, having = (
         parts
     )
-    out, group_nulls = _eval_group_impl(triples, group, False, False)
+    out, group_nulls, group_non_nt = _eval_group_impl(
+        triples, group, False, False
+    )
     agg_null_aliases: set[str] = set()
+    agg_non_nt: set[str] = set()
     internal = [c for c in out.columns if c.startswith(_PATH_VAR_PREFIX)]
     if internal:
         # path-sugar intermediates are not solution variables
@@ -2107,11 +2129,23 @@ def _select_frame(triples: DataFrame, parts):
             *[v if isinstance(v, str) else v[4] for v in variables]
         )
         # COUNT and GROUP_CONCAT never yield NULL for an existing
-        # group; the numeric aggs and SAMPLE do when every
-        # contribution is null/non-numeric
-        agg_null_aliases = {
-            a[4] for a in aggs if a[1] not in ("COUNT", "GROUP_CONCAT")
-        }
+        # group; the numeric aggs do whenever every contribution is
+        # non-numeric; SAMPLE (min NT form) only when its target can
+        # itself be unbound within the group
+        agg_null_aliases = set()
+        for a in aggs:
+            if a[1] in ("COUNT", "GROUP_CONCAT"):
+                continue
+            if a[1] == "SAMPLE":
+                if a[2] in group_nulls:
+                    agg_null_aliases.add(a[4])
+            else:
+                agg_null_aliases.add(a[4])
+        # every aggregate except SAMPLE (min NT form, a real NT
+        # string) produces a NON-NT value: numerics, or
+        # GROUP_CONCAT's bare concatenated lexical — callers must
+        # not equi-join them against NT bindings
+        agg_non_nt = {a[4] for a in aggs if a[1] != "SAMPLE"}
         variables = None  # projection done
     elif having:
         raise SparqlSyntaxError("HAVING needs GROUP BY / aggregates")
@@ -2154,7 +2188,11 @@ def _select_frame(triples: DataFrame, parts):
         out = out.limit(limit)
     if variables is not None:
         out = out.select(*variables)
-    return out, (group_nulls & set(out.columns)) | agg_null_aliases
+    return (
+        out,
+        (group_nulls & set(out.columns)) | agg_null_aliases,
+        (group_non_nt & set(out.columns)) | agg_non_nt,
+    )
 
 
 def sparql_ask(triples: DataFrame, query: str) -> bool:

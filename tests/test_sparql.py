@@ -1410,3 +1410,44 @@ def test_multiple_having_constraints(spark):
     )
     rows = [(r.who, r.n) for r in out.collect()]
     assert rows == [("<http://e/a>", 3), ("<http://e/b>", 3)]
+
+
+def test_subquery_agg_alias_guard_all_join_sites(spark):
+    """Round-4 second-review regressions: the non-NT-alias guard must
+    fire at MINUS/OPTIONAL/EXISTS joins and for GROUP_CONCAT's
+    string-typed-but-non-NT alias, not just generic inner joins."""
+    g = graph2(spark)
+    subq = ('{ SELECT (COUNT(?o) AS ?n) WHERE { ?w ?p ?o } }')
+    for body in (
+        f"?x s:name ?n . MINUS {{ {subq} }}",
+        f"?x s:name ?n . OPTIONAL {{ {subq} }}",
+        f"?x s:name ?n . FILTER EXISTS {{ {subq} }}",
+    ):
+        with pytest.raises(SparqlSyntaxError, match="aggregate alias"):
+            sparql_select(
+                g,
+                "PREFIX s: <http://schema.org/> "
+                "SELECT ?x WHERE { " + body + " }",
+            )
+    # GROUP_CONCAT alias: string dtype, but a bare lexical — not an
+    # NT form; joining it must raise, not silently return empty
+    with pytest.raises(SparqlSyntaxError, match="aggregate alias"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?x WHERE {
+                 { SELECT (GROUP_CONCAT(?o) AS ?gc)
+                   WHERE { ?w s:name ?o } }
+                 ?x s:name ?gc .
+               }""",
+        )
+    # SAMPLE yields a real NT form — joining it is allowed and correct
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?x WHERE {
+             { SELECT (SAMPLE(?o) AS ?nm) WHERE { ?w s:name ?o } }
+             ?x s:name ?nm .
+           }""",
+    )
+    assert [r.x for r in out.collect()] == ["<http://e/a>"]  # min: "Ada"
