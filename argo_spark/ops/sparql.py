@@ -1772,6 +1772,19 @@ def parse_construct(query: str):
     p = _Parser(query)
     p.parse_prefixes()
     p.expect_kw("CONSTRUCT")
+    kind, val = p.peek()
+    if kind == "kw" and val.upper() == "WHERE":
+        # CONSTRUCT WHERE { bgp } shorthand (§10.2.3): the pattern IS
+        # the template; restricted to a plain triple block per spec
+        p.next()
+        group = p.parse_group()
+        if group.filters or any(k != "bgp" for k, _ in group.elements):
+            raise SparqlSyntaxError(
+                "CONSTRUCT WHERE shorthand takes a plain triple block"
+            )
+        template = group.triples
+        order, limit, offset = _parse_modifiers(p)
+        return template, group, limit, order, offset
     tmpl_group = p.parse_group()
     if tmpl_group.filters or any(
         k != "bgp" for k, _ in tmpl_group.elements

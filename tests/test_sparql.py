@@ -1451,3 +1451,28 @@ def test_subquery_agg_alias_guard_all_join_sites(spark):
            }""",
     )
     assert [r.x for r in out.collect()] == ["<http://e/a>"]  # min: "Ada"
+
+
+def test_construct_where_shorthand(spark):
+    from argo_spark.ops.sparql import sparql_construct
+
+    g = graph2(spark)
+    full = sparql_construct(
+        g,
+        """PREFIX s: <http://schema.org/>
+           CONSTRUCT { ?w s:name ?n } WHERE { ?w s:name ?n }""",
+    )
+    short = sparql_construct(
+        g,
+        """PREFIX s: <http://schema.org/>
+           CONSTRUCT WHERE { ?w s:name ?n }""",
+    )
+    cols = short.columns
+    assert short.select(*cols).exceptAll(full.select(*cols)).count() == 0
+    assert short.count() == full.count() == 3
+    with pytest.raises(SparqlSyntaxError, match="plain triple block"):
+        sparql_construct(
+            g,
+            """PREFIX s: <http://schema.org/>
+               CONSTRUCT WHERE { ?w s:name ?n FILTER(BOUND(?w)) }""",
+        )
