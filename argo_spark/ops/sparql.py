@@ -1409,6 +1409,20 @@ def _eval_group_impl(
             for f, _, _ in evaled:
                 # vars absent from this branch are null in its rows
                 frame_nulls |= all_vars - set(_binding_vars(f.columns))
+            # a variable that is a subquery aggregate alias in one
+            # branch and an NT-form binding in another cannot be
+            # merged: unionByName would ANSI-cast the NT strings into
+            # the alias's numeric type and crash at runtime
+            mixed = set()
+            for f, _, nn in evaled:
+                bound = set(_binding_vars(f.columns))
+                mixed |= (frame_non_nt & bound) - nn
+            if mixed:
+                raise SparqlSyntaxError(
+                    f"UNION merges aggregate alias(es) {sorted(mixed)} "
+                    f"with NT-form bindings of the same name — "
+                    f"aggregate results are not NT forms (unsupported)"
+                )
             frame = reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True),
                 frames,
@@ -1783,6 +1797,19 @@ def parse_construct(query: str):
                 "CONSTRUCT WHERE shorthand takes a plain triple block"
             )
         template = group.triples
+        # property-path sugar desugars BEFORE this check, leaving
+        # internal ?__path variables in the triples — a sequence or
+        # inverse path is not a plain triple block either (spec
+        # 10.2.3), so reject it rather than emit internal-var triples
+        if any(
+            isinstance(t, str) and t.startswith("?" + _PATH_VAR_PREFIX)
+            for triple in template
+            for t in triple
+        ):
+            raise SparqlSyntaxError(
+                "CONSTRUCT WHERE shorthand takes a plain triple block "
+                "(no property paths)"
+            )
         order, limit, offset = _parse_modifiers(p)
         return template, group, limit, order, offset
     tmpl_group = p.parse_group()
@@ -2143,14 +2170,15 @@ def _select_frame(triples: DataFrame, parts):
         )
         # COUNT and GROUP_CONCAT never yield NULL for an existing
         # group; the numeric aggs do whenever every contribution is
-        # non-numeric; SAMPLE (min NT form) only when its target can
-        # itself be unbound within the group
+        # non-numeric; SAMPLE (min NT form) when its target can be
+        # unbound within a group — or for an UNGROUPED aggregate,
+        # whose single .agg() row is all-NULL on an empty pattern
         agg_null_aliases = set()
         for a in aggs:
             if a[1] in ("COUNT", "GROUP_CONCAT"):
                 continue
             if a[1] == "SAMPLE":
-                if a[2] in group_nulls:
+                if a[2] in group_nulls or not group_by:
                     agg_null_aliases.add(a[4])
             else:
                 agg_null_aliases.add(a[4])

@@ -1441,16 +1441,24 @@ def test_subquery_agg_alias_guard_all_join_sites(spark):
                  ?x s:name ?gc .
                }""",
         )
-    # SAMPLE yields a real NT form — joining it is allowed and correct
+    # GROUPED SAMPLE yields a real, per-group-non-null NT form —
+    # joining it is allowed and correct (the UNGROUPED form is
+    # guarded: its single .agg() row is NULL on an empty pattern)
     out = sparql_select(
         g,
         """PREFIX s: <http://schema.org/>
-           SELECT ?x WHERE {
-             { SELECT (SAMPLE(?o) AS ?nm) WHERE { ?w s:name ?o } }
+           SELECT ?x ?w WHERE {
+             { SELECT ?w (SAMPLE(?o) AS ?nm) WHERE { ?w s:name ?o }
+               GROUP BY ?w }
              ?x s:name ?nm .
-           }""",
+           } ORDER BY ?x""",
     )
-    assert [r.x for r in out.collect()] == ["<http://e/a>"]  # min: "Ada"
+    rows = [(r.x, r.w) for r in out.collect()]
+    assert rows == [
+        ("<http://e/a>", "<http://e/a>"),
+        ("<http://e/b>", "<http://e/b>"),
+        ("<http://e/c>", "<http://e/c>"),
+    ]
 
 
 def test_construct_where_shorthand(spark):
@@ -1475,4 +1483,42 @@ def test_construct_where_shorthand(spark):
             g,
             """PREFIX s: <http://schema.org/>
                CONSTRUCT WHERE { ?w s:name ?n FILTER(BOUND(?w)) }""",
+        )
+
+
+def test_third_review_fixes(spark):
+    """Round-4 third-review regressions: empty ungrouped SAMPLE join,
+    CONSTRUCT WHERE path leak, UNION non-NT/NT merge."""
+    from argo_spark.ops.sparql import sparql_construct
+
+    g = graph2(spark)
+    # (1) ungrouped SAMPLE over an empty pattern yields a NULL alias:
+    # joining it must hit the possibly-unbound guard, not return []
+    with pytest.raises(SparqlSyntaxError, match="possibly-unbound"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?x WHERE {
+                 { SELECT (SAMPLE(?o) AS ?nm)
+                   WHERE { ?w <http://nope> ?o } }
+                 ?x s:name ?nm .
+               }""",
+        )
+    # (2) CONSTRUCT WHERE with a sequence path leaks internal vars
+    with pytest.raises(SparqlSyntaxError, match="plain triple block"):
+        sparql_construct(
+            g,
+            """PREFIX s: <http://schema.org/>
+               CONSTRUCT WHERE { ?s s:knows/s:name ?o }""",
+        )
+    # (3) UNION of a subquery aggregate alias with an NT binding of
+    # the same name raises instead of ANSI-crashing at runtime
+    with pytest.raises(SparqlSyntaxError, match="UNION merges"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?n WHERE {
+                 { { SELECT (COUNT(?o) AS ?n) WHERE { ?w ?p ?o } } }
+                 UNION { ?x s:name ?n }
+               }""",
         )
