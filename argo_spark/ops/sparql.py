@@ -27,6 +27,9 @@ onto DataFrame operators):
         SAMPLE is the minimum NT form (deterministic choice)
     ASK Group
     CONSTRUCT '{' Triple+ '}' WHERE Group (modifiers)?
+        | CONSTRUCT WHERE '{' Triple+ '}' (modifiers)?  — §10.2.3
+          shorthand (plain triple block: no filters, paths, or
+          nested forms)
     DESCRIBE (<iri>+ | ?v+ WHERE Group (modifiers)?)
     Triple  := Term Path Term ;
     Path := Seq ('|' Seq)* | '!' (IRI | '(' IRI ('|' IRI)* ')')
