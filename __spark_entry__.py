@@ -868,6 +868,38 @@ def q_sparql_subquery(spark, sf_dir):
     )
 
 
+def q_sparql_negset(spark, sf_dir):
+    """§2.5 E3: negated property set — triples whose predicate is NOT
+    hasDoc (i.e. the inLanguage rows), via the internal-variable +
+    set-exclusion-filter desugar; DuckDB replays the predicate
+    exclusion directly."""
+    from argo_spark.ops.sparql import sparql_select
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return sparql_select(
+        tr,
+        """PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?s ?o WHERE { ?s !v:hasDoc ?o }""",
+    )
+
+
+def q_sparql_filter_fns(spark, sf_dir):
+    """§2.5 E3: round-4 FILTER surface — STRSTARTS + UCASE + STRLEN
+    arithmetic in one query over the language triples; DuckDB replays
+    the lexical string functions."""
+    from argo_spark.ops.sparql import sparql_select
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?d (UCASE(?lang) AS ?u) WHERE {
+             ?d s:inLanguage ?lang .
+             FILTER(STRSTARTS(?lang, "e") && STRLEN(?lang) + 1 >= 3)
+           }""",
+    )
+
+
 def q_sparql_path(spark, sf_dir):
     """§2.5 E3: property-path sugar — the 2-hop sequence
     ``v:hasDoc/s:inLanguage`` desugars into a join through an
@@ -1506,6 +1538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_values": q_sparql_values,
         "sparql_minus": q_sparql_minus,
         "sparql_subquery": q_sparql_subquery,
+        "sparql_negset": q_sparql_negset,
+        "sparql_filter_fns": q_sparql_filter_fns,
         "corpus_hash_sample": q_corpus_hash_sample,
         "corpus_source_quota": q_corpus_source_quota,
         "text_repetition": q_text_repetition,
@@ -2475,6 +2509,23 @@ def oracle_sql() -> dict[str, str]:
                    FROM doc_triples WHERE p_value = '{HASDOC}')
             SELECT hd.src, i.d, i.lang
             FROM inner_q i JOIN hd ON i.d = hd.d
+        """,
+        "sparql_negset": f"""
+            WITH {_DOC_TRIPLES_CTE}
+            SELECT '<' || s_value || '>' AS s,
+                   CASE WHEN o_kind = 0 THEN '<' || o_value || '>'
+                        ELSE '"' || o_value || '"' END AS o
+            FROM doc_triples
+            WHERE p_value != '{HASDOC}'
+        """,
+        "sparql_filter_fns": f"""
+            WITH {_DOC_TRIPLES_CTE}
+            SELECT '<' || s_value || '>' AS d,
+                   '"' || upper(o_value) || '"' AS u
+            FROM doc_triples
+            WHERE p_value = '{INLANG}'
+              AND o_value LIKE 'e%'
+              AND length(o_value) + 1 >= 3
         """,
         "sparql_path_closure": f"""
             WITH RECURSIVE e AS (
