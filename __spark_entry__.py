@@ -900,6 +900,33 @@ def q_sparql_filter_fns(spark, sf_dir):
     )
 
 
+def q_sparql_isnumeric(spark, sf_dir):
+    """§2.5 E3: ISNUMERIC builtin — one v:meta triple per doc whose
+    plain-literal object is the n_chars count (numeric lexical) for
+    even doc_ids and the lang tag (non-numeric) for odd ones;
+    FILTER(ISNUMERIC(?o)) keeps exactly the even half. DuckDB replays
+    the value-space check with TRY_CAST."""
+    from argo_spark.ops.sparql import sparql_select
+
+    d = _docs(spark, sf_dir)
+    tr = d.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("s_value"),
+        F.lit("http://corpus.example/vocab#meta").alias("p_value"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("n_chars").cast("string"))
+        .otherwise(F.col("lang"))
+        .alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+    )
+    return sparql_select(
+        tr,
+        """PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?d ?o WHERE { ?d v:meta ?o . FILTER(ISNUMERIC(?o)) }""",
+    )
+
+
 def q_sparql_path(spark, sf_dir):
     """§2.5 E3: property-path sugar — the 2-hop sequence
     ``v:hasDoc/s:inLanguage`` desugars into a join through an
@@ -1540,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_subquery": q_sparql_subquery,
         "sparql_negset": q_sparql_negset,
         "sparql_filter_fns": q_sparql_filter_fns,
+        "sparql_isnumeric": q_sparql_isnumeric,
         "corpus_hash_sample": q_corpus_hash_sample,
         "corpus_source_quota": q_corpus_source_quota,
         "text_repetition": q_text_repetition,
@@ -2526,6 +2554,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_value = '{INLANG}'
               AND o_value LIKE 'e%'
               AND length(o_value) + 1 >= 3
+        """,
+        "sparql_isnumeric": f"""
+            SELECT '<{DOC_BASE}' || doc_id || '>' AS d,
+                   '"' || CASE WHEN doc_id % 2 = 0
+                               THEN CAST(n_chars AS VARCHAR)
+                               ELSE lang END || '"' AS o
+            FROM documents
+            WHERE TRY_CAST(CASE WHEN doc_id % 2 = 0
+                                THEN CAST(n_chars AS VARCHAR)
+                                ELSE lang END AS DOUBLE) IS NOT NULL
         """,
         "sparql_path_closure": f"""
             WITH RECURSIVE e AS (

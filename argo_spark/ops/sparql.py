@@ -61,7 +61,9 @@ onto DataFrame operators):
     Expr    := Or | '(' Expr ')' ; Or/And/'!' over comparisons and
                BOUND(?v) / REGEX(?v, "pat" (, "ism"*)?) /
                isIRI|isURI|isLiteral|isBlank(?v) (NT-prefix checks;
-               error->NULL on unbound) / sameTerm(a, b) (strict NT
+               error->NULL on unbound) / isNumeric(?v) (literal whose
+               lexical form parses as a number — a value-space check,
+               not a datatype-IRI check) / sameTerm(a, b) (strict NT
                identity) / STRSTARTS|STRENDS|CONTAINS(a, b) (escaped
                lexical comparison; the spec's @lang argument-
                compatibility check is simplified away) /
@@ -199,7 +201,7 @@ def _unescape(body: str) -> str:
 
 _BOOL_BUILTINS = (
     "BOUND", "REGEX", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "SAMETERM",
-    "STRSTARTS", "STRENDS", "CONTAINS", "LANGMATCHES",
+    "STRSTARTS", "STRENDS", "CONTAINS", "LANGMATCHES", "ISNUMERIC",
 )
 
 
@@ -697,6 +699,12 @@ class _Parser:
         _, name = self.next()
         fn = name.upper()
         self.expect_punct("(")
+        if fn == "ISNUMERIC":
+            vk, vv = self.next()
+            if vk != "var":
+                raise SparqlSyntaxError("ISNUMERIC needs a variable")
+            self.expect_punct(")")
+            return ("isnumeric", vv[1:])
         if fn in ("BOUND", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK"):
             vk, vv = self.next()
             if vk != "var":
@@ -978,6 +986,17 @@ def _expr_col(expr, columns, numeric_cols=frozenset()):
         if expr[2] not in columns:
             return F.lit(None).cast("boolean")
         return F.col(expr[2]).startswith(expr[1])
+    if op == "isnumeric":
+        # literal whose lexical parses as a number (documented
+        # value-space check, not a datatype-IRI check); unbound is an
+        # error (NULL, row drops)
+        if expr[1] not in columns:
+            return F.lit(None).cast("boolean")
+        c = F.col(expr[1])
+        return F.when(
+            c.isNotNull(),
+            c.startswith('"') & _lex_col(c).try_cast("double").isNotNull(),
+        )
     if op == "sameterm":
         lnt = _operand_info(expr[1], columns)[0]
         rnt = _operand_info(expr[2], columns)[0]
@@ -1081,6 +1100,8 @@ def _expr_vars(expr) -> set[str]:
         return {expr[1]}
     if op == "iskind":
         return {expr[2]}
+    if op == "isnumeric":
+        return {expr[1]}
     if op in ("sameterm", "langmatches"):
         return _operand_vars(expr[1]) | _operand_vars(expr[2])
     if op == "regex":

@@ -1522,3 +1522,27 @@ def test_third_review_fixes(spark):
                  UNION { ?x s:name ?n }
                }""",
         )
+
+
+def test_isnumeric(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?o WHERE { ?w ?p ?o . FILTER(ISNUMERIC(?o)) }""",
+    )
+    got = sorted(r.o for r in out.collect())
+    assert got == [
+        '"36"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        '"7"^^<http://www.w3.org/2001/XMLSchema#integer>',
+    ]
+    # IRIs and plain non-numeric literals are excluded; unbound errors
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             ?w s:name ?n OPTIONAL { ?w s:age ?a }
+             FILTER(!ISNUMERIC(?n) && ISNUMERIC(?a))
+           }""",
+    )
+    assert {r.n for r in out.collect()} == {'"Ada"', '"Bob"@en'}
