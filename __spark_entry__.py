@@ -900,6 +900,26 @@ def q_sparql_filter_fns(spark, sf_dir):
     )
 
 
+def q_sparql_str_builtins(spark, sf_dir):
+    """§2.5 E3: round-4b string/numeric builtin surface — IN-list
+    membership, STRAFTER/STR over the doc IRI, CONCAT, SUBSTR and
+    REPLACE in one projection; DuckDB replays each with its native
+    string functions."""
+    from argo_spark.ops.sparql import sparql_select
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?d (CONCAT(STRAFTER(STR(?d), "doc/"), "-", ?lang) AS ?tag)
+                  (SUBSTR(?lang, 1, 1) AS ?l1)
+                  (REPLACE(?lang, "e", "E") AS ?re)
+           WHERE {
+             ?d s:inLanguage ?lang . FILTER(?lang IN ("en", "de"))
+           }""",
+    )
+
+
 def q_sparql_isnumeric(spark, sf_dir):
     """§2.5 E3: ISNUMERIC builtin — one v:meta triple per doc whose
     plain-literal object is the n_chars count (numeric lexical) for
@@ -1568,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_negset": q_sparql_negset,
         "sparql_filter_fns": q_sparql_filter_fns,
         "sparql_isnumeric": q_sparql_isnumeric,
+        "sparql_str_builtins": q_sparql_str_builtins,
         "corpus_hash_sample": q_corpus_hash_sample,
         "corpus_source_quota": q_corpus_source_quota,
         "text_repetition": q_text_repetition,
@@ -2554,6 +2575,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_value = '{INLANG}'
               AND o_value LIKE 'e%'
               AND length(o_value) + 1 >= 3
+        """,
+        "sparql_str_builtins": f"""
+            SELECT '<{DOC_BASE}' || doc_id || '>' AS d,
+                   '"' || doc_id || '-' || lang || '"' AS tag,
+                   '"' || substr(lang, 1, 1) || '"' AS l1,
+                   '"' || replace(lang, 'e', 'E') || '"' AS re
+            FROM documents
+            WHERE lang IN ('en', 'de')
         """,
         "sparql_isnumeric": f"""
             SELECT '<{DOC_BASE}' || doc_id || '>' AS d,

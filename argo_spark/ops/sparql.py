@@ -78,7 +78,17 @@ onto DataFrame operators):
                numeric arithmetic (+ - * / with standard precedence,
                always-numeric: non-numeric bindings error the row
                out; / is try_divide — divide-by-zero drops, never
-               aborts)
+               aborts) /
+               SUBSTR(src, start (, len)?) (1-based, integer-literal
+               positions) / STRBEFORE|STRAFTER(a, b) (first
+               occurrence; spec's empty-pattern cases: before->"",
+               after->source) / CONCAT(args...) / REPLACE(src, "pat",
+               "rep" (, "ism"?)?) (regex per fn:replace; same flag
+               policy as REGEX, Java $N group refs) /
+               ABS|CEIL|FLOOR|ROUND(num-expr) (always-numeric; ROUND
+               is fn:round's half-toward-+inf, not Java half-up) /
+               'operand (NOT)? IN (const-term, ...)' — desugars to
+               the spec's own =-disjunction equivalence
                (LANG is "" for untagged literals; DATATYPE is
                xsd:string for plain and rdf:langString for tagged
                literals per SPARQL 1.1; both are errors — NULL,
@@ -665,6 +675,35 @@ class _Parser:
         if kind == "op" and val in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
             return ("cmp", val, left, self.parse_additive())
+        if kind == "kw" and val.upper() in ("IN", "NOT"):
+            # IN / NOT IN over a constant list (spec 17.4.1.9/10):
+            # desugars to the spec's own equivalence — a disjunction
+            # (resp. negated disjunction) of '=' comparisons, so the
+            # error semantics ride on the tested cmp machinery
+            negated = val.upper() == "NOT"
+            self.next()
+            if negated:
+                self.expect_kw("IN")
+            self.expect_punct("(")
+            members: list[tuple] = []
+            if self.peek() != ("punct", ")"):
+                members.append(self.parse_operand())
+                while self.peek() == ("punct", ","):
+                    self.next()
+                    members.append(self.parse_operand())
+            self.expect_punct(")")
+            bad = [m for m in members if m[0] not in ("term", "num")]
+            if bad:
+                raise SparqlSyntaxError(
+                    "IN list members must be constant terms or numbers"
+                )
+            if not members:
+                # IN () is false, NOT IN () true — constant, no error
+                return ("const_bool", negated)
+            e = ("cmp", "=", left, members[0])
+            for m in members[1:]:
+                e = ("or", e, ("cmp", "=", left, m))
+            return ("not", e) if negated else e
         raise SparqlSyntaxError(
             "FILTER primary must be a comparison or BOUND/REGEX"
         )
@@ -775,6 +814,80 @@ class _Parser:
                 raise SparqlSyntaxError(f"{fn} takes a variable")
             self.expect_punct(")")
             return ("func", fn, vv[1:])
+        if kind == "kw" and val.upper() in ("ABS", "CEIL", "FLOOR", "ROUND"):
+            # numeric builtins (17.4.4): always-numeric results, so
+            # they compare numerically like STRLEN does
+            self.next()
+            fn = val.upper()
+            self.expect_punct("(")
+            target = self.parse_additive()
+            self.expect_punct(")")
+            return ("numfn", fn, target)
+        if kind == "kw" and val.upper() in ("STRBEFORE", "STRAFTER", "CONCAT"):
+            self.next()
+            fn = val.upper()
+            self.expect_punct("(")
+            args = [self.parse_operand()]
+            while self.peek() == ("punct", ","):
+                self.next()
+                args.append(self.parse_operand())
+            self.expect_punct(")")
+            if fn != "CONCAT" and len(args) != 2:
+                raise SparqlSyntaxError(f"{fn} takes exactly 2 arguments")
+            return ("strfn", fn, args)
+        if kind == "kw" and val.upper() == "SUBSTR":
+            # SUBSTR(source, start (, length)?) — 1-based like the
+            # spec's fn:substring; integer-literal positions only
+            self.next()
+            self.expect_punct("(")
+            target = self.parse_operand()
+            self.expect_punct(",")
+            sk, sv = self.next()
+            if sk != "num":
+                raise SparqlSyntaxError("SUBSTR start must be an integer")
+            start = int(sv)
+            if start < 1:
+                raise SparqlSyntaxError("SUBSTR start must be >= 1")
+            length = None
+            if self.peek() == ("punct", ","):
+                self.next()
+                lk, lv = self.next()
+                if lk != "num":
+                    raise SparqlSyntaxError("SUBSTR length must be an integer")
+                length = int(lv)
+            self.expect_punct(")")
+            return ("substr", target, start, length)
+        if kind == "kw" and val.upper() == "REPLACE":
+            # REPLACE(source, "pattern", "replacement" (, "flags")?) —
+            # regex-based per fn:replace; same flag policy as REGEX
+            # (i/s/m translate, anything else is rejected), Java $N
+            # group references in the replacement
+            self.next()
+            self.expect_punct("(")
+            target = self.parse_operand()
+            self.expect_punct(",")
+            pk, pv = self.next()
+            if pk != "lit":
+                raise SparqlSyntaxError("REPLACE pattern must be a string")
+            self.expect_punct(",")
+            rk, rv = self.next()
+            if rk != "lit":
+                raise SparqlSyntaxError("REPLACE replacement must be a string")
+            flags = ""
+            if self.peek() == ("punct", ","):
+                self.next()
+                fk, fv = self.next()
+                if fk != "lit":
+                    raise SparqlSyntaxError("REPLACE flags must be a string")
+                flags = _unescape(fv[1:-1])
+            self.expect_punct(")")
+            return (
+                "replace",
+                target,
+                _unescape(pv[1:-1]),
+                _unescape(rv[1:-1]),
+                flags,
+            )
         if kind == "kw" and val.upper() == "IF":
             # IF(boolean-expr, then, else) with var/term/number
             # branches; an ERROR (null) condition nulls the result
@@ -927,6 +1040,82 @@ def _operand_info(node, columns, numeric_cols=frozenset()):
             "/": lambda: F.try_divide(a, b),
         }[payload]()
         return None, num.cast("string"), num, True
+    if kind == "numfn":
+        x = _operand_info(node[2], columns, numeric_cols)[2]
+        if payload == "ABS":
+            num = F.abs(x)
+        elif payload == "CEIL":
+            num = F.ceil(x).cast("double")
+        elif payload == "FLOOR":
+            num = F.floor(x).cast("double")
+        else:  # ROUND — fn:round: half rounds toward +inf (NOT Java's
+            # half-away-from-zero), so floor(x + 0.5)
+            num = F.floor(x + F.lit(0.5)).cast("double")
+        # CEIL/FLOOR/ROUND lexicals are the integer form; ABS keeps
+        # the double form (only numeric comparisons consume these)
+        lex = (
+            num.cast("string")
+            if payload == "ABS"
+            else num.cast("long").cast("string")
+        )
+        return None, lex, num, True
+    if kind == "strfn":
+        infos = [_operand_info(a, columns, numeric_cols) for a in node[2]]
+        if payload == "CONCAT":
+            lex = F.concat(*[i[1] for i in infos])
+        else:
+            alex, blex = infos[0][1], infos[1][1]
+            null = F.lit(None).cast("string")
+            # 1-based first-occurrence position, 0 when absent;
+            # call_function because the Python substring_index/locate
+            # wrappers only take literal delimiters
+            pos = F.call_function("instr", alex, blex)
+            if payload == "STRBEFORE":
+                # "" for no-match and for an empty pattern (17.4.3.4);
+                # NULL (error) operands propagate explicitly — the
+                # otherwise('') arm must not swallow them
+                lex = (
+                    F.when(alex.isNull() | blex.isNull(), null)
+                    .when(blex == "", F.lit(""))
+                    .when(pos > 0, F.substring(alex, F.lit(1), pos - 1))
+                    .otherwise(F.lit(""))
+                )
+            else:  # STRAFTER — source for the empty pattern (17.4.3.5)
+                lex = (
+                    F.when(alex.isNull() | blex.isNull(), null)
+                    .when(blex == "", alex)
+                    .when(
+                        pos > 0,
+                        F.substring(
+                            alex, pos + F.length(blex), F.length(alex)
+                        ),
+                    )
+                    .otherwise(F.lit(""))
+                )
+        return None, lex, lex.try_cast("double"), False
+    if kind == "substr":
+        tlex = _operand_info(payload, columns, numeric_cols)[1]
+        start, length = node[2], node[3]
+        lex = (
+            F.substring(tlex, start, length)
+            if length is not None
+            else F.substring(tlex, F.lit(start), F.length(tlex))
+        )
+        return None, lex, lex.try_cast("double"), False
+    if kind == "replace":
+        tlex = _operand_info(payload, columns, numeric_cols)[1]
+        pat, rep, flags = node[2], node[3], node[4]
+        flag_map = {"i": "i", "s": "s", "m": "m"}
+        bad = [f for f in flags if f not in flag_map]
+        if bad:
+            raise SparqlSyntaxError(
+                f"unsupported REPLACE flag(s) {''.join(bad)!r}: only i/s/m "
+                "translate to Spark regexp_replace semantics"
+            )
+        if flags:
+            pat = "(?" + "".join(flag_map[f] for f in flags) + ")" + pat
+        lex = F.regexp_replace(tlex, pat, rep)
+        return None, lex, lex.try_cast("double"), False
     if kind == "coalesce":
         infos = [_operand_info(o, columns, numeric_cols) for o in payload]
         # a bare-number argument has no NT form; the NT column (used
@@ -967,6 +1156,9 @@ def _expr_col(expr, columns, numeric_cols=frozenset()):
     from pyspark.sql import functions as F
 
     op = expr[0]
+    if op == "const_bool":
+        # IN () / NOT IN () — constant truth value, never an error
+        return F.lit(expr[1])
     if op == "or":
         return (_expr_col(expr[1], columns, numeric_cols)
                 | _expr_col(expr[2], columns, numeric_cols))
@@ -1087,6 +1279,15 @@ def _operand_vars(o) -> set[str]:
         return _expr_vars(o[1]) | _operand_vars(o[2]) | _operand_vars(o[3])
     if o[0] == "arith":
         return _operand_vars(o[2]) | _operand_vars(o[3])
+    if o[0] == "numfn":
+        return _operand_vars(o[2])
+    if o[0] == "strfn":
+        out = set()
+        for sub in o[2]:
+            out |= _operand_vars(sub)
+        return out
+    if o[0] in ("substr", "replace"):
+        return _operand_vars(o[1])
     return set()
 
 
@@ -1503,6 +1704,12 @@ def _eval_group_impl(
                     ntc = F.concat(F.lit("<"), lex, F.lit(">"))
                 else:  # STR / LANG: escaped lexical -> plain literal
                     ntc = F.concat(F.lit('"'), lex, F.lit('"'))
+            elif opnode[0] in ("strfn", "substr", "replace", "numfn"):
+                # string/numeric builtins: escaped lexical -> plain
+                # literal (numfn lexicals are the integer form except
+                # ABS, which keeps the double form)
+                _, lex, _, _ = _operand_info(opnode, cols)
+                ntc = F.concat(F.lit('"'), lex, F.lit('"'))
             else:  # constant term
                 t = opnode[1]
                 from argo_spark.terms import format_term

@@ -1546,3 +1546,106 @@ def test_isnumeric(spark):
            }""",
     )
     assert {r.n for r in out.collect()} == {'"Ada"', '"Bob"@en'}
+
+
+def test_string_builtins_round4b(spark):
+    g = graph2(spark)
+    # SUBSTR + CONCAT projection
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT (CONCAT(SUBSTR(?n, 1, 2), "…") AS ?c) WHERE {
+             ?w s:name ?n . FILTER(STRBEFORE(?n, "a") = "C")
+           }""",
+    )
+    assert [r.c for r in out.collect()] == ['"Ca…"']
+    # STRAFTER in FILTER; empty pattern returns the source
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             ?w s:name ?n
+             FILTER(STRAFTER(?n, "o") = "b" && STRAFTER(?n, "") = ?n)
+           }""",
+    )
+    assert [r.n for r in out.collect()] == ['"Bob"@en']
+    # REPLACE with group reference and i flag
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT (REPLACE(?n, "(a)(d)", "$2$1", "i") AS ?r) WHERE {
+             ?w s:name ?n . FILTER(?n = "Ada")
+           }""",
+    )
+    assert [r.r for r in out.collect()] == ['"dAa"']
+    # unsupported REPLACE flag rejected
+    with pytest.raises(SparqlSyntaxError, match="REPLACE flag"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?n WHERE {
+                 ?w s:name ?n . FILTER(REPLACE(?n, "a", "b", "q") = "x")
+               }""",
+        )
+
+
+def test_numeric_builtins(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             ?w s:name ?n . ?w s:age ?a .
+             FILTER(CEIL(?a / 10) = 4 && FLOOR(?a / 10) = 3
+                    && ABS(0 - ?a) = 36 && ROUND(?a / 8) = 5)
+           }""",
+    )
+    # 36/8 = 4.5 -> ROUND (half toward +inf) = 5
+    assert [r.n for r in out.collect()] == ['"Ada"']
+
+
+def test_in_not_in(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?w s:name ?n . FILTER(?n IN ("Ada", "Cat")) }""",
+    )
+    assert sorted(r.n for r in out.collect()) == ['"Ada"', '"Cat"']
+    # term-equality: the @en tag distinguishes members
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?w s:name ?n . FILTER(?n IN ("Bob")) }""",
+    )
+    assert [r.n for r in out.collect()] == []
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w WHERE {
+             ?w s:name ?n . FILTER(?w NOT IN (<http://e/a>, <http://e/c>))
+           }""",
+    )
+    assert [r.w for r in out.collect()] == ["<http://e/b>"]
+    # numeric members compare in the value space
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?a WHERE { ?w s:age ?a . FILTER(?a IN (36, 99)) }""",
+    )
+    assert [r.a for r in out.collect()] == [
+        '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    ]
+    # empty lists are constant
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?w s:name ?n . FILTER(?n NOT IN ()) }""",
+    )
+    assert out.count() == 3
+    with pytest.raises(SparqlSyntaxError, match="IN list"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?n WHERE { ?w s:name ?n . FILTER(?n IN (?w)) }""",
+        )
