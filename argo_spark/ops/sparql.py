@@ -31,7 +31,10 @@ onto DataFrame operators):
           shorthand (plain triple block: no filters, paths, or
           nested forms)
     DESCRIBE (<iri>+ | ?v+ WHERE Group (modifiers)?)
-    Triple  := Term Path Term ;
+    Triple  := Term Path Term (';' Path Term)* — Turtle-style
+               predicate-object lists, and ',' object lists within
+               each (spec grammar [75]/[77]/[79]; '; .' trailing form
+               accepted) ;
     Path := Seq ('|' Seq)* | '!' (IRI | '(' IRI ('|' IRI)* ')')
                — negated property set (§9.1, plain-IRI members):
                desugars to an internal predicate variable + a
@@ -372,35 +375,61 @@ class _Parser:
                         break
                 elements.append(("union", branches))
             else:
+                # TriplesSameSubject: subject, then ';'-separated
+                # predicate-object lists, each with ','-separated
+                # object lists (Turtle-style sugar, spec grammar
+                # [75]/[77]/[79])
                 s = self.parse_term("s")
-                p = self.parse_path()
-                o = self.parse_term("o")
-                if isinstance(p, tuple) and p[0] == "closure":
-                    elements.append(("closure", (s, p[1], p[2], p[3], o)))
-                elif isinstance(p, tuple) and p[0] == "negset":
-                    # desugar: (s ?fresh o) + a group filter keeping
-                    # predicates outside the set; the fresh var is an
-                    # internal path var (dropped from solutions)
-                    pv = self._fresh_path_var()
-                    pat = (s, pv, o)
-                    if elements and elements[-1][0] == "bgp":
-                        elements[-1][1].append(pat)
-                    else:
-                        elements.append(("bgp", [pat]))
-                    filters.append(("notin_p", pv[1:], tuple(p[1])))
-                elif isinstance(p, tuple) and p[0] == "path":
-                    self._expand_path(elements, s, p[1], o)
-                else:
-                    if elements and elements[-1][0] == "bgp":
-                        elements[-1][1].append((s, p, o))
-                    else:
-                        elements.append(("bgp", [(s, p, o)]))
+                while True:
+                    p = self.parse_path()
+                    while True:
+                        o = self.parse_term("o")
+                        self._add_triple(elements, filters, s, p, o)
+                        k2, v2 = self.peek()
+                        if k2 == "punct" and v2 == ",":
+                            self.next()
+                            continue
+                        break
+                    k2, v2 = self.peek()
+                    if k2 == "punct" and v2 == ";":
+                        self.next()
+                        # trailing ';' before '.' / '}' is legal
+                        k3, v3 = self.peek()
+                        if k3 == "punct" and v3 in (".", "}"):
+                            break
+                        continue
+                    break
             kind, val = self.peek()
             if kind == "punct" and val == ".":
                 self.next()
         if not elements and not filters:
             raise SparqlSyntaxError("empty group pattern")
         return Group(elements, filters)
+
+    def _add_triple(self, elements, filters, s, p, o) -> None:
+        """Append one parsed (s, p, o) to the group — dispatching on
+        the predicate's shape (closure / negated set / static path /
+        plain), exactly as a standalone triple would."""
+        if isinstance(p, tuple) and p[0] == "closure":
+            elements.append(("closure", (s, p[1], p[2], p[3], o)))
+        elif isinstance(p, tuple) and p[0] == "negset":
+            # desugar: (s ?fresh o) + a group filter keeping
+            # predicates outside the set; the fresh var is an
+            # internal path var (dropped from solutions)
+            pv = self._fresh_path_var()
+            pat = (s, pv, o)
+            if elements and elements[-1][0] == "bgp":
+                elements[-1][1].append(pat)
+            else:
+                elements.append(("bgp", [pat]))
+            filters.append(("notin_p", pv[1:], tuple(p[1])))
+        elif isinstance(p, tuple) and p[0] == "path":
+            self._expand_path(elements, s, p[1], o)
+        else:
+            if elements and elements[-1][0] == "bgp":
+                elements[-1][1].append((s, p, o))
+            else:
+                elements.append(("bgp", [(s, p, o)]))
 
     # -- property paths (sequence / alternation / inverse sugar) ----
 

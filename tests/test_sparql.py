@@ -1649,3 +1649,55 @@ def test_in_not_in(spark):
             """PREFIX s: <http://schema.org/>
                SELECT ?n WHERE { ?w s:name ?n . FILTER(?n IN (?w)) }""",
         )
+
+
+def test_predicate_object_lists(spark):
+    g = graph2(spark)
+    # ';' shares the subject, ',' shares subject+predicate
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n ?a WHERE { ?w s:name ?n ; s:age ?a . }""",
+    )
+    got = {(r.n, r.a) for r in out.collect()}
+    assert got == {
+        ('"Ada"', '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ('"Bob"@en', '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    }
+    # equivalent to the two-triple spelling
+    out2 = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n ?a WHERE { ?w s:name ?n . ?w s:age ?a . }""",
+    )
+    assert {(r.n, r.a) for r in out2.collect()} == got
+    # object list: ?w has both name-values? none shares two names, so
+    # use constants — who is named Ada AND aged 36
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w WHERE { ?w s:name "Ada" ; s:age ?a . FILTER(?a = 36) }""",
+    )
+    assert [r.w for r in out.collect()] == ["<http://e/a>"]
+    # ',' object list — subject typed Person AND named: both objects
+    # of s:name for the same subject (tests join multiplicity)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w ?n WHERE { ?w s:name ?n , "Ada" . }""",
+    )
+    assert {(r.w, r.n) for r in out.collect()} == {("<http://e/a>", '"Ada"')}
+    # trailing '; .' form
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?w s:name ?n ; . }""",
+    )
+    assert out.count() == 3
+    # ';' mixes with paths and 'a'
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?w a s:Person ; s:name ?n . }""",
+    )
+    assert sorted(r.n for r in out.collect()) == ['"Ada"', '"Bob"@en']
