@@ -99,8 +99,12 @@ onto DataFrame operators):
 
 with terms ``?var``/``$var``, ``<iri>``, ``prefix:local``, the ``a``
 keyword (rdf:type), ``"literal"`` with optional ``@lang`` or
-``^^<dt>``/``^^prefix:local``, and bare integer/decimal numbers in
-FILTER expressions. Residual exclusions: subqueries as UNION
+``^^<dt>``/``^^prefix:local``, bare integer/decimal numbers in
+FILTER expressions, and blank nodes — ``_:label`` or anonymous
+``[ p o ; ... ]`` property lists (both desugar to internal
+non-projectable variables; a label shared across groups joins, a
+superset of the spec's per-BGP scoping; not valid in CONSTRUCT
+templates, where they would mean per-solution bnode generation). Residual exclusions: subqueries as UNION
 branches, GROUP_CONCAT separator arguments beyond a plain string,
 federated SERVICE, and named graphs.
 Algebra mapping (SPARQL 1.1 §18.2 translation, evaluated
@@ -157,7 +161,7 @@ _TOKEN = re.compile(
   | (?P<dec>[0-9]+\.[0-9]+)
   | (?P<num>[0-9]+)
   | (?P<op>!=|<=|>=|&&|\|\||[=<>!])
-  | (?P<punct>[{}.*;,()/|^+?-])
+  | (?P<punct>[{}.*;,()/|^+?\[\]-])
     """,
     re.VERBOSE,
 )
@@ -286,6 +290,16 @@ class _Parser:
             return "?" + val[1:]
         if kind == "iri":
             return val[1:-1]
+        if kind == "pname" and val.startswith("_:"):
+            # blank node label (§4.1.4): scoped non-projectable
+            # variable — internal-prefix name so the projection-drop
+            # and collision machinery treat it like a path var. The
+            # spec scopes labels to one basic graph pattern; here a
+            # label shared across groups in one query joins (superset
+            # behavior, documented).
+            if position == "p":
+                raise SparqlSyntaxError("blank node in predicate position")
+            return f"?{_PATH_VAR_PREFIX}bn_{val[2:]}"
         if kind == "pname":
             return self.expand_pname(val)
         if kind == "kw" and val == "a" and position == "p":
@@ -375,36 +389,67 @@ class _Parser:
                         break
                 elements.append(("union", branches))
             else:
-                # TriplesSameSubject: subject, then ';'-separated
+                # TriplesSameSubject: subject (a term or a '[...]'
+                # blank-node property list), then ';'-separated
                 # predicate-object lists, each with ','-separated
                 # object lists (Turtle-style sugar, spec grammar
-                # [75]/[77]/[79])
-                s = self.parse_term("s")
-                while True:
-                    p = self.parse_path()
-                    while True:
-                        o = self.parse_term("o")
-                        self._add_triple(elements, filters, s, p, o)
-                        k2, v2 = self.peek()
-                        if k2 == "punct" and v2 == ",":
-                            self.next()
-                            continue
-                        break
-                    k2, v2 = self.peek()
-                    if k2 == "punct" and v2 == ";":
-                        self.next()
-                        # trailing ';' before '.' / '}' is legal
-                        k3, v3 = self.peek()
-                        if k3 == "punct" and v3 in (".", "}"):
-                            break
-                        continue
-                    break
+                # [75]/[77]/[79]/[99])
+                k2, v2 = self.peek()
+                if k2 == "punct" and v2 == "[":
+                    s = self._parse_bnpl(elements, filters)
+                    k3, v3 = self.peek()
+                    # '[ p o ] .' may stand alone as a whole triple
+                    if not (k3 == "punct" and v3 in (".", "}")):
+                        self._parse_polist(s, elements, filters)
+                else:
+                    s = self.parse_term("s")
+                    self._parse_polist(s, elements, filters)
             kind, val = self.peek()
             if kind == "punct" and val == ".":
                 self.next()
         if not elements and not filters:
             raise SparqlSyntaxError("empty group pattern")
         return Group(elements, filters)
+
+    def _parse_bnpl(self, elements, filters) -> str:
+        """'[' PropertyList? ']' — anonymous blank node: a fresh
+        internal (non-projectable) variable, with the bracketed
+        predicate-object list, if any, attached to it."""
+        self.expect_punct("[")
+        self._pathvar += 1
+        bv = f"?{_PATH_VAR_PREFIX}bn_anon{self._pathvar}"
+        if self.peek() != ("punct", "]"):
+            self._parse_polist(bv, elements, filters)
+        self.expect_punct("]")
+        return bv
+
+    def _parse_polist(self, s, elements, filters) -> None:
+        """';'-separated predicate-object list with ','-separated
+        object lists for subject ``s``; objects may themselves be
+        '[...]' blank-node property lists (nesting)."""
+        while True:
+            p = self.parse_path()
+            while True:
+                kind, val = self.peek()
+                if kind == "punct" and val == "[":
+                    o = self._parse_bnpl(elements, filters)
+                else:
+                    o = self.parse_term("o")
+                self._add_triple(elements, filters, s, p, o)
+                kind, val = self.peek()
+                if kind == "punct" and val == ",":
+                    self.next()
+                    continue
+                break
+            kind, val = self.peek()
+            if kind == "punct" and val == ";":
+                self.next()
+                # trailing ';' before '.' / '}' / ']' is legal
+                k3, v3 = self.peek()
+                if k3 == "punct" and v3 in (".", "}", "]"):
+                    break
+                continue
+            break
 
     def _add_triple(self, elements, filters, s, p, o) -> None:
         """Append one parsed (s, p, o) to the group — dispatching on
@@ -649,7 +694,12 @@ class _Parser:
         if kind == "kw" and val.upper() == "UNDEF":
             self.next()
             return None
-        return self.parse_term("o")
+        t = self.parse_term("o")
+        if isinstance(t, str) and t.startswith("?"):
+            # a blank-node label desugars to a variable — not a
+            # constant, so not valid VALUES data (spec grammar [65])
+            raise SparqlSyntaxError("VALUES data must be constant terms")
+        return t
 
     # -- FILTER constraint grammar (recursive descent over Expr) ----
 
@@ -2080,6 +2130,18 @@ def parse_construct(query: str):
             "CONSTRUCT template must be a plain triple block"
         )
     template = tmpl_group.triples
+    # template blank nodes mean fresh-bnode-per-solution generation
+    # (spec 16.2.1) — not implemented; the WHERE pattern may still use
+    # them freely (they are plain internal join variables there)
+    if any(
+        isinstance(t, str) and t.startswith("?" + _PATH_VAR_PREFIX)
+        for triple in template
+        for t in triple
+    ):
+        raise SparqlSyntaxError(
+            "blank nodes / property paths in CONSTRUCT templates are "
+            "not supported"
+        )
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "WHERE":
         p.next()

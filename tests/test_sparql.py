@@ -1701,3 +1701,72 @@ def test_predicate_object_lists(spark):
            SELECT ?n WHERE { ?w a s:Person ; s:name ?n . }""",
     )
     assert sorted(r.n for r in out.collect()) == ['"Ada"', '"Bob"@en']
+
+
+def test_blank_nodes_in_patterns(spark):
+    g = graph2(spark)
+    # _:label is a non-projected join variable
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { _:w s:name ?n . _:w s:age ?a . }""",
+    )
+    assert sorted(r.n for r in out.collect()) == ['"Ada"', '"Bob"@en']
+    assert out.columns == ["n"]
+    # SELECT * never projects the bnode var
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT * WHERE { _:w s:name ?n }""",
+    )
+    assert out.columns == ["n"]
+    # anonymous [ ... ] property list in subject position, standing
+    # alone as the whole triple
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { [ s:name ?n ; s:age ?a ] . }""",
+    )
+    assert sorted(r.n for r in out.collect()) == ['"Ada"', '"Bob"@en']
+    # [ ... ] in object position joins through the fresh variable —
+    # every subject with a name (objects of [ ] impose no constraint
+    # beyond existence of the name triple)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w WHERE { ?w s:name [] . }""",
+    )
+    assert out.count() == 3
+    # nesting: subject list whose object is itself a list is two
+    # fresh variables — degenerate but grammatical
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { [ s:name ?n ] . FILTER(STRLEN(?n) = 3) }""",
+    )
+    assert sorted(r.n for r in out.collect()) == ['"Ada"', '"Bob"@en', '"Cat"']
+    # blank node in predicate position is rejected
+    with pytest.raises(SparqlSyntaxError, match="predicate"):
+        sparql_select(g, "SELECT ?s WHERE { ?s _:p ?o }")
+    # blank nodes in CONSTRUCT templates are rejected (fresh-bnode
+    # generation semantics); in the WHERE pattern they are fine
+    from argo_spark.ops.sparql import sparql_construct
+    with pytest.raises(SparqlSyntaxError, match="blank nodes"):
+        sparql_construct(
+            g,
+            """PREFIX s: <http://schema.org/>
+               CONSTRUCT { _:x s:name ?n } WHERE { ?w s:name ?n }""",
+        )
+    out = sparql_construct(
+        g,
+        """PREFIX s: <http://schema.org/>
+           CONSTRUCT { ?w s:label ?n } WHERE { [ s:name ?n ] . ?w s:name ?n }""",
+    )
+    assert out.count() == 3
+    # VALUES data may not contain blank nodes (or variables)
+    with pytest.raises(SparqlSyntaxError, match="constant"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?n WHERE { ?w s:name ?n . VALUES ?n { _:x } }""",
+        )
