@@ -900,6 +900,89 @@ def q_sparql_filter_fns(spark, sf_dir):
     )
 
 
+def _synth_urls(spark, sf_dir):
+    """Deterministic messy URLs over documents: host varies by
+    doc_id%7, path by doc_id%50, plus canonicalization noise (upper
+    case, default port, utm params vs trailing slash, fragments) that
+    all normalizes away — so distinct docs collide on canonical
+    form."""
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("HTTP://WWW.Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Doc/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("?utm_source=a"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("/")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("#frag"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id", url.alias("url"), F.col("n_chars").cast("double").alias("q")
+    )
+
+
+_SYNTH_URL_SQL = """
+    SELECT doc_id,
+           'HTTP://WWW.Site' || (doc_id % 7) || '.COM'
+           || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
+           || '/Doc/' || (doc_id % 50)
+           || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=a' || doc_id
+                   ELSE '/' END
+           || CASE WHEN doc_id % 4 = 0 THEN '#frag' || doc_id
+                   ELSE '' END AS url,
+           n_chars::DOUBLE AS q
+    FROM documents
+"""
+
+# the canonicalization chain, replayed in DuckDB (RE2: same patterns,
+# '\\1' group refs instead of Java '$1', explicit 'g' flag)
+_CANON_SQL = r"""
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        || '://'
+        || regexp_replace(
+             lower(regexp_extract(
+                 nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+             ':80$', '')
+        || regexp_extract(
+             nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+        '([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=[^&#]*',
+        '\1', 'g'),
+      '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g')
+"""
+_CANON_SQL = f"regexp_replace({_CANON_SQL}, '/$', '', 'g')"
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """Training-data op: URL canonicalization (ops/urltools.py) —
+    lowercase scheme+authority, default-port/fragment/tracking-param
+    strip, separator collapse, trailing slash; DuckDB replays the
+    regexp chain under RE2."""
+    from argo_spark.ops.urltools import canonicalize_url
+
+    u = _synth_urls(spark, sf_dir)
+    return u.select(
+        "doc_id", "url", canonicalize_url(F.col("url")).alias("canonical")
+    )
+
+
+def q_url_dedup_best(spark, sf_dir):
+    """Training-data op: URL-level dedup keeping the best row per
+    canonical URL (max quality, then min doc_id) in ONE exchange via
+    min-of-struct; DuckDB replays with row_number()."""
+    from argo_spark.ops.urltools import url_dedup
+
+    u = _synth_urls(spark, sf_dir)
+    return url_dedup(u, url_col="url", quality_col="q", id_col="doc_id")
+
+
 def q_sparql_str_builtins(spark, sf_dir):
     """§2.5 E3: round-4b string/numeric builtin surface — IN-list
     membership, STRAFTER/STR over the doc IRI, CONCAT, SUBSTR and
@@ -1589,6 +1672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_filter_fns": q_sparql_filter_fns,
         "sparql_isnumeric": q_sparql_isnumeric,
         "sparql_str_builtins": q_sparql_str_builtins,
+        "url_canonicalize": q_url_canonicalize,
+        "url_dedup_best": q_url_dedup_best,
         "corpus_hash_sample": q_corpus_hash_sample,
         "corpus_source_quota": q_corpus_source_quota,
         "text_repetition": q_text_repetition,
@@ -2575,6 +2660,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_value = '{INLANG}'
               AND o_value LIKE 'e%'
               AND length(o_value) + 1 >= 3
+        """,
+        "url_canonicalize": f"""
+            WITH u AS ({_SYNTH_URL_SQL}),
+            nf AS (SELECT doc_id, url,
+                          regexp_replace(url, '#.*', '', 'g') AS nofrag
+                   FROM u)
+            SELECT doc_id, url, {_CANON_SQL} AS canonical FROM nf
+        """,
+        "url_dedup_best": f"""
+            WITH u AS ({_SYNTH_URL_SQL}),
+            nf AS (SELECT doc_id, url, q,
+                          regexp_replace(url, '#.*', '', 'g') AS nofrag
+                   FROM u),
+            c AS (SELECT doc_id, url, q, {_CANON_SQL} AS canonical_url
+                  FROM nf),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY canonical_url
+                      ORDER BY q DESC, doc_id ASC, url ASC) AS rn
+                  FROM c)
+            SELECT canonical_url, doc_id, url, q FROM r WHERE rn = 1
         """,
         "sparql_str_builtins": f"""
             SELECT '<{DOC_BASE}' || doc_id || '>' AS d,
