@@ -983,6 +983,29 @@ def q_url_dedup_best(spark, sf_dir):
     return url_dedup(u, url_col="url", quality_col="q", id_col="doc_id")
 
 
+def q_line_dedup(spark, sf_dir):
+    """Training-data op: C4-style repeated-line removal
+    (ops/linedup.py). Documents are synthesized as three lines —
+    text head / a per-source boilerplate line / text tail — so the
+    boilerplate line (shared by every doc of a source) is removed
+    corpus-wide while the unique lines survive in order; DuckDB
+    replays with unnest + anti join + ordered string_agg."""
+    from argo_spark.ops.linedup import remove_repeated_lines
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit("\nSOURCE: "),
+            F.col("source"),
+            F.lit("\n"),
+            F.substring("text", 41, 40),
+        ).alias("text"),
+        "source",
+    )
+    return remove_repeated_lines(d, min_docs=2)
+
+
 def q_sparql_str_builtins(spark, sf_dir):
     """§2.5 E3: round-4b string/numeric builtin surface — IN-list
     membership, STRAFTER/STR over the doc IRI, CONCAT, SUBSTR and
@@ -1673,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_isnumeric": q_sparql_isnumeric,
         "sparql_str_builtins": q_sparql_str_builtins,
         "url_canonicalize": q_url_canonicalize,
+        "line_dedup": q_line_dedup,
         "url_dedup_best": q_url_dedup_best,
         "corpus_hash_sample": q_corpus_hash_sample,
         "corpus_source_quota": q_corpus_source_quota,
@@ -2660,6 +2684,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_value = '{INLANG}'
               AND o_value LIKE 'e%'
               AND length(o_value) + 1 >= 3
+        """,
+        "line_dedup": """
+            WITH d AS (
+              SELECT doc_id,
+                     substr(text, 1, 40) || chr(10) || 'SOURCE: ' || source
+                       || chr(10) || substr(text, 41, 40) AS text,
+                     source
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                       AS pos
+              FROM d),
+            f AS (SELECT line FROM l
+                  GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+            k AS (SELECT l.* FROM l ANTI JOIN f USING (line)),
+            r AS (SELECT doc_id,
+                         string_agg(line, chr(10) ORDER BY pos) AS t
+                  FROM k GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(r.t, '') AS text, d.source
+            FROM d LEFT JOIN r USING (doc_id)
         """,
         "url_canonicalize": f"""
             WITH u AS ({_SYNTH_URL_SQL}),
