@@ -135,7 +135,11 @@ silently drop solutions.
 ORDER BY implements §15.1 made total (documented): unbound < blank <
 IRI < numeric literals by value < other literals by escaped lexical,
 full NT form as tiebreak; DESC reverses the key. ORDER BY + LIMIT
-plans as top-k (TakeOrderedAndProject), not a global sort.
+plans as top-k (TakeOrderedAndProject), not a global sort. Sort keys
+may also be expressions — ``ASC/DESC(expr)`` or a bare builtin
+call / parenthesized additive expression (ascending): numeric
+expressions sort by value, string expressions by lexical with the NT
+form as tiebreak.
 """
 
 from __future__ import annotations
@@ -2038,7 +2042,7 @@ def _parse_modifiers(p: "_Parser", stop_at_brace: bool = False):
     raises on anything left over (an ignored modifier is a WRONG
     result). ``stop_at_brace``: a subquery's tail legitimately ends
     at the enclosing '}'."""
-    order: list[tuple[str, bool]] = []
+    order: list[tuple] = []
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "ORDER":
         p.next()
@@ -2049,16 +2053,34 @@ def _parse_modifiers(p: "_Parser", stop_at_brace: bool = False):
                 p.next()
                 order.append((val[1:], False))
             elif kind == "kw" and val.upper() in ("ASC", "DESC"):
+                # ASC/DESC(expr) — expr is the additive operand
+                # grammar (vars, builtins, arithmetic); a bare
+                # variable stays a var key (keeps the native-numeric
+                # aggregate-alias fast path)
                 p.next()
                 desc = val.upper() == "DESC"
                 p.expect_punct("(")
-                vk, vv = p.next()
-                if vk != "var":
-                    raise SparqlSyntaxError(
-                        "ORDER BY supports variables only (no expressions)"
-                    )
+                key = p.parse_additive()
                 p.expect_punct(")")
-                order.append((vv[1:], desc))
+                if key[0] == "var":
+                    order.append((key[1], desc))
+                else:
+                    order.append(("expr", key, desc))
+            elif (
+                kind == "kw" and val.upper() in _OPERAND_FN_KWS
+            ) or (kind == "punct" and val == "("):
+                # bare expression condition (ascending): a builtin
+                # call, or a parenthesized additive expression
+                if kind == "punct":
+                    p.next()
+                    key = p.parse_additive()
+                    p.expect_punct(")")
+                else:
+                    key = p.parse_additive()
+                if key[0] == "var":
+                    order.append((key[1], False))
+                else:
+                    order.append(("expr", key, False))
             else:
                 break
         if not order:
@@ -2231,8 +2253,8 @@ def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
             )
         if order:
             cols = []
-            for v, desc in order:
-                cols.extend(_order_cols(v, desc, sols.columns))
+            for key in order:
+                cols.extend(_order_key_cols(key, sols.columns))
             sols = sols.orderBy(*cols)
         if offset:
             sols = sols.offset(offset)
@@ -2280,8 +2302,8 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     sols = eval_group(triples, group, structs=True)
     if order:
         cols = []
-        for v, desc in order:
-            cols.extend(_order_cols(v, desc, sols.columns))
+        for key in order:
+            cols.extend(_order_key_cols(key, sols.columns))
         sols = sols.orderBy(*cols)
     if offset:
         sols = sols.offset(offset)
@@ -2344,6 +2366,48 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     return out.dropDuplicates(
         ["s_kind", "s_value", "p_value", "o_kind", "o_value", "o_lang", "o_dt"]
     )
+
+
+_OPERAND_FN_KWS = frozenset(
+    {
+        "STR", "LANG", "DATATYPE", "STRLEN", "UCASE", "LCASE", "IF",
+        "COALESCE", "ABS", "CEIL", "FLOOR", "ROUND", "STRBEFORE",
+        "STRAFTER", "CONCAT", "SUBSTR", "REPLACE",
+    }
+)
+
+
+def _order_key_vars(key) -> set[str]:
+    """Variables an ORDER BY key references (for the DISTINCT
+    projection-survival check)."""
+    if len(key) == 3 and key[0] == "expr":
+        return _operand_vars(key[1])
+    return {key[0]}
+
+
+def _order_key_cols(key, columns, dtypes=None):
+    """Sort components for one ORDER BY key — a ``(var, desc)`` pair
+    (total term order via _order_cols; native numerics sort directly
+    when ``dtypes`` marks them non-string) or an ``("expr", opnode,
+    desc)`` expression key (numeric expressions sort by value, string
+    expressions by lexical with the NT form as tiebreak when one
+    exists)."""
+    from pyspark.sql import functions as F
+
+    if len(key) == 3 and key[0] == "expr":
+        _, opnode, desc = key
+        nt, lex, num, numeric = _operand_info(opnode, columns)
+        comps = [num] if numeric else (
+            [lex, nt] if nt is not None else [lex]
+        )
+        if desc:
+            return [x.desc_nulls_last() for x in comps]
+        return [x.asc_nulls_first() for x in comps]
+    v, desc = key
+    if dtypes and v in dtypes and dtypes[v] != "string":
+        c = F.col(v)
+        return [c.desc_nulls_last() if desc else c.asc_nulls_first()]
+    return _order_cols(v, desc, columns)
 
 
 def _order_cols(var: str, desc: bool, columns):
@@ -2521,7 +2585,12 @@ def _select_frame(triples: DataFrame, parts):
         if distinct:
             # spec order: project -> DISTINCT -> ORDER (the sort keys
             # must survive the dedup, i.e. be selected)
-            unsel = [v for v, _ in order if v not in variables]
+            unsel = sorted(
+                v
+                for key in order
+                for v in _order_key_vars(key)
+                if v not in variables
+            )
             if unsel:
                 raise SparqlSyntaxError(
                     f"ORDER BY over non-selected vars with DISTINCT: {unsel}"
@@ -2531,16 +2600,8 @@ def _select_frame(triples: DataFrame, parts):
     if order:
         dtypes = dict(out.dtypes)
         cols = []
-        for v, desc in order:
-            if v in dtypes and dtypes[v] != "string":
-                # native numeric column (aggregate alias)
-                cols.append(
-                    F.col(v).desc_nulls_last()
-                    if desc
-                    else F.col(v).asc_nulls_first()
-                )
-            else:
-                cols.extend(_order_cols(v, desc, out.columns))
+        for key in order:
+            cols.extend(_order_key_cols(key, out.columns, dtypes))
         out = out.orderBy(*cols)
     # non-DISTINCT: ORDER BY may reference non-selected vars, so
     # projection stays after sort+limit (limit-after-sort keeps the

@@ -1770,3 +1770,51 @@ def test_blank_nodes_in_patterns(spark):
             """PREFIX s: <http://schema.org/>
                SELECT ?n WHERE { ?w s:name ?n . VALUES ?n { _:x } }""",
         )
+
+
+def test_order_by_expressions(spark):
+    g = graph2(spark)
+    # bare builtin key: ascending by name length (Ada=3 Bob=3 Cat=3 —
+    # all ties; use STRAFTER to vary) — use STRLEN of the ucased
+    # concat to get distinct keys instead: order by numeric age expr
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?w s:name ?n . ?w s:age ?a }
+           ORDER BY DESC(?a * 2)""",
+    )
+    assert [r.n for r in out.collect()] == ['"Ada"', '"Bob"@en']
+    # parenthesized arithmetic ascending
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?w s:name ?n . ?w s:age ?a }
+           ORDER BY (0 - ?a)""",
+    )
+    assert [r.n for r in out.collect()] == ['"Ada"', '"Bob"@en']
+    # string expression key: UCASE lexical order
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?w s:name ?n } ORDER BY DESC(UCASE(?n))""",
+    )
+    assert [r.n for r in out.collect()] == ['"Cat"', '"Bob"@en', '"Ada"']
+    # expression keys + LIMIT still plan as top-k, and mixing with a
+    # var key works
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?w s:name ?n }
+           ORDER BY STRLEN(?n) ?n LIMIT 2""",
+    )
+    assert [r.n for r in out.collect()] == ['"Ada"', '"Bob"@en']
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # DISTINCT guard sees expression-key variables
+    with pytest.raises(SparqlSyntaxError, match="non-selected"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT DISTINCT ?n WHERE { ?w s:name ?n . ?w s:age ?a }
+               ORDER BY DESC(?a + 1)""",
+        )
