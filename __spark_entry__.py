@@ -1006,6 +1006,24 @@ def q_line_dedup(spark, sf_dir):
     return remove_repeated_lines(d, min_docs=2)
 
 
+def q_sparql_agg_expr(spark, sf_dir):
+    """§2.5 E3: post-aggregation Extend — projection expressions over
+    an aggregate alias (?n * 2, native double) and a group key
+    (STRAFTER of the source IRI, plain literal) in one SELECT with
+    GROUP BY; DuckDB replays with plain column arithmetic."""
+    from argo_spark.ops.sparql import sparql_select
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return sparql_select(
+        tr,
+        """PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?src (COUNT(?d) AS ?n) (?n * 2 AS ?n2)
+                  (STRAFTER(STR(?src), "source/") AS ?s)
+           WHERE { ?src v:hasDoc ?d }
+           GROUP BY ?src""",
+    )
+
+
 def q_sparql_str_builtins(spark, sf_dir):
     """§2.5 E3: round-4b string/numeric builtin surface — IN-list
     membership, STRAFTER/STR over the doc IRI, CONCAT, SUBSTR and
@@ -1695,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_filter_fns": q_sparql_filter_fns,
         "sparql_isnumeric": q_sparql_isnumeric,
         "sparql_str_builtins": q_sparql_str_builtins,
+        "sparql_agg_expr": q_sparql_agg_expr,
         "url_canonicalize": q_url_canonicalize,
         "line_dedup": q_line_dedup,
         "url_dedup_best": q_url_dedup_best,
@@ -2706,6 +2725,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM k GROUP BY doc_id)
             SELECT d.doc_id, coalesce(r.t, '') AS text, d.source
             FROM d LEFT JOIN r USING (doc_id)
+        """,
+        "sparql_agg_expr": f"""
+            SELECT '<{SRC_BASE}' || source || '>' AS src,
+                   count(*)::BIGINT AS n,
+                   (count(*) * 2)::DOUBLE AS n2,
+                   '"' || source || '"' AS s
+            FROM documents
+            GROUP BY source
         """,
         "url_canonicalize": f"""
             WITH u AS ({_SYNTH_URL_SQL}),

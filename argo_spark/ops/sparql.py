@@ -13,11 +13,15 @@ onto DataFrame operators):
 
     PREFIX p: <uri> ...
     SELECT (DISTINCT)? (?v | '(' AGG '(' DISTINCT? (?v|*) ')' AS ?a ')'
-        | '(' Operand AS ?a ')'   — expression projection, desugared
-          to a trailing BIND (§18.2.4.2 Extend); not mixable with
-          aggregate projections
+        | '(' Operand AS ?a ')'   — expression projection: without
+          aggregates/GROUP BY it desugars to a trailing BIND
+          (§18.2.4.2 Extend); WITH them it evaluates over the
+          aggregated frame (scope = GROUP BY keys + agg aliases;
+          numeric results are NATIVE numerics like the aggregates,
+          string results plain-literal NT forms)
         ... | *) WHERE Group (GROUP BY ?v+)? (HAVING Expr)?
-        (ORDER BY (?v | ASC(?v) | DESC(?v))+)? (LIMIT n)? (OFFSET n)?
+        (ORDER BY (?v | ASC|DESC(expr) | builtin-call | '('expr')')+)?
+        (LIMIT n)? (OFFSET n)?
     AGG := COUNT | SUM | AVG | MIN | MAX | GROUP_CONCAT | SAMPLE —
         numeric aggregates are NATIVE numerics (COUNT long; the rest
         double over the lexical cast, non-numeric bindings skipped),
@@ -1787,10 +1791,12 @@ def _eval_group_impl(
                     ntc = F.concat(F.lit("<"), lex, F.lit(">"))
                 else:  # STR / LANG: escaped lexical -> plain literal
                     ntc = F.concat(F.lit('"'), lex, F.lit('"'))
-            elif opnode[0] in ("strfn", "substr", "replace", "numfn"):
-                # string/numeric builtins: escaped lexical -> plain
-                # literal (numfn lexicals are the integer form except
-                # ABS, which keeps the double form)
+            elif opnode[0] in ("strfn", "substr", "replace", "numfn",
+                               "arith"):
+                # string/numeric builtins and arithmetic: escaped
+                # lexical -> plain literal (numfn lexicals are the
+                # integer form except ABS and arithmetic, which keep
+                # the double form)
                 _, lex, _, _ = _operand_info(opnode, cols)
                 ntc = F.concat(F.lit('"'), lex, F.lit('"'))
             else:  # constant term
@@ -1959,9 +1965,9 @@ def _parse_select_body(p: "_Parser", stop_at_brace: bool = False):
                     variables.append(p.parse_agg_projection())
                 else:
                     # (expr AS ?alias) projection: BIND's operand
-                    # grammar, desugared into a trailing BIND below
+                    # grammar plus arithmetic
                     p.next()
-                    opnode = p.parse_operand()
+                    opnode = p.parse_additive()
                     p.expect_kw("AS")
                     ak, av = p.next()
                     if ak != "var":
@@ -1978,33 +1984,8 @@ def _parse_select_body(p: "_Parser", stop_at_brace: bool = False):
     group = p.parse_group()
     exprs = [v for v in (variables or []) if isinstance(v, tuple)
              and v[0] == "expr"]
-    if exprs:
-        # SELECT-expression ≡ BIND at the end of the WHERE group
-        # (§18.2.4.2's Extend, evaluated after the group); rewrite
-        # the projection list to the plain alias names
-        if any(isinstance(v, tuple) and v[0] == "agg"
-               for v in variables):
-            raise SparqlSyntaxError(
-                "mixing (expr AS ?v) with aggregate projections is "
-                "not supported"
-            )
-        binds = []
-        for _, opnode, alias in exprs:
-            if opnode[0] == "num":
-                raise SparqlSyntaxError(
-                    "projecting a bare number is unsupported (no "
-                    "canonical NT form chosen) — use a typed literal"
-                )
-            binds.append(("bind", (opnode, alias)))
-        # Extend evaluates AFTER the whole group (incl. its FILTERs):
-        # wrap the parsed group as a single-branch union so its own
-        # filters run first, then apply the binds — a FILTER inside
-        # WHERE referencing the projection alias correctly sees it
-        # unbound
-        group = Group([("union", [group])] + binds, [])
-        variables = [
-            v if isinstance(v, str) else v[2] for v in variables
-        ]
+    # the desugar decision needs to know whether GROUP BY follows, so
+    # it happens after the modifier parse (see below)
     group_by: list[str] = []
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "GROUP":
@@ -2032,6 +2013,33 @@ def _parse_select_body(p: "_Parser", stop_at_brace: bool = False):
             else:
                 break
     order, limit, offset = _parse_modifiers(p, stop_at_brace=stop_at_brace)
+    has_aggs = any(
+        isinstance(v, tuple) and v[0] == "agg" for v in (variables or [])
+    )
+    if exprs and not has_aggs and not group_by:
+        # SELECT-expression ≡ BIND at the end of the WHERE group
+        # (§18.2.4.2's Extend, evaluated after the group); rewrite
+        # the projection list to the plain alias names
+        binds = []
+        for _, opnode, alias in exprs:
+            if opnode[0] == "num":
+                raise SparqlSyntaxError(
+                    "projecting a bare number is unsupported (no "
+                    "canonical NT form chosen) — use a typed literal"
+                )
+            binds.append(("bind", (opnode, alias)))
+        # Extend evaluates AFTER the whole group (incl. its FILTERs):
+        # wrap the parsed group as a single-branch union so its own
+        # filters run first, then apply the binds — a FILTER inside
+        # WHERE referencing the projection alias correctly sees it
+        # unbound
+        group = Group([("union", [group])] + binds, [])
+        variables = [
+            v if isinstance(v, str) else v[2] for v in variables
+        ]
+    # with aggregates / GROUP BY present, the ("expr", opnode, alias)
+    # tuples stay in the projection list — _select_frame evaluates
+    # them over the aggregated frame (post-aggregation Extend)
     return (
         variables, group, distinct, limit, order, offset, group_by, having
     )
@@ -2473,7 +2481,14 @@ def _select_frame(triples: DataFrame, parts):
     if internal:
         # path-sugar intermediates are not solution variables
         out = out.drop(*internal)
-    aggs = [v for v in (variables or []) if isinstance(v, tuple)]
+    aggs = [
+        v for v in (variables or [])
+        if isinstance(v, tuple) and v[0] == "agg"
+    ]
+    post_exprs = [
+        v for v in (variables or [])
+        if isinstance(v, tuple) and v[0] == "expr"
+    ]
     if aggs or group_by:
         # GROUP BY + aggregates -> groupBy/agg. Documented semantics
         # subset: aggregate columns are NATIVE numerics (COUNT long,
@@ -2551,8 +2566,44 @@ def _select_frame(triples: DataFrame, parts):
                                     if a[1] not in
                                     ("GROUP_CONCAT", "SAMPLE")))
             )
+        # post-aggregation Extend (§18.2.4.2): projection expressions
+        # over the aggregated frame — only GROUP BY keys and agg
+        # aliases are in scope. Numeric expressions come out as
+        # NATIVE numeric columns (like the aggregates they derive
+        # from); string expressions as plain-literal NT forms
+        expr_non_nt: set[str] = set()
+        expr_nulls: set[str] = set()
+        if post_exprs:
+            native_numeric = frozenset(
+                a[4] for a in aggs
+                if a[1] not in ("GROUP_CONCAT", "SAMPLE")
+            )
+            avail = set(group_by) | {a[4] for a in aggs}
+            for _, opnode, alias in post_exprs:
+                bad = sorted(_operand_vars(opnode) - avail)
+                if bad:
+                    raise SparqlSyntaxError(
+                        f"projection expression references {bad}: only "
+                        "GROUP BY keys and aggregate aliases are in "
+                        "scope after aggregation"
+                    )
+                nt, lex, num, numeric = _operand_info(
+                    opnode, out.columns, native_numeric
+                )
+                if numeric:
+                    out = out.withColumn(alias, num)
+                    expr_non_nt.add(alias)
+                elif nt is not None:
+                    out = out.withColumn(alias, nt)
+                else:
+                    out = out.withColumn(
+                        alias, F.concat(F.lit('"'), lex, F.lit('"'))
+                    )
+                # the expression may be NULL (error) — conservative
+                expr_nulls.add(alias)
         out = out.select(
-            *[v if isinstance(v, str) else v[4] for v in variables]
+            *[v if isinstance(v, str) else v[4] if v[0] == "agg" else v[2]
+              for v in variables]
         )
         # COUNT and GROUP_CONCAT never yield NULL for an existing
         # group; the numeric aggs do whenever every contribution is
@@ -2572,7 +2623,8 @@ def _select_frame(triples: DataFrame, parts):
         # string) produces a NON-NT value: numerics, or
         # GROUP_CONCAT's bare concatenated lexical — callers must
         # not equi-join them against NT bindings
-        agg_non_nt = {a[4] for a in aggs if a[1] != "SAMPLE"}
+        agg_non_nt = {a[4] for a in aggs if a[1] != "SAMPLE"} | expr_non_nt
+        agg_null_aliases |= expr_nulls
         variables = None  # projection done
     elif having:
         raise SparqlSyntaxError("HAVING needs GROUP BY / aggregates")

@@ -1279,7 +1279,11 @@ def test_select_expression_projection(spark):
          '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
         ("<http://e/c>", '"CAT"', '"-"'),
     ]
-    with pytest.raises(SparqlSyntaxError, match="mixing"):
+    # mixing with aggregates is now a post-aggregation Extend — a
+    # reference to a var that is neither a group key nor an agg alias
+    # is the remaining error case (full coverage in
+    # test_expr_projection_with_aggregates)
+    with pytest.raises(SparqlSyntaxError, match="scope"):
         sparql_select(
             g,
             """PREFIX s: <http://schema.org/>
@@ -1817,4 +1821,53 @@ def test_order_by_expressions(spark):
             """PREFIX s: <http://schema.org/>
                SELECT DISTINCT ?n WHERE { ?w s:name ?n . ?w s:age ?a }
                ORDER BY DESC(?a + 1)""",
+        )
+
+
+def test_expr_projection_with_aggregates(spark):
+    g = graph2(spark)
+    # numeric expression over an aggregate alias -> native double
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w (SUM(?a) AS ?t) (?t / 2 AS ?half)
+           WHERE { ?w s:age ?a } GROUP BY ?w""",
+    )
+    got = {r.w: (r.t, r.half) for r in out.collect()}
+    assert got == {
+        "<http://e/a>": (36.0, 18.0),
+        "<http://e/b>": (7.0, 3.5),
+    }
+    # string expression over a group key -> plain literal
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT (STRAFTER(STR(?w), "e/") AS ?short) (COUNT(?a) AS ?c)
+           WHERE { ?w s:age ?a } GROUP BY ?w""",
+    )
+    got = {r.short: r.c for r in out.collect()}
+    assert got == {'"a"': 1, '"b"': 1}
+    # ungrouped aggregate + expression
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT (COUNT(?a) AS ?c) (?c + 1 AS ?c1)
+           WHERE { ?w s:age ?a }""",
+    )
+    r = out.collect()[0]
+    assert (r.c, r.c1) == (2, 3.0)
+    # expression over GROUP BY keys with no aggregates at all
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT (UCASE(?n) AS ?u) WHERE { ?w s:name ?n } GROUP BY ?n""",
+    )
+    assert sorted(r.u for r in out.collect()) == ['"ADA"', '"BOB"', '"CAT"']
+    # out-of-scope reference is rejected
+    with pytest.raises(SparqlSyntaxError, match="scope"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?w (COUNT(?a) AS ?c) (?n AS ?x)
+               WHERE { ?w s:age ?a . ?w s:name ?n } GROUP BY ?w""",
         )
