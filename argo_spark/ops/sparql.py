@@ -19,7 +19,10 @@ onto DataFrame operators):
           aggregated frame (scope = GROUP BY keys + agg aliases;
           numeric results are NATIVE numerics like the aggregates,
           string results plain-literal NT forms)
-        ... | *) WHERE Group (GROUP BY ?v+)? (HAVING Expr)?
+        ... | *) WHERE Group (GROUP BY ?v+)?
+        (HAVING Expr+)? — HAVING operands may reference aggregate
+          aliases or be bare AGG(...) calls (hidden aggregates,
+          computed with the projected ones, never selected)
         (ORDER BY (?v | ASC|DESC(expr) | builtin-call | '('expr')')+)?
         (LIMIT n)? (OFFSET n)?
     AGG := COUNT | SUM | AVG | MIN | MAX | GROUP_CONCAT | SAMPLE —
@@ -239,6 +242,9 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self._pathvar = 0
+        # non-None only while parsing HAVING constraints: collects
+        # hidden aggregates for bare AGG(...) operands
+        self._having_aggs: list | None = None
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -616,7 +622,18 @@ class _Parser:
             raise SparqlSyntaxError(
                 f"expected aggregate {self._AGG_FNS}, got {fv!r}"
             )
-        fn = fv.upper()
+        fn, target, dist, sep = self.parse_agg_call(fv.upper())
+        self.expect_kw("AS")
+        ak, av = self.next()
+        if ak != "var":
+            raise SparqlSyntaxError("AS needs a variable")
+        self.expect_punct(")")
+        return ("agg", fn, target, dist, av[1:], sep)
+
+    def parse_agg_call(self, fn: str) -> tuple:
+        """The call body after the aggregate keyword:
+        '(' DISTINCT? (?v | '*') (';' SEPARATOR '=' str)? ')' ->
+        (fn, target, distinct, separator)."""
         self.expect_punct("(")
         dist = False
         kind, val = self.peek()
@@ -651,12 +668,7 @@ class _Parser:
                 raise SparqlSyntaxError("SEPARATOR value must be a string")
             sep = _unescape(sv[1:-1])
         self.expect_punct(")")
-        self.expect_kw("AS")
-        ak, av = self.next()
-        if ak != "var":
-            raise SparqlSyntaxError("AS needs a variable")
-        self.expect_punct(")")
-        return ("agg", fn, target, dist, av[1:], sep)
+        return (fn, target, dist, sep)
 
     def parse_values(self) -> tuple:
         """VALUES ?v { t... } | VALUES (?v...) { (t...)... } with
@@ -877,6 +889,18 @@ class _Parser:
 
     def parse_operand(self) -> tuple:
         kind, val = self.peek()
+        if (
+            kind == "kw"
+            and val.upper() in self._AGG_FNS
+            and self._having_aggs is not None
+        ):
+            # bare aggregate call in a HAVING constraint: allocate a
+            # hidden internal-prefix alias and reference it
+            self.next()
+            fn, target, dist, sep = self.parse_agg_call(val.upper())
+            alias = f"{_PATH_VAR_PREFIX}hv{len(self._having_aggs)}"
+            self._having_aggs.append(("agg", fn, target, dist, alias, sep))
+            return ("var", alias)
         if kind == "var":
             self.next()
             return ("var", val[1:])
@@ -2003,6 +2027,11 @@ def _parse_select_body(p: "_Parser", stop_at_brace: bool = False):
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "HAVING":
         p.next()
+        # inside HAVING, bare aggregate calls — HAVING(COUNT(?d) > 3)
+        # — are legal operands: each becomes a HIDDEN aggregate
+        # (internal-prefix alias, computed with the projected ones,
+        # never selected)
+        p._having_aggs = []
         having.append(p.parse_constraint())
         # HAVING takes 1+ constraints (HavingClause := 'HAVING'
         # HavingCondition+), all of which must hold
@@ -2012,6 +2041,10 @@ def _parse_select_body(p: "_Parser", stop_at_brace: bool = False):
                 having.append(p.parse_constraint())
             else:
                 break
+        hidden_aggs = p._having_aggs
+        p._having_aggs = None
+        if hidden_aggs:
+            having = [("__hidden__", hidden_aggs)] + having
     order, limit, offset = _parse_modifiers(p, stop_at_brace=stop_at_brace)
     has_aggs = any(
         isinstance(v, tuple) and v[0] == "agg" for v in (variables or [])
@@ -2489,6 +2522,14 @@ def _select_frame(triples: DataFrame, parts):
         v for v in (variables or [])
         if isinstance(v, tuple) and v[0] == "expr"
     ]
+    # HAVING's inline aggregate calls ride as a hidden-agg marker at
+    # the head of the constraint list (internal-prefix aliases —
+    # computed with the projected aggregates, filtered on, never
+    # selected)
+    hidden_aggs: list = []
+    if having and having[0][0] == "__hidden__":
+        hidden_aggs = having[0][1]
+        having = having[1:]
     if aggs or group_by:
         # GROUP BY + aggregates -> groupBy/agg. Documented semantics
         # subset: aggregate columns are NATIVE numerics (COUNT long,
@@ -2506,14 +2547,16 @@ def _select_frame(triples: DataFrame, parts):
                 f"non-aggregated SELECT vars must appear in GROUP BY: "
                 f"{stray}"
             )
-        needed = set(group_by) | {a[2] for a in aggs if a[2] != "*"}
+        needed = set(group_by) | {
+            a[2] for a in aggs + hidden_aggs if a[2] != "*"
+        }
         missing = [v for v in sorted(needed) if v not in out.columns]
         if missing:
             raise SparqlSyntaxError(
                 f"vars not bound in WHERE: {missing}"
             )
         exprs = []
-        for _, fn, tgt, dist, alias, sep in aggs:
+        for _, fn, tgt, dist, alias, sep in aggs + hidden_aggs:
             if fn == "COUNT":
                 if tgt == "*":
                     if dist:
@@ -2562,10 +2605,12 @@ def _select_frame(triples: DataFrame, parts):
             # the filter evaluator compares values, not NT forms
             out = out.where(
                 _expr_col(h, out.columns,
-                          frozenset(a[4] for a in aggs
+                          frozenset(a[4] for a in aggs + hidden_aggs
                                     if a[1] not in
                                     ("GROUP_CONCAT", "SAMPLE")))
             )
+        if hidden_aggs:
+            out = out.drop(*[a[4] for a in hidden_aggs])
         # post-aggregation Extend (§18.2.4.2): projection expressions
         # over the aggregated frame — only GROUP BY keys and agg
         # aliases are in scope. Numeric expressions come out as

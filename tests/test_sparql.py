@@ -1871,3 +1871,43 @@ def test_expr_projection_with_aggregates(spark):
                SELECT ?w (COUNT(?a) AS ?c) (?n AS ?x)
                WHERE { ?w s:age ?a . ?w s:name ?n } GROUP BY ?w""",
         )
+
+
+def test_having_inline_aggregates(spark):
+    g = graph2(spark)
+    # bare COUNT(...) in HAVING without projecting it
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w WHERE { ?w ?p ?o } GROUP BY ?w
+           HAVING (COUNT(?o) >= 3)""",
+    )
+    assert sorted(r.w for r in out.collect()) == [
+        "<http://e/a>", "<http://e/b>"
+    ]
+    assert out.columns == ["w"]
+    # mixing an inline aggregate with a projected alias, two
+    # constraints (both must hold)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w (COUNT(?o) AS ?c) WHERE { ?w ?p ?o } GROUP BY ?w
+           HAVING (COUNT(?p) > 10) (?c >= 1)""",
+    )
+    # no subject has more than 3 triples -> both constraints prune
+    assert out.count() == 0
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w (COUNT(?o) AS ?c) WHERE { ?w s:age ?o } GROUP BY ?w
+           HAVING (MAX(?o) > 10) (?c = 1)""",
+    )
+    got = {r.w: r.c for r in out.collect()}
+    assert got == {"<http://e/a>": 1}
+    # outside HAVING, a bare aggregate call is still a syntax error
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?w WHERE { ?w s:age ?a . FILTER(COUNT(?a) > 1) }""",
+        )
