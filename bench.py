@@ -88,6 +88,8 @@ def _warmup(spark, sf_dir: str, workdir: str) -> None:
     from argo_spark.ops.similarity import ivf_topk
     ivf_topk(emb, q, k=3, n_clusters=4, nprobe=2, dim=64, exclude_self=True).count()
     em.q_agg_lineitem(spark, sf_dir).collect()
+    em.q_url_dedup_best(spark, sf_dir).limit(8).count()
+    em.q_line_dedup(spark, sf_dir).limit(8).count()
     em.q_events_window_agg(spark, sf_dir).count()
     em.q_g8_semi_join(spark, sf_dir).count()
     em.q_g2_anti_join(spark, sf_dir).count()
@@ -234,6 +236,11 @@ def run_bench(spark, sf_dir: str, workdir: str) -> dict:
     from argo_spark.ops.similarity import ivf_topk
     timed("ann_ivf_topk", lambda: ivf_topk(
         emb, q, k=10, n_clusters=8, nprobe=2, dim=64, exclude_self=True).count())
+
+    # web-corpus hygiene ops (round 4): canonical-url best-row dedup
+    # (one exchange) and C4-style repeated-line removal
+    timed("url_dedup", lambda: em.q_url_dedup_best(spark, sf_dir).count())
+    timed("line_dedup", lambda: em.q_line_dedup(spark, sf_dir).count())
 
     timed("agg_lineitem", lambda: em.q_agg_lineitem(spark, sf_dir).collect())
     timed("events_window_agg", lambda: em.q_events_window_agg(spark, sf_dir).count())
