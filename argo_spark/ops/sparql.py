@@ -19,7 +19,7 @@ onto DataFrame operators):
           aggregated frame (scope = GROUP BY keys + agg aliases;
           numeric results are NATIVE numerics like the aggregates,
           string results plain-literal NT forms)
-        ... | *) WHERE Group (GROUP BY ?v+)?
+        ... | *) WHERE Group (GROUP BY (?v | '(' expr AS ?v ')')+)?
         (HAVING Expr+)? — HAVING operands may reference aggregate
           aliases or be bare AGG(...) calls (hidden aggregates,
           computed with the projected ones, never selected)
@@ -2011,18 +2011,43 @@ def _parse_select_body(p: "_Parser", stop_at_brace: bool = False):
     # the desugar decision needs to know whether GROUP BY follows, so
     # it happens after the modifier parse (see below)
     group_by: list[str] = []
+    gb_binds: list[tuple] = []
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "GROUP":
         p.next()
         p.expect_kw("BY")
         while True:
             kind, val = p.peek()
-            if kind != "var":
+            if kind == "var":
+                group_by.append(val[1:])
+                p.next()
+            elif kind == "punct" and val == "(":
+                # GROUP BY (expr AS ?v) — spec §18.2.4: the expression
+                # binds ?v over the group pattern's solutions, then
+                # grouping is on ?v (the bare '(expr)' form without AS
+                # would group on an unnameable key — unsupported)
+                p.next()
+                opnode = p.parse_additive()
+                if opnode[0] == "num":
+                    raise SparqlSyntaxError(
+                        "grouping on a bare number is pointless"
+                    )
+                p.expect_kw("AS")
+                vk, vv = p.next()
+                if vk != "var":
+                    raise SparqlSyntaxError("GROUP BY (expr AS ?v) needs ?v")
+                p.expect_punct(")")
+                gb_binds.append(("bind", (opnode, vv[1:])))
+                group_by.append(vv[1:])
+            else:
                 break
-            group_by.append(val[1:])
-            p.next()
         if not group_by:
             raise SparqlSyntaxError("GROUP BY needs at least one variable")
+    if gb_binds:
+        # evaluate the grouping expressions AFTER the whole group
+        # (incl. its filters), before aggregation — same wrap as the
+        # SELECT-expression desugar
+        group = Group([("union", [group])] + gb_binds, [])
     having: list[tuple] = []
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "HAVING":

@@ -1911,3 +1911,36 @@ def test_having_inline_aggregates(spark):
             """PREFIX s: <http://schema.org/>
                SELECT ?w WHERE { ?w s:age ?a . FILTER(COUNT(?a) > 1) }""",
         )
+
+
+def test_group_by_expression(spark):
+    g = graph2(spark)
+    # group on a computed key: first letter of the name
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?k (COUNT(?n) AS ?c)
+           WHERE { ?w s:name ?n }
+           GROUP BY (SUBSTR(?n, 1, 1) AS ?k)""",
+    )
+    got = {r.k: r.c for r in out.collect()}
+    assert got == {'"A"': 1, '"B"': 1, '"C"': 1}
+    # computed key + plain key together; HAVING over the alias count
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?k ?p (COUNT(?o) AS ?c)
+           WHERE { ?w ?p ?o . ?w s:name ?n }
+           GROUP BY (STRLEN(?n) AS ?k) ?p
+           HAVING (COUNT(?o) >= 3)""",
+    )
+    got = {(r.k, r.p): r.c for r in out.collect()}
+    # every name has length 3 -> one group per predicate; name+age+type
+    assert got[('"3"', "<http://schema.org/name>")] == 3
+    with pytest.raises(SparqlSyntaxError, match="AS"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT (COUNT(?n) AS ?c) WHERE { ?w s:name ?n }
+               GROUP BY (SUBSTR(?n, 1, 1))""",
+        )
