@@ -1024,6 +1024,36 @@ def q_sparql_agg_expr(spark, sf_dir):
     )
 
 
+def q_sparql_having_inline(spark, sf_dir):
+    """§2.5 E3: HAVING with a bare aggregate call (hidden internal
+    alias, never projected) — sources with more than 24 docs; DuckDB
+    replays with a plain HAVING count(*)."""
+    from argo_spark.ops.sparql import sparql_select
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return sparql_select(
+        tr,
+        """PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?src WHERE { ?src v:hasDoc ?d }
+           GROUP BY ?src HAVING (COUNT(?d) > 24)""",
+    )
+
+
+def q_sparql_groupby_expr(spark, sf_dir):
+    """§2.5 E3: GROUP BY (expr AS ?v) — grouping on the language's
+    first letter (SUBSTR over the binding), counting docs; DuckDB
+    groups on substr(lang, 1, 1)."""
+    from argo_spark.ops.sparql import sparql_select
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?k (COUNT(?d) AS ?c) WHERE { ?d s:inLanguage ?l }
+           GROUP BY (SUBSTR(?l, 1, 1) AS ?k)""",
+    )
+
+
 def q_sparql_str_builtins(spark, sf_dir):
     """§2.5 E3: round-4b string/numeric builtin surface — IN-list
     membership, STRAFTER/STR over the doc IRI, CONCAT, SUBSTR and
@@ -1714,6 +1744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_isnumeric": q_sparql_isnumeric,
         "sparql_str_builtins": q_sparql_str_builtins,
         "sparql_agg_expr": q_sparql_agg_expr,
+        "sparql_having_inline": q_sparql_having_inline,
+        "sparql_groupby_expr": q_sparql_groupby_expr,
         "url_canonicalize": q_url_canonicalize,
         "line_dedup": q_line_dedup,
         "url_dedup_best": q_url_dedup_best,
@@ -2725,6 +2757,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM k GROUP BY doc_id)
             SELECT d.doc_id, coalesce(r.t, '') AS text, d.source
             FROM d LEFT JOIN r USING (doc_id)
+        """,
+        "sparql_having_inline": f"""
+            SELECT '<{SRC_BASE}' || source || '>' AS src
+            FROM documents
+            GROUP BY source HAVING count(*) > 24
+        """,
+        "sparql_groupby_expr": """
+            SELECT '"' || substr(lang, 1, 1) || '"' AS k,
+                   count(*)::BIGINT AS c
+            FROM documents
+            GROUP BY substr(lang, 1, 1)
         """,
         "sparql_agg_expr": f"""
             SELECT '<{SRC_BASE}' || source || '>' AS src,
