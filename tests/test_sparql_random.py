@@ -176,6 +176,51 @@ def _eval_expr(expr, row):
         val = {"+": n + k, "-": n - k, "*": n * k}[aop]
         return {"<": val < rhs, "<=": val <= rhs, ">": val > rhs,
                 ">=": val >= rhs, "=": val == rhs, "!=": val != rhs}[cmp_op]
+    if op == "in_list":
+        # ("in_list", var, [nt...], negated) — NT-identity membership
+        nt = row.get(expr[1])
+        if nt is None:
+            return None
+        res = nt in expr[2]
+        return (not res) if expr[3] else res
+    if op == "strba_cmp":
+        # ("strba_cmp", STRBEFORE|STRAFTER, var, pat, want)
+        lx = _lex(row.get(expr[2]))
+        if lx is None:
+            return None
+        pat = expr[3]
+        if expr[1] == "STRBEFORE":
+            got = "" if pat == "" else (
+                lx.split(pat, 1)[0] if pat in lx else ""
+            )
+        else:
+            got = lx if pat == "" else (
+                lx.split(pat, 1)[1] if pat in lx else ""
+            )
+        return got == expr[4]
+    if op == "numfn_cmp":
+        # ("numfn_cmp", fn, var, divisor, cmp_op, rhs)
+        import math
+
+        n = _num(row.get(expr[2]))
+        if n is None:
+            return None
+        x = n / expr[3]
+        val = {
+            "ABS": abs(x),
+            "CEIL": math.ceil(x),
+            "FLOOR": math.floor(x),
+            "ROUND": math.floor(x + 0.5),  # fn:round: half toward +inf
+        }[expr[1]]
+        cmp_op, rhs = expr[4], expr[5]
+        return {"<": val < rhs, "<=": val <= rhs, ">": val > rhs,
+                ">=": val >= rhs, "=": val == rhs, "!=": val != rhs}[cmp_op]
+    if op == "substr_cmp":
+        # ("substr_cmp", var, start, length, want)
+        lx = _lex(row.get(expr[1]))
+        if lx is None:
+            return None
+        return lx[expr[2] - 1:expr[2] - 1 + expr[3]] == expr[4]
     if op == "regex":
         lx = _lex(row.get(expr[1][1]))
         if lx is None:
@@ -276,7 +321,46 @@ def _pat_text(pat):
 def _gen_filter(rnd, vars_pool):
     """-> (text, expr-tuple for the python evaluator)."""
     v = rnd.choice(vars_pool)[1:]
-    choice = rnd.randint(0, 5)
+    choice = rnd.randint(0, 9)
+    if choice == 6:
+        # (NOT)? IN over constant plain-literal/IRI members
+        members = rnd.sample(
+            ['"w0"', '"w2"', '"w4"', "<http://e/s1>", "<http://e/s3>"],
+            rnd.randint(1, 3),
+        )
+        neg = rnd.random() < 0.5
+        text_members = ", ".join(
+            m if m.startswith("<") else m for m in members
+        )
+        return (
+            f"FILTER(?{v} {'NOT ' if neg else ''}IN ({text_members}))",
+            ("in_list", v, members, neg),
+        )
+    if choice == 7:
+        fn = rnd.choice(["STRBEFORE", "STRAFTER"])
+        pat = rnd.choice(["w", "1", "http://e/", ""])
+        want = rnd.choice(["", "1", "2", "s1", "w3"])
+        return (
+            f'FILTER({fn}(?{v}, "{pat}") = "{want}")',
+            ("strba_cmp", fn, v, pat, want),
+        )
+    if choice == 8:
+        fn = rnd.choice(["ABS", "CEIL", "FLOOR", "ROUND"])
+        div = rnd.choice([2, 3, 7])
+        cmp_op = rnd.choice(["<", "<=", ">", ">=", "=", "!="])
+        rhs = rnd.randint(0, 40)
+        return (
+            f"FILTER({fn}(?{v} / {div}) {cmp_op} {rhs})",
+            ("numfn_cmp", fn, v, float(div), cmp_op, float(rhs)),
+        )
+    if choice == 9:
+        start = rnd.randint(1, 3)
+        length = rnd.randint(1, 3)
+        want = rnd.choice(["w", "w1", "tt", "1", "ht", "p:"])
+        return (
+            f'FILTER(SUBSTR(?{v}, {start}, {length}) = "{want}")',
+            ("substr_cmp", v, start, length, want),
+        )
     if choice == 0:
         n = rnd.randint(0, 9)
         op = rnd.choice(["<", "<=", ">", ">=", "=", "!="])
