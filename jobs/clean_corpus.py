@@ -4,12 +4,23 @@
 
     spark-submit --py-files dist/argo_spark.zip jobs/clean_corpus.py \
         <docs_parquet> <out_dir> [--min-quality Q] [--min-tokens N] \
-        [--max-tokens N] [--languages en,fr] [--neardup-threshold T]
+        [--max-tokens N] [--languages en,fr] [--neardup-threshold T] \
+        [--url-col url] [--line-dedup-min-docs N]
 
-Runs exact dedup → star-edge MinHash-LSH near-dup removal (O(k) per
-bucket — safe on boilerplate-heavy crawls) → language/quality/length
-gates, writes the kept corpus as parquet, and prints a one-line JSON
-audit of rows removed per stage (silent-truncation-free).
+Optional web-hygiene pre-stages, then exact dedup → star-edge
+MinHash-LSH near-dup removal (O(k) per bucket — safe on
+boilerplate-heavy crawls) → language/quality/length gates:
+
+* ``--url-col``: canonical-URL best-row dedup first (one exchange;
+  survivor = longest text per canonical URL) — the cheapest cut on a
+  crawl, before any content pass;
+* ``--line-dedup-min-docs``: C4-style removal of lines repeated in
+  >= N distinct documents (cookie banners, nav text) BEFORE near-dup
+  and quality gates, so boilerplate doesn't glue unrelated pages
+  into near-dup clusters.
+
+Writes the kept corpus as parquet and prints a one-line JSON audit of
+rows removed per stage (silent-truncation-free).
 """
 
 from __future__ import annotations
@@ -28,6 +39,10 @@ def main() -> None:
     p.add_argument("--max-tokens", type=int, default=1_000_000)
     p.add_argument("--languages", default=None, help="comma-separated keep-list")
     p.add_argument("--neardup-threshold", type=float, default=0.85)
+    p.add_argument("--url-col", default=None,
+                   help="dedup on canonicalize_url(<col>) first")
+    p.add_argument("--line-dedup-min-docs", type=int, default=None,
+                   help="drop lines shared by >= N docs before gating")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -37,6 +52,28 @@ def main() -> None:
         from argo_spark.ops.corpus import clean_corpus
 
         docs = spark.read.parquet(args.docs)
+        pre_audit = {}
+        if args.url_col:
+            from pyspark.sql import functions as F
+
+            from argo_spark.ops.urltools import url_dedup
+
+            n0 = docs.count()
+            docs = docs.withColumn(
+                "__len", F.length("text")
+            )
+            docs = url_dedup(
+                docs, url_col=args.url_col, quality_col="__len",
+                id_col="doc_id",
+            ).drop("__len", "canonical_url")
+            pre_audit["url_dedup_removed"] = n0 - docs.count()
+        if args.line_dedup_min_docs:
+            from argo_spark.ops.linedup import remove_repeated_lines
+
+            docs = remove_repeated_lines(
+                docs, min_docs=args.line_dedup_min_docs
+            )
+            pre_audit["line_dedup_min_docs"] = args.line_dedup_min_docs
         langs = tuple(args.languages.split(",")) if args.languages else None
         kept, audit = clean_corpus(
             docs,
@@ -47,7 +84,7 @@ def main() -> None:
             neardup_threshold=args.neardup_threshold,
         )
         kept.write.mode("overwrite").parquet(args.out_dir)
-        print(json.dumps({"out": args.out_dir, **audit}))
+        print(json.dumps({"out": args.out_dir, **pre_audit, **audit}))
     finally:
         spark.stop()
 
