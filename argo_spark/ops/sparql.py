@@ -12,7 +12,9 @@ Supported grammar (BGP core + the algebra subset that maps directly
 onto DataFrame operators):
 
     PREFIX p: <uri> ...
-    SELECT (DISTINCT)? (?v | '(' AGG '(' DISTINCT? (?v|*) ')' AS ?a ')'
+    SELECT (DISTINCT | REDUCED)?   — REDUCED eliminates duplicates
+          (conformant per §9.3.3, deterministic by choice)
+        (?v | '(' AGG '(' DISTINCT? (?v|*) ')' AS ?a ')'
         | '(' Operand AS ?a ')'   — expression projection: without
           aggregates/GROUP BY it desugars to a trailing BIND
           (§18.2.4.2 Extend); WITH them it evaluates over the
@@ -98,7 +100,12 @@ onto DataFrame operators):
                ABS|CEIL|FLOOR|ROUND(num-expr) (always-numeric; ROUND
                is fn:round's half-toward-+inf, not Java half-up) /
                'operand (NOT)? IN (const-term, ...)' — desugars to
-               the spec's own =-disjunction equivalence
+               the spec's own =-disjunction equivalence /
+               MD5|SHA1|SHA256(a) (hex digest of the lexical form) /
+               IRI|URI(a) (lexical -> IRI; no BASE resolution) /
+               STRDT(a, <dt>) / STRLANG(a, "tag") (constant
+               datatype/tag; full NT terms — usable in BIND and
+               sameTerm)
                (LANG is "" for untagged literals; DATATYPE is
                xsd:string for plain and rdf:langString for tagged
                literals per SPARQL 1.1; both are errors — NULL,
@@ -934,6 +941,49 @@ class _Parser:
             target = self.parse_additive()
             self.expect_punct(")")
             return ("numfn", fn, target)
+        if kind == "kw" and val.upper() in ("MD5", "SHA1", "SHA256"):
+            # hash builtins (17.4.4.x): hex digest of the UTF-8
+            # lexical form, a simple literal
+            self.next()
+            fn = val.upper()
+            self.expect_punct("(")
+            a = self.parse_operand()
+            self.expect_punct(")")
+            return ("hashfn", fn, a)
+        if kind == "kw" and val.upper() in ("IRI", "URI"):
+            # IRI constructor (17.4.2.8) — the lexical form becomes
+            # an IRI (no base resolution: the engine has no BASE)
+            self.next()
+            self.expect_punct("(")
+            a = self.parse_operand()
+            self.expect_punct(")")
+            return ("mkterm", "iri", a, None)
+        if kind == "kw" and val.upper() in ("STRDT", "STRLANG"):
+            # typed/tagged literal constructors (17.4.2.6/7) with a
+            # CONSTANT datatype IRI / language tag
+            self.next()
+            fn = val.upper()
+            self.expect_punct("(")
+            a = self.parse_operand()
+            self.expect_punct(",")
+            if fn == "STRDT":
+                t = self.parse_term("o")
+                if not isinstance(t, str) or t.startswith("?"):
+                    raise SparqlSyntaxError(
+                        "STRDT needs a constant datatype IRI"
+                    )
+                extra = t
+                which = "dt"
+            else:
+                tk, tv = self.next()
+                if tk != "lit":
+                    raise SparqlSyntaxError(
+                        "STRLANG needs a constant language tag string"
+                    )
+                extra = _unescape(tv[1:-1])
+                which = "lang"
+            self.expect_punct(")")
+            return ("mkterm", which, a, extra)
         if kind == "kw" and val.upper() in ("STRBEFORE", "STRAFTER", "CONCAT"):
             self.next()
             fn = val.upper()
@@ -1151,6 +1201,26 @@ def _operand_info(node, columns, numeric_cols=frozenset()):
             "/": lambda: F.try_divide(a, b),
         }[payload]()
         return None, num.cast("string"), num, True
+    if kind == "hashfn":
+        alex = _operand_info(node[2], columns, numeric_cols)[1]
+        lex = {
+            "MD5": F.md5,
+            "SHA1": F.sha1,
+            "SHA256": lambda c: F.sha2(c, 256),
+        }[payload](alex)
+        return None, lex, F.lit(None).cast("double"), False
+    if kind == "mkterm":
+        sub = _operand_info(node[2], columns, numeric_cols)
+        lex = sub[1]
+        if payload == "iri":
+            nt = F.concat(F.lit("<"), lex, F.lit(">"))
+        elif payload == "dt":
+            nt = F.concat(
+                F.lit('"'), lex, F.lit('"^^<'), F.lit(node[3]), F.lit(">")
+            )
+        else:  # lang
+            nt = F.concat(F.lit('"'), lex, F.lit('"@'), F.lit(node[3]))
+        return nt, lex, lex.try_cast("double"), False
     if kind == "numfn":
         x = _operand_info(node[2], columns, numeric_cols)[2]
         if payload == "ABS":
@@ -1399,6 +1469,8 @@ def _operand_vars(o) -> set[str]:
         return out
     if o[0] in ("substr", "replace"):
         return _operand_vars(o[1])
+    if o[0] in ("hashfn", "mkterm"):
+        return _operand_vars(o[2])
     return set()
 
 
@@ -1815,8 +1887,11 @@ def _eval_group_impl(
                     ntc = F.concat(F.lit("<"), lex, F.lit(">"))
                 else:  # STR / LANG: escaped lexical -> plain literal
                     ntc = F.concat(F.lit('"'), lex, F.lit('"'))
+            elif opnode[0] == "mkterm":
+                # IRI / STRDT / STRLANG: a full NT term by construction
+                ntc = _operand_info(opnode, cols)[0]
             elif opnode[0] in ("strfn", "substr", "replace", "numfn",
-                               "arith"):
+                               "arith", "hashfn"):
                 # string/numeric builtins and arithmetic: escaped
                 # lexical -> plain literal (numfn lexicals are the
                 # integer form except ABS and arithmetic, which keep
@@ -1970,6 +2045,14 @@ def _parse_select_body(p: "_Parser", stop_at_brace: bool = False):
     distinct = False
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "DISTINCT":
+        distinct = True
+        p.next()
+    elif kind == "kw" and val.upper() == "REDUCED":
+        # REDUCED *permits* duplicate elimination (§9.3.3: any
+        # cardinality between DISTINCT and none is conformant) — we
+        # eliminate, which makes it deterministic AND cheap here:
+        # dropDuplicates gets a map-side partial combine, whereas
+        # "some duplicates" would depend on partitioning
         distinct = True
         p.next()
     variables: list | None = []
@@ -2438,7 +2521,8 @@ _OPERAND_FN_KWS = frozenset(
     {
         "STR", "LANG", "DATATYPE", "STRLEN", "UCASE", "LCASE", "IF",
         "COALESCE", "ABS", "CEIL", "FLOOR", "ROUND", "STRBEFORE",
-        "STRAFTER", "CONCAT", "SUBSTR", "REPLACE",
+        "STRAFTER", "CONCAT", "SUBSTR", "REPLACE", "MD5", "SHA1",
+        "SHA256", "IRI", "URI", "STRDT", "STRLANG",
     }
 )
 

@@ -1944,3 +1944,66 @@ def test_group_by_expression(spark):
                SELECT (COUNT(?n) AS ?c) WHERE { ?w s:name ?n }
                GROUP BY (SUBSTR(?n, 1, 1))""",
         )
+
+
+def test_hash_builtins_and_constructors(spark):
+    import hashlib
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT (MD5(?n) AS ?h) (SHA256(?n) AS ?h2)
+           WHERE { ?w s:name ?n . FILTER(?n = "Ada") }""",
+    )
+    r = out.collect()[0]
+    assert r.h == '"' + hashlib.md5(b"Ada").hexdigest() + '"'
+    assert r.h2 == '"' + hashlib.sha256(b"Ada").hexdigest() + '"'
+    # IRI constructor in BIND makes a real IRI term
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?u WHERE {
+             ?w s:name ?n . FILTER(?n = "Ada")
+             BIND(IRI(CONCAT("http://x/", ?n)) AS ?u)
+           }""",
+    )
+    assert [r.u for r in out.collect()] == ["<http://x/Ada>"]
+    # STRDT / STRLANG build typed and tagged literals
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+           SELECT ?t ?l WHERE {
+             ?w s:name ?n . FILTER(?n = "Cat")
+             BIND(STRDT(STR(?n), xsd:token) AS ?t)
+             BIND(STRLANG(STR(?n), "en-GB") AS ?l)
+           }""",
+    )
+    r = out.collect()[0]
+    assert r.t == '"Cat"^^<http://www.w3.org/2001/XMLSchema#token>'
+    assert r.l == '"Cat"@en-GB'
+    # constructed terms join with real ones via sameTerm
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w WHERE {
+             ?w s:name ?n .
+             FILTER(SAMETERM(IRI(CONCAT("http://e/", "a")), ?w))
+           }""",
+    )
+    assert [r.w for r in out.collect()] == ["<http://e/a>"]
+
+
+def test_select_reduced(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT REDUCED ?p WHERE { ?w ?p ?o }""",
+    )
+    got = sorted(r.p for r in out.collect())
+    assert got == [
+        "<http://schema.org/age>",
+        "<http://schema.org/name>",
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+    ]
