@@ -1054,6 +1054,24 @@ def q_sparql_groupby_expr(spark, sf_dir):
     )
 
 
+def q_sparql_hash_terms(spark, sf_dir):
+    """§2.5 E3: hash builtins + term constructors — REDUCED
+    projection of MD5(?lang), an IRI built from the lang with
+    IRI(CONCAT(...)), and an @en-tagged STRLANG literal; DuckDB
+    replays with md5() and string concatenation."""
+    from argo_spark.ops.sparql import sparql_select
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    return sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           SELECT REDUCED (MD5(?l) AS ?h)
+                  (IRI(CONCAT("http://corpus.example/lang/", ?l)) AS ?u)
+                  (STRLANG(STR(?l), "en") AS ?t)
+           WHERE { ?d s:inLanguage ?l }""",
+    )
+
+
 def q_sparql_str_builtins(spark, sf_dir):
     """§2.5 E3: round-4b string/numeric builtin surface — IN-list
     membership, STRAFTER/STR over the doc IRI, CONCAT, SUBSTR and
@@ -1745,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_str_builtins": q_sparql_str_builtins,
         "sparql_agg_expr": q_sparql_agg_expr,
         "sparql_having_inline": q_sparql_having_inline,
+        "sparql_hash_terms": q_sparql_hash_terms,
         "sparql_groupby_expr": q_sparql_groupby_expr,
         "url_canonicalize": q_url_canonicalize,
         "line_dedup": q_line_dedup,
@@ -2757,6 +2776,12 @@ def oracle_sql() -> dict[str, str]:
                   FROM k GROUP BY doc_id)
             SELECT d.doc_id, coalesce(r.t, '') AS text, d.source
             FROM d LEFT JOIN r USING (doc_id)
+        """,
+        "sparql_hash_terms": """
+            SELECT DISTINCT '"' || md5(lang) || '"' AS h,
+                   '<http://corpus.example/lang/' || lang || '>' AS u,
+                   '"' || lang || '"@en' AS t
+            FROM documents
         """,
         "sparql_having_inline": f"""
             SELECT '<{SRC_BASE}' || source || '>' AS src
