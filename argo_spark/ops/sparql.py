@@ -52,7 +52,9 @@ onto DataFrame operators):
                Seq := ('^'? IRI ('+'|'*'|'?')?) ('/' ...)*   — sequence,
                alternation and inverse desugar into joins/UNIONs with
                internal variables (dropped from results); +/*/?
-               modifiers (entire-path position only): +/* evaluate via
+               modifiers compose anywhere in a sequence or branch
+               (each modified step is a closure frame joined through
+               the chain): +/* evaluate via
                ops/traversal.py::transitive_closure (pointer doubling,
                O(log diameter) rounds, raises past 2^10 hops), '?' is
                the one-hop edges plus zero-length pairs; '*'/'?' add
@@ -476,8 +478,20 @@ class _Parser:
         """Append one parsed (s, p, o) to the group — dispatching on
         the predicate's shape (closure / negated set / static path /
         plain), exactly as a standalone triple would."""
-        if isinstance(p, tuple) and p[0] == "closure":
-            elements.append(("closure", (s, p[1], p[2], p[3], o)))
+        if isinstance(p, tuple) and p[0] == "pathx":
+            # path with closure-modified steps: expand each branch,
+            # emitting bgp triples for plain steps and closure
+            # elements for +/*/? steps
+            alts = p[1]
+            if len(alts) == 1:
+                self._expand_seq_closures(elements, s, alts[0], o)
+            else:
+                branches = []
+                for seq in alts:
+                    els: list = []
+                    self._expand_seq_closures(els, s, seq, o)
+                    branches.append(Group(els, []))
+                elements.append(("union", branches))
         elif isinstance(p, tuple) and p[0] == "negset":
             # desugar: (s ?fresh o) + a group filter keeping
             # predicates outside the set; the fresh var is an
@@ -502,13 +516,13 @@ class _Parser:
     def parse_path(self):
         """Predicate position: a variable, a plain IRI, or a property
         path — ``alt := seq ('|' seq)*; seq := elt ('/' elt)*;
-        elt := '^'? iri ('+' | '*')?``. Plain predicates return
+        elt := '^'? iri ('+' | '*' | '?')?``. Plain predicates return
         unchanged (str); static paths return ("path", [seq, ...]) with
-        seq a list of (inverse, iri); a ``+``/``*``/``?`` modifier
-        returns ("closure", iri, inverse, op) and is only supported as
-        the ENTIRE path (one nested in a sequence or alternation would
-        need the iterative evaluation inside a static join chain —
-        raises)."""
+        seq a list of (inverse, iri); any ``+``/``*``/``?`` modifier
+        switches the whole path to ("pathx", [seq-with-clo, ...]) —
+        modified steps evaluate as closure frames joined through the
+        same fresh intermediate variables as plain steps, so closures
+        compose freely with sequences and alternation."""
         kind, val = self.peek()
         if kind == "var":
             return self.parse_term("p")
@@ -571,13 +585,11 @@ class _Parser:
             alts.append(seq())
         closures = [e for s in alts for e in s if e[2] is not None]
         if closures:
-            if len(alts) != 1 or len(alts[0]) != 1:
-                raise SparqlSyntaxError(
-                    "path closures +/* are only supported as the entire "
-                    "path (not inside a sequence or alternation)"
-                )
-            inv, iri_, clo = alts[0][0]
-            return ("closure", iri_, inv, clo)
+            # closures may sit anywhere in a sequence or alternation
+            # branch: expansion emits a ("closure", ...) element per
+            # modified step, joined through the same fresh
+            # intermediate variables as plain sequence steps
+            return ("pathx", alts)
         alts = [[(inv, iri_) for inv, iri_, _ in s] for s in alts]
         if len(alts) == 1 and len(alts[0]) == 1 and not alts[0][0][0]:
             return alts[0][0][1]  # plain predicate, no sugar
@@ -595,6 +607,23 @@ class _Parser:
             out.append((nxt, iri_, cur) if inv else (cur, iri_, nxt))
             cur = nxt
         return out
+
+    def _expand_seq_closures(self, elements: list, s, seq, o) -> None:
+        """Sequence expansion when some steps carry +/*/? — plain
+        steps join as bgp triples, modified steps as closure frames,
+        all chained through fresh internal variables."""
+        cur = s
+        for i, (inv, iri_, clo) in enumerate(seq):
+            nxt = o if i == len(seq) - 1 else self._fresh_path_var()
+            if clo is not None:
+                elements.append(("closure", (cur, iri_, inv, clo, nxt)))
+            else:
+                pat = (nxt, iri_, cur) if inv else (cur, iri_, nxt)
+                if elements and elements[-1][0] == "bgp":
+                    elements[-1][1].append(pat)
+                else:
+                    elements.append(("bgp", [pat]))
+            cur = nxt
 
     def _expand_path(self, elements: list, s, alts, o) -> None:
         """Desugar: a sequence extends the current BGP with fresh

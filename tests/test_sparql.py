@@ -753,11 +753,13 @@ def test_path_closure_star_and_nested_raise(spark):
     assert [r.o for r in out.collect()] == [
         "<http://e/a>", "<http://e/b>", "<http://e/c>",
     ]
-    with pytest.raises(SparqlSyntaxError, match="entire path"):
-        sparql_select(
-            g,
-            "SELECT ?o WHERE { <http://e/a> <http://e/knows>+/<http://e/name> ?o }",
-        )
+    # closures inside sequences are supported since round 4b: a
+    # knows+ reaches {b, c}; only c has a name
+    out = sparql_select(
+        g,
+        "SELECT ?o WHERE { <http://e/a> <http://e/knows>+/<http://e/name> ?o }",
+    )
+    assert [r.o for r in out.collect()] == ['"Cee"']
     with pytest.raises(SparqlSyntaxError, match="two constant"):
         sparql_select(
             g,
@@ -2007,3 +2009,82 @@ def test_select_reduced(spark):
         "<http://schema.org/name>",
         "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
     ]
+
+
+def chain_graph(spark):
+    """a -knows-> b -knows-> c; a -worksAt-> w1; c -worksAt-> w2;
+    plus names, for nested-closure tests."""
+    E = "http://e/"
+    K, W, N = E + "knows", E + "worksAt", E + "name"
+    return TripleGraph.of(
+        spark,
+        [
+            TripleT(iri(E + "a"), iri(K), iri(E + "b")),
+            TripleT(iri(E + "b"), iri(K), iri(E + "c")),
+            TripleT(iri(E + "a"), iri(W), iri(E + "w1")),
+            TripleT(iri(E + "c"), iri(W), iri(E + "w2")),
+            TripleT(iri(E + "w2"), iri(N), literal("Acme")),
+        ],
+    ).df
+
+
+def test_closure_in_sequence(spark):
+    g = chain_graph(spark)
+    # knows+ then worksAt: everyone reachable by >=1 knows hop who
+    # works somewhere — from a: b (no job), c -> w2; from b: c -> w2
+    out = sparql_select(
+        g,
+        """PREFIX e: <http://e/>
+           SELECT ?s ?w WHERE { ?s e:knows+/e:worksAt ?w }""",
+    )
+    got = {(r.s, r.w) for r in out.collect()}
+    assert got == {
+        ("<http://e/a>", "<http://e/w2>"),
+        ("<http://e/b>", "<http://e/w2>"),
+    }
+    # closure mid-sequence with a trailing plain step to a literal
+    out = sparql_select(
+        g,
+        """PREFIX e: <http://e/>
+           SELECT ?s ?n WHERE { ?s e:knows+/e:worksAt/e:name ?n }""",
+    )
+    got = {(r.s, r.n) for r in out.collect()}
+    assert got == {
+        ("<http://e/a>", '"Acme"'),
+        ("<http://e/b>", '"Acme"'),
+    }
+    # zero-or-more composes: knows*/worksAt includes each node's own
+    # job (zero-length) plus downstream jobs
+    out = sparql_select(
+        g,
+        """PREFIX e: <http://e/>
+           SELECT ?s ?w WHERE { ?s e:knows*/e:worksAt ?w }""",
+    )
+    got = {(r.s, r.w) for r in out.collect()}
+    assert ("<http://e/a>", "<http://e/w1>") in got   # zero-length
+    assert ("<http://e/a>", "<http://e/w2>") in got   # two hops
+    assert ("<http://e/c>", "<http://e/w2>") in got   # zero-length
+    # closure inside an alternation branch
+    out = sparql_select(
+        g,
+        """PREFIX e: <http://e/>
+           SELECT ?s ?o WHERE { ?s e:knows+|e:worksAt ?o .
+                                FILTER(?s = e:a) }""",
+    )
+    got = {r.o for r in out.collect()}
+    assert got == {"<http://e/b>", "<http://e/c>", "<http://e/w1>"}
+    # inverse closure in a sequence: ^knows+ from b/c reaches a,
+    # which works at w1
+    out = sparql_select(
+        g,
+        """PREFIX e: <http://e/>
+           SELECT ?s WHERE { ?s ^e:knows+/e:worksAt ?w .
+                             FILTER(?w = e:w1) }""",
+    )
+    assert {r.s for r in out.collect()} == {"<http://e/b>", "<http://e/c>"}
+    out = sparql_select(
+        g,
+        """PREFIX e: <http://e/>
+           SELECT ?s WHERE { ?s ^e:knows+ ?o . FILTER(?o = e:a) }""",
+    )
+    assert {r.s for r in out.collect()} == {"<http://e/b>", "<http://e/c>"}
