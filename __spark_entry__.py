@@ -848,6 +848,35 @@ def q_sparql_path_closure(spark, sf_dir):
     )
 
 
+def q_sparql_seq_closure(spark, sf_dir):
+    """§2.5 E3: closure INSIDE a sequence (round 4b) —
+    ``?src v:hasDoc/v:nextDoc+ ?d`` joins the hasDoc step into the
+    pointer-doubling closure through a fresh internal variable; bag
+    semantics (one row per derivation). DuckDB replays with a
+    recursive CTE joined to the hasDoc edges WITHOUT dedup."""
+    from argo_spark.ops.sparql import sparql_select
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    e = d.alias("a").join(
+        d.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 7
+    )
+    nxt = e.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("a.doc_id")).alias("s_value"),
+        F.lit(NEXTDOC).alias("p_value"),
+        F.lit(0).cast("tinyint").alias("o_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("b.doc_id")).alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+    )
+    tr = _doc_triples(spark, sf_dir).drop("doc_id").unionByName(nxt)
+    return sparql_select(
+        tr,
+        """PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?src ?d WHERE { ?src v:hasDoc/v:nextDoc+ ?d }""",
+    )
+
+
 def q_sparql_subquery(spark, sf_dir):
     """§2.5 E3: subquery (§18.2.2.14) — an inner ORDER BY + LIMIT
     top-100 SELECT evaluated bottom-up, its projection joined with
@@ -1764,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_agg_expr": q_sparql_agg_expr,
         "sparql_having_inline": q_sparql_having_inline,
         "sparql_hash_terms": q_sparql_hash_terms,
+        "sparql_seq_closure": q_sparql_seq_closure,
         "sparql_groupby_expr": q_sparql_groupby_expr,
         "url_canonicalize": q_url_canonicalize,
         "line_dedup": q_line_dedup,
@@ -2776,6 +2806,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM k GROUP BY doc_id)
             SELECT d.doc_id, coalesce(r.t, '') AS text, d.source
             FROM d LEFT JOIN r USING (doc_id)
+        """,
+        "sparql_seq_closure": f"""
+            WITH RECURSIVE e AS (
+              SELECT a.doc_id AS s, b.doc_id AS d
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 7
+            ), cl AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT cl.s, e.d FROM cl JOIN e ON cl.d = e.s
+            )
+            SELECT '<{SRC_BASE}' || h.source || '>' AS src,
+                   '<{DOC_BASE}' || cl.d || '>' AS d
+            FROM documents h JOIN cl ON h.doc_id = cl.s
         """,
         "sparql_hash_terms": """
             SELECT DISTINCT '"' || md5(lang) || '"' AS h,
