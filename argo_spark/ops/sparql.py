@@ -28,6 +28,9 @@ onto DataFrame operators):
         (ORDER BY (?v | ASC|DESC(expr) | builtin-call | '('expr')')+)?
         (LIMIT n)? (OFFSET n)?
     AGG := COUNT | SUM | AVG | MIN | MAX | GROUP_CONCAT | SAMPLE —
+        COUNT and the numeric four also take EXPRESSION targets
+        (SUM(?a * 2), AVG(STRLEN(?n)) — aggregated in the numeric
+        value space; COUNT counts non-error evaluations);
         numeric aggregates are NATIVE numerics (COUNT long; the rest
         double over the lexical cast, non-numeric bindings skipped),
         not NT strings; GROUP_CONCAT joins SORTED lexical forms
@@ -682,9 +685,21 @@ class _Parser:
                 raise SparqlSyntaxError(f"{fn}(*) is not valid")
             target = "*"
             self.next()
-        elif kind == "var":
-            target = val[1:]
-            self.next()
+        elif kind == "var" or (
+            kind == "kw" and val.upper() in _OPERAND_FN_KWS
+        ):
+            # bare variable, or an expression target — SUM(?a * 2),
+            # AVG(STRLEN(?n)) — for the numeric aggregates and COUNT
+            node = self.parse_additive()
+            if node[0] == "var":
+                target = node[1]
+            else:
+                if fn in ("GROUP_CONCAT", "SAMPLE"):
+                    raise SparqlSyntaxError(
+                        f"{fn} over an expression is not supported "
+                        "(needs a canonical lexical/NT form)"
+                    )
+                target = node
         else:
             raise SparqlSyntaxError(f"{fn} needs a variable or *")
         sep = " "
@@ -2685,14 +2700,25 @@ def _select_frame(triples: DataFrame, parts):
                 f"non-aggregated SELECT vars must appear in GROUP BY: "
                 f"{stray}"
             )
-        needed = set(group_by) | {
-            a[2] for a in aggs + hidden_aggs if a[2] != "*"
-        }
+        needed = set(group_by)
+        for a in aggs + hidden_aggs:
+            if isinstance(a[2], tuple):
+                needed |= _operand_vars(a[2])
+            elif a[2] != "*":
+                needed.add(a[2])
         missing = [v for v in sorted(needed) if v not in out.columns]
         if missing:
             raise SparqlSyntaxError(
                 f"vars not bound in WHERE: {missing}"
             )
+
+        def tgt_col(tgt):
+            # expression target: the numeric value for numeric
+            # expressions, the lexical otherwise (COUNT counts
+            # non-error evaluations either way)
+            info = _operand_info(tgt, out.columns)
+            return info[2] if info[3] else info[1]
+
         exprs = []
         for _, fn, tgt, dist, alias, sep in aggs + hidden_aggs:
             if fn == "COUNT":
@@ -2703,7 +2729,7 @@ def _select_frame(triples: DataFrame, parts):
                         )
                     e = F.count(F.lit(1))
                 else:
-                    c = F.col(tgt)
+                    c = tgt_col(tgt) if isinstance(tgt, tuple) else F.col(tgt)
                     e = F.count_distinct(c) if dist else F.count(c)
             elif fn == "GROUP_CONCAT":
                 # SPARQL leaves the concatenation order undefined; we
@@ -2724,7 +2750,11 @@ def _select_frame(triples: DataFrame, parts):
                     raise SparqlSyntaxError(
                         f"DISTINCT inside {fn} is not supported"
                     )
-                num = _lex_col(F.col(tgt)).try_cast("double")
+                num = (
+                    _operand_info(tgt, out.columns)[2]
+                    if isinstance(tgt, tuple)
+                    else _lex_col(F.col(tgt)).try_cast("double")
+                )
                 e = {"SUM": F.sum, "AVG": F.avg,
                      "MIN": F.min, "MAX": F.max}[fn](num)
             exprs.append(e.alias(alias))

@@ -2088,3 +2088,35 @@ def test_closure_in_sequence(spark):
            SELECT ?s WHERE { ?s ^e:knows+ ?o . FILTER(?o = e:a) }""",
     )
     assert {r.s for r in out.collect()} == {"<http://e/b>", "<http://e/c>"}
+
+
+def test_aggregate_over_expression(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT (SUM(?a * 2) AS ?t) (AVG(STRLEN(?n)) AS ?len)
+                  (MAX(?a / 10) AS ?m) (COUNT(STRAFTER(?n, "o")) AS ?c)
+           WHERE { ?w s:name ?n . ?w s:age ?a }""",
+    )
+    r = out.collect()[0]
+    # ages 36, 7 -> sum*2 = 86; names Ada/Bob len 3; max 3.6;
+    # STRAFTER never errors on bound strings -> count 2
+    assert (r.t, r.len, r.m, r.c) == (86.0, 3.0, 3.6, 2)
+    # grouped expression aggregate + HAVING over it inline
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w (SUM(?a + 1) AS ?t) WHERE { ?w s:age ?a }
+           GROUP BY ?w HAVING (SUM(?a + 1) > 10)""",
+    )
+    got = {r.w: r.t for r in out.collect()}
+    assert got == {"<http://e/a>": 37.0}
+    # GROUP_CONCAT over an expression stays rejected
+    with pytest.raises(SparqlSyntaxError, match="expression"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT (GROUP_CONCAT(UCASE(?n)) AS ?g)
+               WHERE { ?w s:name ?n }""",
+        )
