@@ -848,6 +848,42 @@ def q_sparql_path_closure(spark, sf_dir):
     )
 
 
+def q_sparql_agg_over_expr(spark, sf_dir):
+    """§2.5 E3: aggregates over EXPRESSION targets — SUM(?n * 2) and
+    AVG(STRLEN(?l)) per source; DuckDB replays with plain column
+    arithmetic. (?n is the n_chars literal, ?l the lang literal.)"""
+    from argo_spark.ops.sparql import sparql_select
+
+    d = _docs(spark, sf_dir)
+    tr = d.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(SRC_BASE), F.col("source")).alias("s_value"),
+        F.lit("http://corpus.example/vocab#n").alias("p_value"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.col("n_chars").cast("string").alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+    ).unionByName(
+        d.select(
+            F.lit(0).cast("tinyint").alias("s_kind"),
+            F.concat(F.lit(SRC_BASE), F.col("source")).alias("s_value"),
+            F.lit(INLANG).alias("p_value"),
+            F.lit(2).cast("tinyint").alias("o_kind"),
+            F.col("lang").alias("o_value"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("string").alias("o_dt"),
+        )
+    )
+    return sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?src (SUM(?n * 2) AS ?t) (AVG(STRLEN(?l)) AS ?al)
+           WHERE { ?src v:n ?n . ?src s:inLanguage ?l }
+           GROUP BY ?src""",
+    )
+
+
 def q_sparql_seq_closure(spark, sf_dir):
     """§2.5 E3: closure INSIDE a sequence (round 4b) —
     ``?src v:hasDoc/v:nextDoc+ ?d`` joins the hasDoc step into the
@@ -1794,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_having_inline": q_sparql_having_inline,
         "sparql_hash_terms": q_sparql_hash_terms,
         "sparql_seq_closure": q_sparql_seq_closure,
+        "sparql_agg_over_expr": q_sparql_agg_over_expr,
         "sparql_groupby_expr": q_sparql_groupby_expr,
         "url_canonicalize": q_url_canonicalize,
         "line_dedup": q_line_dedup,
@@ -2806,6 +2843,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM k GROUP BY doc_id)
             SELECT d.doc_id, coalesce(r.t, '') AS text, d.source
             FROM d LEFT JOIN r USING (doc_id)
+        """,
+        "sparql_agg_over_expr": f"""
+            -- the BGP cross-joins each source's n-triples with its
+            -- lang-triples (bag semantics), so the oracle self-joins
+            SELECT '<{SRC_BASE}' || a.source || '>' AS src,
+                   sum(a.n_chars * 2)::DOUBLE AS t,
+                   avg(length(b.lang))::DOUBLE AS al
+            FROM documents a JOIN documents b ON b.source = a.source
+            GROUP BY a.source
         """,
         "sparql_seq_closure": f"""
             WITH RECURSIVE e AS (
