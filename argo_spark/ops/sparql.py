@@ -38,6 +38,13 @@ onto DataFrame operators):
         undefined order) with an optional ``; SEPARATOR="..."``;
         SAMPLE is the minimum NT form (deterministic choice)
     ASK Group
+    Update := (INSERT|DELETE) DATA '{' const-triples '}'
+        | DELETE WHERE '{' Triple+ '}'
+        | (DELETE '{' Triple+ '}')? (INSERT '{' Triple+ '}')?
+          WHERE Group — ';'-chained; functional (returns a new
+          frame); set-semantic against the bag store (DELETE drops
+          all copies, INSERT adds missing triples once); see
+          sparql_update
     CONSTRUCT '{' Triple+ '}' WHERE Group (modifiers)?
         | CONSTRUCT WHERE '{' Triple+ '}' (modifiers)?  — §10.2.3
           shorthand (plain triple block: no filters, paths, or
@@ -2487,11 +2494,22 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     no triple for that pattern. The result is set-semantic
     (dropDuplicates over the canonical columns) per 'CONSTRUCT
     produces an RDF graph'."""
+    template, group, limit, order, offset = parse_construct(query)
+    return _instantiate_template(
+        triples, template, group, limit, order, offset
+    )
+
+
+def _instantiate_template(
+    triples: DataFrame, template, group, limit=None, order=None, offset=None
+) -> DataFrame:
+    """Struct-mode group evaluation + template instantiation (the
+    CONSTRUCT engine, shared with SPARQL Update's DELETE/INSERT
+    templates)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
-    template, group, limit, order, offset = parse_construct(query)
     sols = eval_group(triples, group, structs=True)
     if order:
         cols = []
@@ -2888,3 +2906,210 @@ def sparql_ask(triples: DataFrame, query: str) -> bool:
     """ASK text -> bool (sparqlservice.go:57-70 semantics)."""
     group = parse_ask(query)
     return eval_group(triples, group).limit(1).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update (native subset — the reference only ships Update
+# text to an endpoint, sparqlservice.go Update(); here the graph IS a
+# DataFrame, so updates are functional: each operation returns a new
+# triples frame)
+# ---------------------------------------------------------------------------
+
+_CANON_COLS = [
+    "s_kind", "s_value", "p_value", "o_kind", "o_value", "o_lang", "o_dt"
+]
+
+
+def _update_template(p: "_Parser", what: str):
+    """A '{ ... }' template block for Update: plain triples only —
+    filters, nested forms, property paths and blank nodes all raise
+    (template blank nodes would mean per-solution generation)."""
+    g = p.parse_group()
+    if g.filters or any(k != "bgp" for k, _ in g.elements):
+        raise SparqlSyntaxError(f"{what} template must be a plain triple block")
+    template = g.triples
+    if any(
+        isinstance(t, str) and t.startswith("?" + _PATH_VAR_PREFIX)
+        for triple in template
+        for t in triple
+    ):
+        raise SparqlSyntaxError(
+            f"blank nodes / property paths in a {what} template are "
+            "not supported"
+        )
+    return template
+
+
+def parse_update(query: str) -> list[tuple]:
+    """-> list of operations, each one of::
+
+        ("data", is_delete, [(s, p, o) constant triples])
+        ("modify", delete_tmpl | None, insert_tmpl | None, Group)
+
+    Grammar subset: ``INSERT DATA { t... }`` / ``DELETE DATA
+    { t... }`` / ``DELETE WHERE { pattern }`` (the pattern doubles as
+    the template, spec §3.1.3.2) / ``(DELETE { tmpl })? (INSERT
+    { tmpl })? WHERE { pattern }``, chained with ``;``. Not covered:
+    GRAPH/WITH/USING (no named graphs in the data model), LOAD/CLEAR/
+    CREATE/DROP (graph management is the storage layer's job)."""
+    p = _Parser(query)
+    p.parse_prefixes()
+    ops: list[tuple] = []
+    while True:
+        kind, val = p.peek()
+        if kind is None:
+            break
+        w = val.upper() if kind == "kw" else ""
+        if w == "INSERT":
+            p.next()
+            k2, v2 = p.peek()
+            if k2 == "kw" and v2.upper() == "DATA":
+                p.next()
+                ops.append(("data", False, _update_template(p, "INSERT DATA")))
+            else:
+                tmpl = _update_template(p, "INSERT")
+                p.expect_kw("WHERE")
+                ops.append(("modify", None, tmpl, p.parse_group()))
+        elif w == "DELETE":
+            p.next()
+            k2, v2 = p.peek()
+            if k2 == "kw" and v2.upper() == "DATA":
+                p.next()
+                ops.append(("data", True, _update_template(p, "DELETE DATA")))
+            elif k2 == "kw" and v2.upper() == "WHERE":
+                # DELETE WHERE: the pattern IS the template
+                p.next()
+                g = p.parse_group()
+                if g.filters or any(k != "bgp" for k, _ in g.elements):
+                    raise SparqlSyntaxError(
+                        "DELETE WHERE takes a plain triple block"
+                    )
+                if any(
+                    isinstance(t, str)
+                    and t.startswith("?" + _PATH_VAR_PREFIX)
+                    for triple in g.triples
+                    for t in triple
+                ):
+                    raise SparqlSyntaxError(
+                        "blank nodes / property paths in DELETE WHERE "
+                        "are not supported"
+                    )
+                ops.append(("modify", g.triples, None, g))
+            else:
+                del_tmpl = _update_template(p, "DELETE")
+                ins_tmpl = None
+                k3, v3 = p.peek()
+                if k3 == "kw" and v3.upper() == "INSERT":
+                    p.next()
+                    ins_tmpl = _update_template(p, "INSERT")
+                p.expect_kw("WHERE")
+                ops.append(("modify", del_tmpl, ins_tmpl, p.parse_group()))
+        else:
+            raise SparqlSyntaxError(f"unsupported update operation {val!r}")
+        if p.peek() == ("punct", ";"):
+            p.next()
+            continue
+        kind, val = p.peek()
+        if kind is not None:
+            raise SparqlSyntaxError(f"unexpected {val!r} after update op")
+    if not ops:
+        raise SparqlSyntaxError("empty update request")
+    return ops
+
+
+def _const_triples_frame(spark, template) -> DataFrame:
+    """Constant template triples -> TRIPLE_COLS frame (driver-side
+    literal rows — DATA blocks are by definition enumerable text)."""
+    from argo_spark.terms import KIND_IRI
+
+    rows = []
+    for s, p_, o in template:
+        for t, pos in ((s, "s"), (p_, "p"), (o, "o")):
+            if isinstance(t, str) and t.startswith("?"):
+                raise SparqlSyntaxError(
+                    "DATA blocks take constant triples (no variables)"
+                )
+        if isinstance(s, Term):
+            raise SparqlSyntaxError("literal in subject position")
+        o_term = o if isinstance(o, Term) else None
+        rows.append(
+            (
+                int(KIND_IRI),
+                s,
+                p_,
+                int(o_term.kind) if o_term else int(KIND_IRI),
+                o_term.value if o_term else o,
+                (o_term.lang or None) if o_term else None,
+                o_term.dt if o_term else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "s_kind tinyint, s_value string, p_value string, o_kind tinyint, "
+        "o_value string, o_lang string, o_dt string",
+    )
+
+
+def _graph_minus(triples: DataFrame, gone: DataFrame) -> DataFrame:
+    """Null-safe anti-join on the canonical columns (removes ALL
+    copies of each matched triple — RDF Update is set-semantic even
+    though the store keeps bag multiplicity, documented)."""
+    from pyspark.sql import functions as F
+
+    left = triples.alias("l")
+    right = gone.select(*_CANON_COLS).dropDuplicates().alias("r")
+    cond = [
+        F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")) for c in _CANON_COLS
+    ]
+    return left.join(right, on=cond, how="left_anti")
+
+
+def _graph_plus(triples: DataFrame, new: DataFrame) -> DataFrame:
+    """Set-semantic insert: add each NEW triple once, leave existing
+    multiplicity untouched (the closest embedding of RDF Update's
+    set semantics in this bag-multiplicity store)."""
+    from pyspark.sql import functions as F
+
+    fresh = new.select(*_CANON_COLS).dropDuplicates()
+    left = fresh.alias("l")
+    right = triples.select(*_CANON_COLS).dropDuplicates().alias("r")
+    cond = [
+        F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")) for c in _CANON_COLS
+    ]
+    fresh = left.join(right, on=cond, how="left_anti")
+    return triples.select(*_CANON_COLS).unionByName(fresh)
+
+
+def sparql_update(triples: DataFrame, update: str) -> DataFrame:
+    """Apply a SPARQL 1.1 Update request to a triples frame and
+    return the NEW frame (functional — same style as TripleGraph's
+    add/remove). Operations chained with ';' apply left to right,
+    each seeing the previous one's result; within one DELETE/INSERT
+    WHERE both templates are instantiated against the SAME pre-state
+    solutions and deletes apply before inserts (spec §3.1.3)."""
+    for op in parse_update(update):
+        if op[0] == "data":
+            _, is_delete, template = op
+            const = _const_triples_frame(triples.sparkSession, template)
+            triples = (
+                _graph_minus(triples, const)
+                if is_delete
+                else _graph_plus(triples, const)
+            )
+        else:
+            _, del_tmpl, ins_tmpl, group = op
+            gone = (
+                _instantiate_template(triples, del_tmpl, group)
+                if del_tmpl
+                else None
+            )
+            new = (
+                _instantiate_template(triples, ins_tmpl, group)
+                if ins_tmpl
+                else None
+            )
+            if gone is not None:
+                triples = _graph_minus(triples, gone)
+            if new is not None:
+                triples = _graph_plus(triples, new)
+    return triples

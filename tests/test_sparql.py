@@ -2120,3 +2120,71 @@ def test_aggregate_over_expression(spark):
                SELECT (GROUP_CONCAT(UCASE(?n)) AS ?g)
                WHERE { ?w s:name ?n }""",
         )
+
+
+def test_sparql_update(spark):
+    from argo_spark.ops.sparql import sparql_update
+
+    g = graph2(spark)
+    n0 = g.count()
+
+    def nts(df):
+        from argo_spark.terms import triple_nt_col
+        return {r[0] for r in df.select(triple_nt_col()).collect()}
+
+    # INSERT DATA adds new triples once, skips existing ones
+    g2 = sparql_update(
+        g,
+        """PREFIX s: <http://schema.org/>
+           INSERT DATA {
+             <http://e/d> s:name "Dee" .
+             <http://e/a> s:name "Ada" .
+           }""",
+    )
+    assert g2.count() == n0 + 1  # "Ada" already present
+    assert any("Dee" in t for t in nts(g2))
+    # DELETE DATA removes exactly the listed triple
+    g3 = sparql_update(
+        g2,
+        """PREFIX s: <http://schema.org/>
+           DELETE DATA { <http://e/d> s:name "Dee" }""",
+    )
+    assert g3.count() == n0
+    # DELETE WHERE: pattern doubles as template — drop all ages
+    g4 = sparql_update(
+        g,
+        """PREFIX s: <http://schema.org/>
+           DELETE WHERE { ?w s:age ?a }""",
+    )
+    assert g4.count() == n0 - 2
+    assert not any("age" in t for t in nts(g4))
+    # DELETE/INSERT WHERE: rename the name predicate, same solutions
+    g5 = sparql_update(
+        g,
+        """PREFIX s: <http://schema.org/>
+           DELETE { ?w s:name ?n } INSERT { ?w s:label ?n }
+           WHERE { ?w s:name ?n }""",
+    )
+    assert g5.count() == n0
+    got = nts(g5)
+    assert not any("schema.org/name" in t for t in got)
+    assert sum("schema.org/label" in t for t in got) == 3
+    # ';'-chained ops apply sequentially
+    g6 = sparql_update(
+        g,
+        """PREFIX s: <http://schema.org/>
+           INSERT DATA { <http://e/d> s:name "Dee" } ;
+           DELETE WHERE { ?w s:age ?a }""",
+    )
+    assert g6.count() == n0 + 1 - 2
+    # INSERT ... WHERE with a FILTER in the pattern
+    g7 = sparql_update(
+        g,
+        """PREFIX s: <http://schema.org/>
+           INSERT { ?w s:adult "yes" } WHERE { ?w s:age ?a . FILTER(?a >= 18) }""",
+    )
+    assert g7.count() == n0 + 1
+    assert any("adult" in t and "e/a" in t for t in nts(g7))
+    # variables in DATA blocks are rejected
+    with pytest.raises(SparqlSyntaxError, match="constant"):
+        sparql_update(g, "INSERT DATA { ?x <http://e/p> <http://e/o> }")
