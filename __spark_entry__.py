@@ -884,6 +884,34 @@ def q_sparql_agg_over_expr(spark, sf_dir):
     )
 
 
+def q_sparql_update_roundtrip(spark, sf_dir):
+    """§2.5 E3: native SPARQL Update — a ';'-chained request renames
+    the zh language predicate (DELETE/INSERT WHERE with FILTER) and
+    drops the de triples (DELETE WHERE), then the updated graph is
+    read back as bindings; DuckDB replays with CASE + WHERE."""
+    from argo_spark.ops.sparql import sparql_select, sparql_update
+
+    d = _docs(spark, sf_dir)
+    tr = d.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("s_value"),
+        F.lit(INLANG).alias("p_value"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.col("lang").alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+    )
+    out = sparql_update(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           PREFIX v: <http://corpus.example/vocab#>
+           DELETE { ?d s:inLanguage ?l } INSERT { ?d v:lang ?l }
+           WHERE { ?d s:inLanguage ?l . FILTER(?l = "zh") } ;
+           DELETE WHERE { ?d s:inLanguage "de" }""",
+    )
+    return sparql_select(out, "SELECT ?s ?p ?o WHERE { ?s ?p ?o }")
+
+
 def q_sparql_seq_closure(spark, sf_dir):
     """§2.5 E3: closure INSIDE a sequence (round 4b) —
     ``?src v:hasDoc/v:nextDoc+ ?d`` joins the hasDoc step into the
@@ -1831,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_hash_terms": q_sparql_hash_terms,
         "sparql_seq_closure": q_sparql_seq_closure,
         "sparql_agg_over_expr": q_sparql_agg_over_expr,
+        "sparql_update_roundtrip": q_sparql_update_roundtrip,
         "sparql_groupby_expr": q_sparql_groupby_expr,
         "url_canonicalize": q_url_canonicalize,
         "line_dedup": q_line_dedup,
@@ -2843,6 +2872,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM k GROUP BY doc_id)
             SELECT d.doc_id, coalesce(r.t, '') AS text, d.source
             FROM d LEFT JOIN r USING (doc_id)
+        """,
+        "sparql_update_roundtrip": f"""
+            SELECT '<{DOC_BASE}' || doc_id || '>' AS s,
+                   CASE WHEN lang = 'zh'
+                        THEN '<http://corpus.example/vocab#lang>'
+                        ELSE '<{INLANG}>' END AS p,
+                   '"' || lang || '"' AS o
+            FROM documents
+            WHERE lang != 'de'
         """,
         "sparql_agg_over_expr": f"""
             -- the BGP cross-joins each source's n-triples with its
