@@ -88,6 +88,7 @@ def dedup_stream(
     n_buckets: int = 64,
     max_hashes_per_bucket: int | None = None,
     idle_ttl_ms: int | None = None,
+    key_expr=None,
 ) -> DataFrame:
     """Streaming exact dedup across micro-batches: a custom stateful
     operator via applyInPandasWithState. State = content hashes seen
@@ -113,13 +114,20 @@ def dedup_stream(
       exactly-once within the retention capacity).
     * ``idle_ttl_ms`` — processing-time TTL; a bucket that receives
       nothing for the duration has its whole state dropped
-      (GroupStateTimeout, the production RocksDB-TTL analogue)."""
+      (GroupStateTimeout, the production RocksDB-TTL analogue).
+
+    ``key_expr``: optional Column whose xxhash64 is the dedup
+    identity instead of the text — e.g.
+    ``urltools.canonicalize_url(F.col("url"))`` turns this into
+    streaming URL-level dedup of a crawl frontier (first fetch of
+    each canonical URL wins; same state/eviction machinery)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    ident = key_expr if key_expr is not None else F.col(text_col)
     keyed = docs_stream.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
-        F.xxhash64(text_col).alias("content_hash"),
+        F.xxhash64(ident).alias("content_hash"),
     ).withColumn("bucket", F.pmod(F.col("content_hash"), F.lit(n_buckets)))
 
     def fn(key, pdfs, state: GroupState):
@@ -240,19 +248,28 @@ def stream_dedup_to_parquet(
     checkpoint_path: str,
     max_hashes_per_bucket: int | None = None,
     idle_ttl_ms: int | None = None,
+    url_col: str | None = None,
 ):
     """Continuous exact-dedup of a documents directory; exactly-once +
     cross-restart state via the checkpoint (bounded by the eviction
-    knobs — see dedup_stream)."""
+    knobs — see dedup_stream). With ``url_col``, dedup identity is
+    the CANONICAL URL instead of the text (streaming crawl-frontier
+    dedup: the first fetch of each canonical URL wins)."""
     src = (
         spark.readStream.schema(input_schema)
         .option("maxFilesPerTrigger", 8)
         .parquet(input_path)
     )
+    key_expr = None
+    if url_col is not None:
+        from argo_spark.ops.urltools import canonicalize_url
+
+        key_expr = canonicalize_url(F.col(url_col))
     deduped = dedup_stream(
         src,
         max_hashes_per_bucket=max_hashes_per_bucket,
         idle_ttl_ms=idle_ttl_ms,
+        key_expr=key_expr,
     )
     return (
         deduped.writeStream.format("parquet")

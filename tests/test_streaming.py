@@ -196,3 +196,38 @@ def test_streaming_sessionization(spark, tmp_path):
     for u, _n in got:
         stream_counts[u] = stream_counts.get(u, 0) + 1
     assert {(u, n) for u, n in stream_counts.items()} == batch_counts
+
+
+def test_streaming_url_dedup(spark, tmp_path):
+    from argo_spark.streaming import stream_dedup_to_parquet
+
+    docs_dir = str(tmp_path / "udocs")
+    out = str(tmp_path / "udeduped")
+    cp = str(tmp_path / "ucp")
+    schema = "doc_id long, text string, url string"
+
+    # two urls that canonicalize identically, one distinct
+    spark.createDataFrame(
+        [
+            (1, "t1", "HTTP://E.com:80/a?utm_source=x"),
+            (2, "t2", "http://e.com/a"),
+            (3, "t3", "http://e.com/b"),
+        ],
+        schema,
+    ).write.mode("append").parquet(docs_dir)
+    q = stream_dedup_to_parquet(spark, docs_dir, schema, out, cp,
+                                url_col="url")
+    q.awaitTermination()
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 3}  # min-id fetch of each canonical url wins
+
+    # a later batch re-fetching /a (any surface form) is suppressed
+    spark.createDataFrame(
+        [(4, "t4", "http://E.COM/a/"), (5, "t5", "http://e.com/c")],
+        schema,
+    ).write.mode("append").parquet(docs_dir)
+    q = stream_dedup_to_parquet(spark, docs_dir, schema, out, cp,
+                                url_col="url")
+    q.awaitTermination()
+    got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 3, 5}
