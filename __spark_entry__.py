@@ -1165,6 +1165,20 @@ def q_sparql_hash_terms(spark, sf_dir):
     )
 
 
+def q_corpus_assign_split(spark, sf_dir):
+    """Training-data op: deterministic train/val/test assignment
+    (ops/sampling.py::assign_split) — md5-threshold buckets over the
+    doc_id, map-only; DuckDB replays the CASE over the same md5
+    prefix (names in sorted order: test < train < val cumulative
+    thresholds)."""
+    from argo_spark.ops.sampling import assign_split
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return assign_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 def q_sparql_str_builtins(spark, sf_dir):
     """§2.5 E3: round-4b string/numeric builtin surface — IN-list
     membership, STRAFTER/STR over the doc IRI, CONCAT, SUBSTR and
@@ -1863,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_groupby_expr": q_sparql_groupby_expr,
         "url_canonicalize": q_url_canonicalize,
         "line_dedup": q_line_dedup,
+        "corpus_assign_split": q_corpus_assign_split,
         "url_dedup_best": q_url_dedup_best,
         "corpus_hash_sample": q_corpus_hash_sample,
         "corpus_source_quota": q_corpus_source_quota,
@@ -1873,6 +1888,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
     }
+
+
+def _assign_split_sql() -> str:
+    """DuckDB replay of assign_split's md5-threshold CASE (sorted
+    names: test 0.1, train cum 0.9, val rest; salt 'split0')."""
+    from argo_spark.ops.sampling import _threshold_hex
+
+    t_test = _threshold_hex(0.1)
+    t_train = _threshold_hex(0.9)
+    return f"""
+        SELECT doc_id,
+               CASE WHEN substr(md5(doc_id::VARCHAR || 'split0'), 1, 8)
+                         < '{t_test}' THEN 'test'
+                    WHEN substr(md5(doc_id::VARCHAR || 'split0'), 1, 8)
+                         < '{t_train}' THEN 'train'
+                    ELSE 'val' END AS split
+        FROM documents
+    """
 
 
 _HX = "0123456789abcdef"
@@ -2851,6 +2884,7 @@ def oracle_sql() -> dict[str, str]:
               AND o_value LIKE 'e%'
               AND length(o_value) + 1 >= 3
         """,
+        "corpus_assign_split": _assign_split_sql(),
         "line_dedup": """
             WITH d AS (
               SELECT doc_id,

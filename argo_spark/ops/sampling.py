@@ -116,3 +116,39 @@ def cap_per_group(
         .where(F.col("__rank") <= max_rows)
         .drop("__rank")
     )
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float],
+    salt: str = "split0",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test (or any named) split: a new
+    column assigning each row to a split by where its md5(key‖salt)
+    prefix falls among the cumulative weight thresholds. Map-only and
+    hash-determined like everything in this module — the same key
+    lands in the same split at any scale, partitioning, or retry,
+    and with the same salt ACROSS TABLES (a doc and its embedding row
+    split identically when keyed alike). Weights must sum to 1
+    (±1e-9); split names are assigned in sorted-name order so the
+    assignment is independent of dict iteration order."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    h = _hash_prefix(F.col(key_col), salt)
+    cum = 0.0
+    expr: Column | None = None
+    names = sorted(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = h < F.lit(_threshold_hex(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

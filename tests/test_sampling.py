@@ -88,3 +88,33 @@ def test_cap_per_group(spark):
         d, "source", 1, key_col="doc_id", keep_order=["doc_id"]
     )
     assert {r.doc_id for r in top.collect()} == {0, 1, 2, 3, 4, 5, 6}
+
+
+def test_assign_split(spark):
+    from argo_spark.ops.sampling import assign_split
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = assign_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    from pyspark.sql import functions as F
+
+    counts = {r.split: r.c for r in
+              out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    # deterministic across partitionings
+    again = assign_split(
+        docs.repartition(13), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in again.collect()}
+    assert a == b
+    # same salt + same key -> same split across tables
+    emb = spark.range(0, 2000).withColumnRenamed("id", "vec_id")
+    c = {r.vec_id: r.split for r in assign_split(
+        emb, "vec_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == c
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(docs, "doc_id", {"a": 0.5, "b": 0.6})
