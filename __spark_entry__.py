@@ -912,6 +912,34 @@ def q_sparql_update_roundtrip(spark, sf_dir):
     return sparql_select(out, "SELECT ?s ?p ?o WHERE { ?s ?p ?o }")
 
 
+def q_sparql_exists_expr(spark, sf_dir):
+    """§2.5 E3: EXISTS composed inside a boolean FILTER (mark join,
+    round 4b) — docs that have an nt edge OR are zh; DuckDB replays
+    with OR over an IN-subquery."""
+    from argo_spark.ops.sparql import sparql_select
+
+    d = _docs(spark, sf_dir)
+    big = d.where(F.col("n_chars") > 300).select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("s_value"),
+        F.lit("http://corpus.example/vocab#big").alias("p_value"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.lit("y").alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+    )
+    tr = _doc_triples(spark, sf_dir).drop("doc_id").unionByName(big)
+    return sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?d ?l WHERE {
+             ?d s:inLanguage ?l .
+             FILTER(EXISTS { ?d v:big ?b } || ?l = "zh")
+           }""",
+    )
+
+
 def q_sparql_seq_closure(spark, sf_dir):
     """§2.5 E3: closure INSIDE a sequence (round 4b) —
     ``?src v:hasDoc/v:nextDoc+ ?d`` joins the hasDoc step into the
@@ -1874,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_seq_closure": q_sparql_seq_closure,
         "sparql_agg_over_expr": q_sparql_agg_over_expr,
         "sparql_update_roundtrip": q_sparql_update_roundtrip,
+        "sparql_exists_expr": q_sparql_exists_expr,
         "sparql_groupby_expr": q_sparql_groupby_expr,
         "url_canonicalize": q_url_canonicalize,
         "line_dedup": q_line_dedup,
@@ -2906,6 +2935,12 @@ def oracle_sql() -> dict[str, str]:
                   FROM k GROUP BY doc_id)
             SELECT d.doc_id, coalesce(r.t, '') AS text, d.source
             FROM d LEFT JOIN r USING (doc_id)
+        """,
+        "sparql_exists_expr": f"""
+            SELECT '<{DOC_BASE}' || doc_id || '>' AS d,
+                   '"' || lang || '"' AS l
+            FROM documents
+            WHERE n_chars > 300 OR lang = 'zh'
         """,
         "sparql_update_roundtrip": f"""
             SELECT '<{DOC_BASE}' || doc_id || '>' AS s,

@@ -82,7 +82,12 @@ onto DataFrame operators):
                      outer group on a native-numeric aggregate alias
                      raises
                    | Group (UNION Group)* '.'? )* '}'
-    Expr    := Or | '(' Expr ')' ; Or/And/'!' over comparisons and
+    Expr    := Or | '(' Expr ')' ; Or/And/'!' over comparisons,
+               (NOT) EXISTS Group — composable inside the boolean
+               structure (each occurrence is a mark join: left outer
+               join of the subgroup's deduped shared-variable frame
+               with a flag; a standalone FILTER (NOT) EXISTS still
+               plans as a semi/anti join) — and
                BOUND(?v) / REGEX(?v, "pat" (, "ism"*)?) /
                isIRI|isURI|isLiteral|isBlank(?v) (NT-prefix checks;
                error->NULL on unbound) / isNumeric(?v) (literal whose
@@ -820,6 +825,18 @@ class _Parser:
 
     def parse_primary(self) -> tuple:
         kind, val = self.peek()
+        if kind == "kw" and val.upper() == "EXISTS":
+            # EXISTS composes inside boolean expressions (mark-join
+            # evaluation); standalone FILTER EXISTS still takes the
+            # semi/anti fast path
+            self.next()
+            return ("exists", True, self.parse_group())
+        if kind == "kw" and val.upper() == "NOT":
+            nk, nv = self.peek_at(1)
+            if nk == "kw" and nv.upper() == "EXISTS":
+                self.next()
+                self.next()
+                return ("exists", False, self.parse_group())
         if kind == "punct" and val == "(":
             self.next()
             e = self.parse_or()
@@ -1391,6 +1408,11 @@ def _expr_col(expr, columns, numeric_cols=frozenset()):
     if op == "const_bool":
         # IN () / NOT IN () — constant truth value, never an error
         return F.lit(expr[1])
+    if op == "mark":
+        # rewritten EXISTS node: the mark-join flag column (EXISTS
+        # never errors — absent mark means False, not NULL)
+        c = F.coalesce(F.col(expr[1]), F.lit(False))
+        return c if expr[2] else ~c
     if op == "or":
         return (_expr_col(expr[1], columns, numeric_cols)
                 | _expr_col(expr[2], columns, numeric_cols))
@@ -1523,6 +1545,41 @@ def _operand_vars(o) -> set[str]:
     if o[0] in ("hashfn", "mkterm"):
         return _operand_vars(o[2])
     return set()
+
+
+def _collect_exists(expr, out: list) -> None:
+    """All ("exists", ...) nodes in a filter expression tree (Group
+    payloads and Term tuples are NOT descended into)."""
+    if not isinstance(expr, tuple) or isinstance(expr, Term):
+        return
+    if expr and expr[0] == "exists":
+        out.append(expr)
+        return
+    for x in expr[1:]:
+        if isinstance(x, tuple) and not isinstance(x, Term):
+            _collect_exists(x, out)
+        elif isinstance(x, list):
+            for y in x:
+                _collect_exists(y, out)
+
+
+def _rewrite_exists(expr, mapping: dict):
+    """Replace each collected EXISTS node (by identity) with its
+    ("mark", column, positive) stand-in. Term tuples (a NamedTuple —
+    also a tuple!) pass through untouched."""
+    if not isinstance(expr, tuple) or isinstance(expr, Term):
+        return expr
+    if expr and expr[0] == "exists" and id(expr) in mapping:
+        mcol, positive = mapping[id(expr)]
+        return ("mark", mcol, positive)
+    return tuple(
+        _rewrite_exists(x, mapping)
+        if isinstance(x, tuple)
+        else [_rewrite_exists(y, mapping) for y in x]
+        if isinstance(x, list)
+        else x
+        for x in expr
+    )
 
 
 def _expr_vars(expr) -> set[str]:
@@ -2066,6 +2123,48 @@ def _eval_group_impl(
                 on=shared,
                 how="left_semi" if positive else "left_anti",
             )
+            continue
+        ex_nodes: list = []
+        _collect_exists(f, ex_nodes)
+        if ex_nodes:
+            # EXISTS composed inside a boolean expression: each node
+            # becomes a MARK JOIN — left outer join of the subgroup's
+            # deduped shared-variable frame with a True flag; the
+            # expression then reads coalesce(flag, False). Same
+            # correlation/guard rules as the standalone fast path.
+            from pyspark.sql import functions as F
+
+            mapping: dict = {}
+            mark_cols: list[str] = []
+            for node in ex_nodes:
+                positive, g = node[1], node[2]
+                sub, sub_nulls, sub_non_nt = _eval_group_impl(
+                    triples, g, False, structs
+                )
+                shared = [
+                    c for c in sub.columns
+                    if c in acc.columns
+                    and not c.startswith(_TERM_STRUCT_PREFIX)
+                ]
+                if not shared:
+                    raise SparqlSyntaxError(
+                        "EXISTS sharing no variables with the group is "
+                        "not supported"
+                    )
+                _guard_non_nt_join(shared, non_nt | sub_non_nt, "EXISTS")
+                _guard_compat_join(shared, maybe_null | sub_nulls, "EXISTS")
+                mcol = f"{_PATH_VAR_PREFIX}mark{len(mark_cols)}"
+                mark = (
+                    sub.select(*shared)
+                    .dropDuplicates()
+                    .withColumn(mcol, F.lit(True))
+                )
+                acc = acc.join(mark, on=shared, how="left")
+                mapping[id(node)] = (mcol, positive)
+                mark_cols.append(mcol)
+            acc = acc.where(
+                _expr_col(_rewrite_exists(f, mapping), acc.columns)
+            ).drop(*mark_cols)
             continue
         if in_optional:
             unbound = _expr_vars(f) - set(_binding_vars(acc.columns))

@@ -2188,3 +2188,55 @@ def test_sparql_update(spark):
     # variables in DATA blocks are rejected
     with pytest.raises(SparqlSyntaxError, match="constant"):
         sparql_update(g, "INSERT DATA { ?x <http://e/p> <http://e/o> }")
+
+
+def test_exists_in_expression(spark):
+    g = graph2(spark)
+    # EXISTS composed under || : has an age OR is named Cat
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             ?w s:name ?n .
+             FILTER(EXISTS { ?w s:age ?a } || ?n = "Cat")
+           }""",
+    )
+    assert sorted(r.n for r in out.collect()) == ['"Ada"', '"Bob"@en', '"Cat"']
+    # NOT EXISTS under && with a comparison
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             ?w s:name ?n .
+             FILTER(NOT EXISTS { ?w s:age ?a } && STRLEN(?n) = 3)
+           }""",
+    )
+    assert [r.n for r in out.collect()] == ['"Cat"']
+    # negation of a composed EXISTS
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             ?w s:name ?n .
+             FILTER(!(EXISTS { ?w s:age ?a } || ?n = "Cat"))
+           }""",
+    )
+    assert out.count() == 0
+    # two EXISTS marks in one filter
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             ?w s:name ?n .
+             FILTER(EXISTS { ?w s:age ?a }
+                    || EXISTS { ?w s:name "Cat" })
+           }""",
+    )
+    assert sorted(r.n for r in out.collect()) == ['"Ada"', '"Bob"@en', '"Cat"']
+    # standalone FILTER EXISTS still works (fast path)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?w s:name ?n . FILTER EXISTS { ?w s:age ?a } }""",
+    )
+    assert sorted(r.n for r in out.collect()) == ['"Ada"', '"Bob"@en']
