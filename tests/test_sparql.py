@@ -1317,10 +1317,50 @@ def test_parser_errors_are_sparql_syntax_errors():
         "PREFIX : SELECT ?x WHERE { ?x ?p ?o }",
         "SELECT ?x WHERE { ?x ?p \"unterminated }",
         "SELECT ?x WHERE { BIND( AS ?x) }",
+        # round-4b surface near-misses
+        "SELECT ?x WHERE { ?x ?p ?o FILTER(?o IN) }",
+        "SELECT ?x WHERE { ?x ?p ?o FILTER(?o IN (?x)) }",
+        "SELECT ?x WHERE { ?x ?p ?o FILTER(SUBSTR(?o)) }",
+        "SELECT ?x WHERE { ?x ?p ?o FILTER(SUBSTR(?o, 0, 1) = \"a\") }",
+        "SELECT ?x WHERE { ?x ?p ?o FILTER(REPLACE(?o, \"a\")) }",
+        "SELECT ?x WHERE { ?x ?p ; }",
+        "SELECT ?x WHERE { ?x ?p ?o , }",
+        "SELECT ?x WHERE { [ ?p ?o }",
+        "SELECT ?x WHERE { _:b }",
+        "SELECT ?x WHERE { ?x _:p ?o }",
+        "SELECT REDUCED DISTINCT ?x WHERE { ?x ?p ?o }",
+        "SELECT ?x WHERE { ?x ?p ?o } GROUP BY (STRLEN(?o))",
+        "SELECT ?x WHERE { ?x ?p ?o } GROUP BY (?o AS) ",
+        "SELECT ?x WHERE { ?x ?p ?o } HAVING (COUNT(?o) > 1)",
+        "SELECT ?x WHERE { ?x ?p ?o } ORDER BY DESC(",
+        "SELECT ?x WHERE { ?x ?p ?o } ORDER BY STRLEN()",
+        "SELECT (SUM(?a *) AS ?t) WHERE { ?x ?p ?a }",
+        "SELECT ?x WHERE { ?x ?p ?o FILTER(STRDT(?o)) }",
+        "SELECT ?x WHERE { ?x ?p ?o FILTER(STRLANG(?o, en)) }",
+        "SELECT ?x WHERE { ?x ?p ?o FILTER(EXISTS) }",
+        "SELECT ?x WHERE { ?x ?p ?o FILTER(NOT EXISTS || ?x = 1) }",
     ]
     for q in near_misses:
         try:
             parse_select(q)
+        except SparqlSyntaxError:
+            pass
+
+    from argo_spark.ops.sparql import parse_update
+
+    update_near_misses = [
+        "", "INSERT", "DELETE", "INSERT DATA", "DELETE DATA {",
+        "INSERT DATA { ?x <p> <o> }",
+        "INSERT DATA { <s> <p> <o> } DELETE",
+        "DELETE { ?x <p> ?o }",          # missing WHERE
+        "DELETE WHERE { OPTIONAL { ?x <p> ?o } }",
+        "INSERT { ?x <p> ?o } WHERE { ?x <p> ?o } ; ;",
+        "CLEAR GRAPH <g>",
+        "INSERT DATA { _:b <p> <o> }",
+    ]
+    for q in update_near_misses:
+        try:
+            parse_update(q)
         except SparqlSyntaxError:
             pass
 
