@@ -418,6 +418,17 @@ def test_sparql_algebra_matches_python_oracle(spark):
             base.append(_gen_pattern(rnd, vars_pool))
         elements = [("bgp", base)]
         body = [_pat_text(p) for p in base]
+        if (
+            len(base) == 2
+            and base[0][0] == base[1][0]
+            and rnd.random() < 0.5
+        ):
+            # same subject: render with the ';' predicate-object list
+            # sugar — identical algebra, round-4b surface
+            body = [
+                f"{base[0][0]} {base[0][1]} {base[0][2]} ; "
+                f"{base[1][1]} {base[1][2]} ."
+            ]
         filter_pool = list(vars_pool)
 
         base_vars = sorted(
