@@ -912,6 +912,28 @@ def q_sparql_update_roundtrip(spark, sf_dir):
     return sparql_select(out, "SELECT ?s ?p ?o WHERE { ?s ?p ?o }")
 
 
+def q_sparql_ask(spark, sf_dir):
+    """§2.5 E3: ASK — two probes (one satisfiable: any zh doc; one
+    not: a nonexistent language) returned as a two-row frame; DuckDB
+    replays with EXISTS subqueries."""
+    from argo_spark.ops.sparql import sparql_ask
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    yes = sparql_ask(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           ASK { ?d s:inLanguage "zh" }""",
+    )
+    no = sparql_ask(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           ASK { ?d s:inLanguage "tlh" }""",
+    )
+    return spark.createDataFrame(
+        [("zh", yes), ("tlh", no)], "probe string, answer boolean"
+    )
+
+
 def q_sparql_exists_expr(spark, sf_dir):
     """§2.5 E3: EXISTS composed inside a boolean FILTER (mark join,
     round 4b) — docs that have an nt edge OR are zh; DuckDB replays
@@ -1903,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_agg_over_expr": q_sparql_agg_over_expr,
         "sparql_update_roundtrip": q_sparql_update_roundtrip,
         "sparql_exists_expr": q_sparql_exists_expr,
+        "sparql_ask": q_sparql_ask,
         "sparql_groupby_expr": q_sparql_groupby_expr,
         "url_canonicalize": q_url_canonicalize,
         "line_dedup": q_line_dedup,
@@ -2935,6 +2958,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM k GROUP BY doc_id)
             SELECT d.doc_id, coalesce(r.t, '') AS text, d.source
             FROM d LEFT JOIN r USING (doc_id)
+        """,
+        "sparql_ask": """
+            SELECT 'zh' AS probe,
+                   EXISTS(SELECT 1 FROM documents WHERE lang = 'zh')
+                     AS answer
+            UNION ALL
+            SELECT 'tlh',
+                   EXISTS(SELECT 1 FROM documents WHERE lang = 'tlh')
         """,
         "sparql_exists_expr": f"""
             SELECT '<{DOC_BASE}' || doc_id || '>' AS d,
