@@ -27,6 +27,8 @@ onto DataFrame operators):
           computed with the projected ones, never selected)
         (ORDER BY (?v | ASC|DESC(expr) | builtin-call | '('expr')')+)?
         (LIMIT n)? (OFFSET n)?
+        (VALUES ...)? — trailing data block; joins into the WHERE
+          pattern per the algebra (18.2.4.6), though it parses last
     AGG := COUNT | SUM | AVG | MIN | MAX | GROUP_CONCAT | SAMPLE —
         COUNT and the numeric four also take EXPRESSION targets
         (SUM(?a * 2), AVG(STRLEN(?n)) — aggregated in the numeric
@@ -2303,7 +2305,11 @@ def _parse_select_body(p: "_Parser", stop_at_brace: bool = False):
         p._having_aggs = None
         if hidden_aggs:
             having = [("__hidden__", hidden_aggs)] + having
-    order, limit, offset = _parse_modifiers(p, stop_at_brace=stop_at_brace)
+    order, limit, offset, trailing_values = _parse_modifiers(
+        p, stop_at_brace=stop_at_brace
+    )
+    if trailing_values is not None:
+        group = Group(group.elements + [trailing_values], group.filters)
     has_aggs = any(
         isinstance(v, tuple) and v[0] == "agg" for v in (variables or [])
     )
@@ -2400,12 +2406,20 @@ def _parse_modifiers(p: "_Parser", stop_at_brace: bool = False):
             if nk != "num":
                 raise SparqlSyntaxError(f"bad OFFSET {nv!r}")
             offset = int(nv)
+    # trailing VALUES clause (grammar [28]): syntactically last, but
+    # the algebra joins it into the PATTERN (18.2.4.6) — the caller
+    # appends it to the WHERE group, before projection/modifiers
+    trailing_values = None
+    kind, val = p.peek()
+    if kind == "kw" and val.upper() == "VALUES":
+        p.next()
+        trailing_values = p.parse_values()
     kind, val = p.peek()
     if stop_at_brace and kind == "punct" and val == "}":
-        return order, limit, offset
+        return order, limit, offset, trailing_values
     if kind is not None:
         raise SparqlSyntaxError(f"unsupported trailing clause at {val!r}")
-    return order, limit, offset
+    return order, limit, offset, trailing_values
 
 
 def parse_construct(query: str):
@@ -2441,7 +2455,9 @@ def parse_construct(query: str):
                 "CONSTRUCT WHERE shorthand takes a plain triple block "
                 "(no property paths)"
             )
-        order, limit, offset = _parse_modifiers(p)
+        order, limit, offset, tv = _parse_modifiers(p)
+        if tv is not None:
+            group = Group(group.elements + [tv], group.filters)
         return template, group, limit, order, offset
     tmpl_group = p.parse_group()
     if tmpl_group.filters or any(
@@ -2467,7 +2483,9 @@ def parse_construct(query: str):
     if kind == "kw" and val.upper() == "WHERE":
         p.next()
     group = p.parse_group()
-    order, limit, offset = _parse_modifiers(p)
+    order, limit, offset, tv = _parse_modifiers(p)
+    if tv is not None:
+        group = Group(group.elements + [tv], group.filters)
     return template, group, limit, order, offset
 
 
@@ -2510,7 +2528,13 @@ def parse_describe(query: str):
         group = p.parse_group()
     if dvars and group is None:
         raise SparqlSyntaxError("DESCRIBE ?var needs a WHERE group")
-    order, limit, offset = _parse_modifiers(p)
+    order, limit, offset, tv = _parse_modifiers(p)
+    if tv is not None:
+        if group is None:
+            raise SparqlSyntaxError(
+                "trailing VALUES needs a WHERE group to join into"
+            )
+        group = Group(group.elements + [tv], group.filters)
     return iris, dvars, group, limit, order, offset
 
 

@@ -92,8 +92,13 @@ def test_unbound_select_var(spark):
 
 
 def test_trailing_clauses_rejected_not_ignored():
+    # trailing VALUES is SUPPORTED since round 4b (joins into the
+    # pattern); anything else after the modifiers still raises
+    parse_select('SELECT ?d WHERE { ?d ?p ?o } VALUES ?d { "x" }')
     with pytest.raises(SparqlSyntaxError, match="trailing"):
-        parse_select("SELECT ?d WHERE { ?d ?p ?o } VALUES ?d { 1 }")
+        parse_select(
+            'SELECT ?d WHERE { ?d ?p ?o } VALUES ?d { "x" } LIMIT 5'
+        )
     with pytest.raises(SparqlSyntaxError, match="trailing"):
         parse_select("SELECT ?d WHERE { ?d ?p ?o } LIMIT 5 HAVING ?d")
 
@@ -2280,3 +2285,33 @@ def test_exists_in_expression(spark):
            SELECT ?n WHERE { ?w s:name ?n . FILTER EXISTS { ?w s:age ?a } }""",
     )
     assert sorted(r.n for r in out.collect()) == ['"Ada"', '"Bob"@en']
+
+
+def test_trailing_values(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE { ?w s:name ?n }
+           ORDER BY ?n LIMIT 10
+           VALUES ?n { "Ada" "Cat" "Zed" }""",
+    )
+    assert [r.n for r in out.collect()] == ['"Ada"', '"Cat"']
+    # trailing VALUES joins BEFORE aggregation (it is pattern data)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT (COUNT(?n) AS ?c) WHERE { ?w s:name ?n }
+           VALUES ?n { "Ada" "Bob" }""",
+    )
+    # "Bob" in the graph is @en-tagged — only "Ada" matches
+    assert [r.c for r in out.collect()] == [1]
+    # works on CONSTRUCT too
+    from argo_spark.ops.sparql import sparql_construct
+    out = sparql_construct(
+        g,
+        """PREFIX s: <http://schema.org/>
+           CONSTRUCT { ?w s:tag ?n } WHERE { ?w s:name ?n }
+           VALUES ?n { "Cat" }""",
+    )
+    assert out.count() == 1
