@@ -9,8 +9,13 @@ and BFS traversal."""
 
 from __future__ import annotations
 
+import os
 import random
 import re as _re
+
+# deep-soak knob: CI/default runs the committed counts; set e.g.
+# SPARQL_RANDOM_SCALE=4 for a 4x longer randomized-oracle session
+_SCALE = int(os.environ.get("SPARQL_RANDOM_SCALE", "1"))
 
 from argo_spark.ops.graph import TripleGraph
 from argo_spark.ops.sparql import sparql_select
@@ -407,7 +412,7 @@ def _gen_filter(rnd, vars_pool):
 def test_sparql_algebra_matches_python_oracle(spark):
     total_rows = 0
     total_null_ext = 0
-    for seed in range(14):
+    for seed in range(14 * _SCALE):
         rnd = random.Random(1000 + seed)
         triples = _gen_graph(rnd)
         df = TripleGraph.of(spark, triples).df
@@ -557,7 +562,7 @@ def test_sparql_group_agg_matches_python_oracle(spark):
     from argo_spark.ops.graph import TripleGraph
     from argo_spark.ops.sparql import sparql_select
 
-    for seed in range(10):
+    for seed in range(10 * _SCALE):
         rnd = random.Random(7000 + seed)
         triples = _gen_graph(rnd)
         df = TripleGraph.of(spark, triples).df
@@ -605,7 +610,7 @@ def test_sparql_closure_matches_python_oracle(spark):
     of the graph) on seeded random graphs — cycles, self-loops,
     diamond shapes all arise at these densities."""
     total_pairs = 0
-    for seed in range(6):
+    for seed in range(6 * _SCALE):
         rnd = random.Random(4000 + seed)
         triples = _gen_graph(rnd)
         df = TripleGraph.of(spark, triples).df
@@ -652,7 +657,7 @@ def test_sparql_strfns_arith_match_python_oracle(spark):
     (mutation-sensitive: swapping startswith/endswith flips rows on
     'wN' literals)."""
     total = kept = 0
-    for seed in range(10):
+    for seed in range(10 * _SCALE):
         rnd = random.Random(5000 + seed)
         triples = _gen_graph(rnd)
         df = TripleGraph.of(spark, triples).df
