@@ -1556,6 +1556,22 @@ def q_clean_corpus(spark, sf_dir):
     return kept
 
 
+def q_clean_corpus_best(spark, sf_dir):
+    """clean_corpus with representative="quality" (round 4b): the
+    near-dup survivor is the max-rounded-quality member per cluster
+    (ties min id) instead of the min id; DuckDB replays the winner
+    choice with row_number over the star components."""
+    from argo_spark.ops.corpus import clean_corpus
+
+    kept, _audit = clean_corpus(
+        _docs(spark, sf_dir), min_quality=0.3, min_tokens=5,
+        neardup_threshold=0.8,
+        neardup_pairs_fn=_portable_star_neardup(0.8),
+        representative="quality",
+    )
+    return kept
+
+
 def q_k4_rdfjson_lines(spark, sf_dir):
     """K4 (json.go serializer, valid-JSON variant), ORACLED: one JSON
     object per subject with predicate maps and sorted object arrays —
@@ -1930,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "line_dedup": q_line_dedup,
         "corpus_assign_split": q_corpus_assign_split,
+        "clean_corpus_best": q_clean_corpus_best,
         "url_dedup_best": q_url_dedup_best,
         "corpus_hash_sample": q_corpus_hash_sample,
         "corpus_source_quota": q_corpus_source_quota,
@@ -2105,12 +2122,15 @@ def _ivf_fixed_sql() -> str:
     """
 
 
-def _clean_corpus_sql() -> str:
+def _clean_corpus_sql(best: bool = False) -> str:
     """Replay q_clean_corpus: exact dedup (min doc_id per identical
     text), single-band md5-minhash star edges with Jaccard-verified
     hub→member pairs (a forest of stars, so connected components =
     'has a verified hub edge'), then the rounded-quality and
-    token-count gates."""
+    token-count gates. ``best=True`` replays the
+    representative="quality" variant: the survivor per star
+    component is the max-rounded-quality member (ties min id)
+    instead of the hub."""
     shingles = (
         "list_distinct(list_transform("
         "range(1, greatest(len(w) - 2, 1) + 1), "
@@ -2149,12 +2169,26 @@ def _clean_corpus_sql() -> str:
                  min(doc_id) OVER (PARTITION BY md5(sig0 || sig1 || sig2 || sig3)) AS hub
           FROM sig),
         hubsh AS (SELECT doc_id AS hub_id, shingles AS hub_sh FROM bk),
-        losers AS (
-          SELECT DISTINCT s.doc_id
+        vedges AS (
+          SELECT s.hub AS comp, s.doc_id AS m
           FROM bk s JOIN hubsh h ON h.hub_id = s.hub
           WHERE s.doc_id != s.hub
             AND {inter}
                 / (len(s.shingles) + len(h.hub_sh) - {inter}) >= 0.8),
+        {"members AS ("
+         "  SELECT comp, m FROM vedges"
+         "  UNION SELECT DISTINCT comp, comp FROM vedges),"
+         "ranked AS ("
+         "  SELECT members.comp, members.m,"
+         "         row_number() OVER ("
+         "           PARTITION BY members.comp"
+         "           ORDER BY q.qv DESC, members.m ASC) AS rn"
+         "  FROM members JOIN"
+         "    (SELECT doc_id, " + quality + " AS qv FROM d1) q"
+         "    ON q.doc_id = members.m),"
+         "losers AS (SELECT m AS doc_id FROM ranked WHERE rn > 1),"
+         if best else
+         "losers AS (SELECT DISTINCT m AS doc_id FROM vedges),"}
         d2 AS (
           SELECT * FROM d1
           WHERE doc_id NOT IN (SELECT doc_id FROM losers))
@@ -2937,6 +2971,7 @@ def oracle_sql() -> dict[str, str]:
               AND length(o_value) + 1 >= 3
         """,
         "corpus_assign_split": _assign_split_sql(),
+        "clean_corpus_best": _clean_corpus_sql(best=True),
         "line_dedup": """
             WITH d AS (
               SELECT doc_id,

@@ -35,6 +35,7 @@ def clean_corpus(
     max_tokens: int = 1_000_000,
     neardup_threshold: float = 0.85,
     neardup_pairs_fn: Optional[Callable[[DataFrame], DataFrame]] = None,
+    representative: str = "min_id",
 ) -> tuple[DataFrame, dict[str, int]]:
     """Returns (kept_docs, audit). audit maps stage -> rows removed.
 
@@ -43,7 +44,13 @@ def clean_corpus(
     ``(a, b)`` pair rows (a = cluster-min winner side). Used for
     oracle contracts (a portable md5-minhash variant DuckDB can
     replay) and custom LSH configurations; the default is the
-    production star-edge MinHash-LSH."""
+    production star-edge MinHash-LSH.
+
+    ``representative`` picks the survivor per near-dup cluster:
+    ``"min_id"`` (smallest id — cheapest, the CC label itself) or
+    ``"quality"`` (highest quality_score, ties to the smallest id —
+    one extra aggregation over cluster members only, a vanishing
+    fraction of the corpus)."""
     audit: dict[str, int] = {}
     n0 = docs.count()
 
@@ -62,9 +69,38 @@ def clean_corpus(
             d1, id_col, text_col, threshold=neardup_threshold, pair_mode="star"
         )
     comps = connected_components(pairs.select("a", "b"))
-    losers = comps.where(F.col("id") != F.col("comp")).select(
-        F.col("id").alias(id_col)
-    )
+    if representative == "quality":
+        # keep-best: argmax quality per component via min-of-struct
+        # (negated quality, then id) — one aggregation over cluster
+        # MEMBERS (not the whole corpus), deterministic ties
+        member_q = comps.select(F.col("id").alias("__m"), "comp").join(
+            d1.select(
+                F.col(id_col).alias("__m"),
+                quality_score(F.col(text_col)).alias("__q"),
+            ),
+            "__m",
+        )
+        win = member_q.groupBy("comp").agg(
+            F.min(
+                F.struct(
+                    (-F.col("__q")).alias("nq"), F.col("__m").alias("m")
+                )
+            ).alias("__w")
+        )
+        losers = (
+            member_q.join(win, "comp")
+            .where(F.col("__m") != F.col("__w.m"))
+            .select(F.col("__m").alias(id_col))
+        )
+    elif representative == "min_id":
+        losers = comps.where(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        raise ValueError(
+            f"representative must be 'min_id' or 'quality', got "
+            f"{representative!r}"
+        )
     # no broadcast hint: at 100 TB the loser set is most of the corpus;
     # AQE converts to broadcast when it is actually small
     d2 = d1.join(losers, id_col, "left_anti").persist()

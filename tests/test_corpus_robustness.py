@@ -68,3 +68,37 @@ def test_script_content_not_parsed_as_markup():
     preds = [x[2] for x in t]
     assert preds == ["http://v/a"]
     assert "fake" not in extract_text(h)
+
+
+def test_clean_corpus_quality_representative(spark):
+    # doc 2 extends doc 0 with substantial extra content -> higher
+    # quality_score; with representative="quality" it must survive
+    # instead of the min-id doc
+    from argo_spark.ops.textstats import quality_score
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, GOOD),
+        (2, GOOD + " and a further paragraph about join strategies in "
+            "distributed query engines with broadcast and shuffle sides"),
+        (6, "a completely different english document that talks about spark "
+            "plans and the shuffle boundaries of wide transformations in "
+            "detail"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = {r.doc_id: r.q for r in docs.select(
+        "doc_id", quality_score(F.col("text")).alias("q")).collect()}
+    assert q[2] > q[0], "fixture must make the larger id higher quality"
+    kept_min, _ = clean_corpus(
+        docs, min_quality=0.0, min_tokens=1, neardup_threshold=0.5,
+    )
+    assert sorted(r.doc_id for r in kept_min.collect()) == [0, 6]
+    kept_best, audit = clean_corpus(
+        docs, min_quality=0.0, min_tokens=1, neardup_threshold=0.5,
+        representative="quality",
+    )
+    assert sorted(r.doc_id for r in kept_best.collect()) == [2, 6]
+    assert audit["near_dup"] == 1
+    import pytest as _p
+    with _p.raises(ValueError, match="representative"):
+        clean_corpus(docs, representative="nope")
