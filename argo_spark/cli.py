@@ -111,6 +111,8 @@ def run_pipeline(
     object_rewrites: list[tuple[str, str]] | None = None,
     squish: bool = False,
     construct: str | None = None,
+    select: str | None = None,
+    update: str | None = None,
 ) -> int:
     t0 = time.time()
     url_inputs = [p for p in inputs if p.startswith(("http://", "https://"))]
@@ -129,7 +131,7 @@ def run_pipeline(
         return _run_pipeline_on(
             spark, dfs, output, out_format, rewrites, subject_rewrites,
             predicate_rewrites, object_rewrites, squish, t0, err_frames,
-            construct=construct,
+            construct=construct, select=select, update=update,
         )
     finally:
         for local, _mime in fetched.values():
@@ -142,7 +144,7 @@ def run_pipeline(
 def _run_pipeline_on(
     spark, dfs, output, out_format, rewrites, subject_rewrites,
     predicate_rewrites, object_rewrites, squish, t0, err_frames=(),
-    construct=None,
+    construct=None, select=None, update=None,
 ) -> int:
     from argo_spark.ops.rewrite import rewrite_terms
 
@@ -161,6 +163,32 @@ def _run_pipeline_on(
     for pat, repl in object_rewrites or []:
         df = rewrite_terms(df, pat, repl, positions=("object",))
 
+    if update:
+        # SPARQL Update applies to the merged graph after rewrites,
+        # before any CONSTRUCT/SELECT/squish
+        from argo_spark.ops.sparql import sparql_update
+
+        df = sparql_update(df.select(*TRIPLE_COLS), update)
+    if select:
+        # SELECT short-circuits serialization: the output is a
+        # SPARQL-TSV directory (part files + _VARS header sidecar),
+        # not a graph
+        from argo_spark.ops.sparql import sparql_select
+        from argo_spark.sinks.writers import write_select_tsv
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        bindings = sparql_select(df.select(*TRIPLE_COLS), select)
+        obs = Observation()
+        write_select_tsv(
+            bindings.observe(obs, F.count(F.lit(1)).alias("n")), output
+        )
+        n = obs.get["n"]
+        print(
+            f"{n} result rows written in {time.time() - t0:.3f} seconds",
+            file=sys.stderr,
+        )
+        return n
     if construct:
         # graph transformation via SPARQL CONSTRUCT (after rewrites,
         # before squish — CONSTRUCT output is already set-semantic)
@@ -217,7 +245,21 @@ def main(argv: list[str] | None = None) -> None:
         help="transform the merged graph with a SPARQL CONSTRUCT query "
              "before serializing",
     )
+    p.add_argument(
+        "--select", metavar="QUERY",
+        help="run a SPARQL SELECT over the merged graph and write the "
+             "bindings as SPARQL-TSV to the output directory (part "
+             "files + _VARS header sidecar) instead of serializing",
+    )
+    p.add_argument(
+        "--update", metavar="QUERY",
+        help="apply a SPARQL Update request (INSERT/DELETE DATA, "
+             "DELETE WHERE, DELETE/INSERT WHERE, ';'-chained) to the "
+             "merged graph before output",
+    )
     args = p.parse_args(argv)
+    if args.select and args.construct:
+        raise SystemExit("--select and --construct are mutually exclusive")
 
     from argo_spark.session import get_spark
 
@@ -235,6 +277,8 @@ def main(argv: list[str] | None = None) -> None:
             object_rewrites=[tuple(x) for x in args.rewrite_object],
             squish=args.squish,
             construct=args.construct,
+            select=args.select,
+            update=args.update,
         )
     finally:
         spark.stop()

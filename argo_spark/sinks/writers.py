@@ -527,3 +527,30 @@ def write_squirtle(
             yield pd.DataFrame({"value": pdf["block"].str.rstrip("\n")})
 
     blocks.mapInPandas(wrap, schema="value string").write.mode(mode).text(path)
+
+
+def select_tsv_lines(bindings: DataFrame) -> DataFrame:
+    """SPARQL 1.1 TSV result rows (one ``value`` column): NT-form
+    terms joined by tabs, unbound as the empty string. The variable
+    header lives in the ``_VARS`` sidecar (see write_select_tsv) —
+    a distributed write cannot guarantee which part file is first."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.coalesce(F.col(c), F.lit("")) for c in bindings.columns
+    ]
+    return bindings.select(F.concat_ws("\t", *cols).alias("value"))
+
+
+def write_select_tsv(bindings: DataFrame, path: str,
+                     mode: str = "overwrite") -> None:
+    """Distributed SPARQL-TSV export: data rows as text part files
+    plus a driver-written ``_VARS`` sidecar holding the tab-joined
+    ``?var`` header (the spec's first line; kept out of the part
+    files so parallel writes stay order-independent)."""
+    import os
+
+    header = "\t".join("?" + c for c in bindings.columns)
+    select_tsv_lines(bindings).write.mode(mode).text(path)
+    with open(os.path.join(path, "_VARS"), "w", encoding="utf-8") as fh:
+        fh.write(header + "\n")

@@ -310,3 +310,51 @@ def test_cli_construct_transform(spark, tmp_path):
         ("http://e/s2", "http://e/knownBy", "http://e/s1"),
         ("http://e/s3", "http://e/knownBy", "http://e/s2"),
     }
+
+
+def test_cli_select_and_update(spark, tmp_path):
+    import glob
+
+    from argo_spark.cli import run_pipeline
+    from argo_spark.ntriples import parse_document
+
+    src = tmp_path / "in.nt"
+    src.write_text(
+        "<http://e/s1> <http://e/p> <http://e/o1> .\n"
+        "<http://e/s2> <http://e/p> <http://e/o2> .\n"
+        '<http://e/s1> <http://e/name> "Ada" .\n'
+    )
+    # --select writes SPARQL-TSV parts + a _VARS header sidecar
+    out = str(tmp_path / "sel")
+    n = run_pipeline(
+        spark, [str(src)], out,
+        select="SELECT ?s ?o WHERE { ?s <http://e/p> ?o } ORDER BY ?s",
+    )
+    assert n == 2
+    assert open(out + "/_VARS").read() == "?s\t?o\n"
+    rows = sorted(
+        line
+        for f in glob.glob(out + "/part-*")
+        for line in open(f).read().splitlines()
+    )
+    assert rows == [
+        "<http://e/s1>\t<http://e/o1>",
+        "<http://e/s2>\t<http://e/o2>",
+    ]
+    # --update rewrites the graph before serialization
+    out2 = str(tmp_path / "upd.nt")
+    n = run_pipeline(
+        spark, [str(src)], out2,
+        update=(
+            "DELETE { ?s <http://e/p> ?o } INSERT { ?s <http://e/q> ?o } "
+            "WHERE { ?s <http://e/p> ?o } ; "
+            'DELETE DATA { <http://e/s1> <http://e/name> "Ada" }'
+        ),
+    )
+    assert n == 2
+    text = "".join(
+        open(f).read() for f in sorted(glob.glob(out2 + "/part-*"))
+    )
+    triples, err = parse_document(text)
+    assert err is None
+    assert {t.p.value for t in triples} == {"http://e/q"}
