@@ -80,9 +80,11 @@ onto DataFrame operators):
                    | '{' SELECT ... '}'   — subquery, evaluated
                      bottom-up (§18.2.2.14; outer bindings invisible
                      inside) and joined on its projected variables;
-                     not usable as a UNION branch, and joining the
-                     outer group on a native-numeric aggregate alias
-                     raises
+                     also valid as a whole group body, i.e. as a
+                     UNION branch ('{ SELECT ... } UNION Group' —
+                     merging an aggregate alias with NT bindings of
+                     the same name still raises); joining the outer
+                     group on a native-numeric aggregate alias raises
                    | Group (UNION Group)* '.'? )* '}'
     Expr    := Or | '(' Expr ')' ; Or/And/'!' over comparisons,
                (NOT) EXISTS Group — composable inside the boolean
@@ -414,7 +416,21 @@ class _Parser:
                     self.next()
                     parts = _parse_select_body(self, stop_at_brace=True)
                     self.expect_punct("}")
-                    elements.append(("subquery", parts))
+                    kind, val = self.peek()
+                    if kind == "kw" and val.upper() == "UNION":
+                        # '{ SELECT ... } UNION Group...' — the
+                        # subquery is the first union branch
+                        branches = [Group([("subquery", parts)], [])]
+                        while True:
+                            k2, v2 = self.peek()
+                            if k2 == "kw" and v2.upper() == "UNION":
+                                self.next()
+                                branches.append(self.parse_group())
+                            else:
+                                break
+                        elements.append(("union", branches))
+                    else:
+                        elements.append(("subquery", parts))
                     kind, val = self.peek()
                     if kind == "punct" and val == ".":
                         self.next()
@@ -428,6 +444,14 @@ class _Parser:
                     else:
                         break
                 elements.append(("union", branches))
+            elif kind == "kw" and val.upper() == "SELECT":
+                # a subquery as the ENTIRE group body — the form a
+                # UNION branch takes: '{ SELECT ... } UNION { ... }'
+                # (the nested '{ { SELECT ... } }' spelling keeps
+                # working via the brace-lookahead case above)
+                self.next()
+                parts = _parse_select_body(self, stop_at_brace=True)
+                elements.append(("subquery", parts))
             else:
                 # TriplesSameSubject: subject (a term or a '[...]'
                 # blank-node property list), then ';'-separated

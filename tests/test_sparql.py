@@ -2315,3 +2315,27 @@ def test_trailing_values(spark):
            VALUES ?n { "Cat" }""",
     )
     assert out.count() == 1
+
+
+def test_subquery_as_union_branch(spark):
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             { SELECT ?n WHERE { ?w s:name ?n } ORDER BY ?n LIMIT 1 }
+             UNION
+             { ?w s:name "Cat" . ?w s:name ?n }
+           }""",
+    )
+    assert sorted(r.n for r in out.collect()) == ['"Ada"', '"Cat"']
+    # aggregate-alias vs NT-binding merge still raises
+    with pytest.raises(SparqlSyntaxError, match="UNION merges"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?c WHERE {
+                 { SELECT (COUNT(?w) AS ?c) WHERE { ?w s:name ?n } }
+                 UNION { ?x s:name ?c }
+               }""",
+        )
