@@ -139,9 +139,11 @@ FILTER expressions, and blank nodes — ``_:label`` or anonymous
 ``[ p o ; ... ]`` property lists (both desugar to internal
 non-projectable variables; a label shared across groups joins, a
 superset of the spec's per-BGP scoping; not valid in CONSTRUCT
-templates, where they would mean per-solution bnode generation). Residual exclusions: subqueries as UNION
-branches, GROUP_CONCAT separator arguments beyond a plain string,
-federated SERVICE, and named graphs.
+templates, where they would mean per-solution bnode generation). Residual exclusions:
+GROUP_CONCAT separator arguments beyond a plain string, federated
+SERVICE, named graphs (GRAPH/WITH/USING — the data model is a
+single triples frame), and datetime builtins (no temporal literals
+in the corpus model).
 Algebra mapping (SPARQL 1.1 §18.2 translation, evaluated
 left-to-right): triple blocks join on shared variables, OPTIONAL is a
 left outer join on the shared variables, UNION is ``unionByName``
