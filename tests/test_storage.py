@@ -102,3 +102,41 @@ def test_entry_squish_rides_buckets(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert df.count() > 0
+
+
+def test_update_table_roundtrip(spark):
+    from argo_spark.ops.graph import TripleGraph
+    from argo_spark.storage import read_table, update_table, write_bucketed
+    from argo_spark.terms import TripleT, iri, literal
+
+    g = TripleGraph.of(
+        spark,
+        [
+            TripleT(iri("http://e/a"), iri("http://e/p"), iri("http://e/o1")),
+            TripleT(iri("http://e/b"), iri("http://e/p"), iri("http://e/o2")),
+            TripleT(iri("http://e/a"), iri("http://e/name"), literal("Ada")),
+        ],
+    ).df
+    write_bucketed(g, "upd_tbl", ["s_value"], n_buckets=4)
+    n = update_table(
+        spark,
+        "upd_tbl",
+        "DELETE { ?s <http://e/p> ?o } INSERT { ?s <http://e/q> ?o } "
+        "WHERE { ?s <http://e/p> ?o } ; "
+        'INSERT DATA { <http://e/c> <http://e/name> "Cee" }',
+        n_buckets=4,
+    )
+    assert n == 4
+    got = read_table(spark, "upd_tbl")
+    preds = {r.p_value for r in got.select("p_value").distinct().collect()}
+    assert preds == {"http://e/q", "http://e/name"}
+    # staging table cleaned up
+    assert not spark.catalog.tableExists("upd_tbl__staging")
+    # the replaced table keeps the bucketed layout: a self-join on
+    # s_value plans with no Exchange
+    j = got.alias("l").hint("merge").join(
+        read_table(spark, "upd_tbl").alias("r"), "s_value"
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    spark.sql("DROP TABLE IF EXISTS upd_tbl")
