@@ -2155,6 +2155,24 @@ def _eval_group_impl(
         ex_nodes: list = []
         _collect_exists(f, ex_nodes)
         if ex_nodes:
+            if in_optional:
+                # same LeftJoin-expression guard as plain filters:
+                # the NON-exists operands must not reference outer
+                # variables (they would silently read as unbound) —
+                # exists nodes themselves correlate via their join
+                unbound = {
+                    v
+                    for v in _expr_vars(_rewrite_exists(
+                        f, {id(n): ("__probe", True) for n in ex_nodes}
+                    ))
+                    if v not in set(_binding_vars(acc.columns))
+                }
+                if unbound:
+                    raise SparqlSyntaxError(
+                        f"FILTER in OPTIONAL references outer variables "
+                        f"{sorted(unbound)} (LeftJoin-expression case "
+                        f"unsupported)"
+                    )
             # EXISTS composed inside a boolean expression: each node
             # becomes a MARK JOIN — left outer join of the subgroup's
             # deduped shared-variable frame with a True flag; the

@@ -2339,3 +2339,40 @@ def test_subquery_as_union_branch(spark):
                  UNION { ?x s:name ?c }
                }""",
         )
+
+
+def test_exists_filter_in_optional_outer_var_guard(spark):
+    # a composed-EXISTS filter inside OPTIONAL referencing an OUTER
+    # variable must raise like any other LeftJoin-expression case,
+    # not silently evaluate the outer var as unbound
+    g = graph2(spark)
+    with pytest.raises(SparqlSyntaxError, match="outer variables"):
+        sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?n WHERE {
+                 ?w s:name ?n .
+                 OPTIONAL {
+                   ?w s:age ?a .
+                   FILTER(EXISTS { ?w s:name ?x } || ?n = "Ada")
+                 }
+               }""",
+        )
+    # inner-var-only composed EXISTS inside OPTIONAL is fine
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n ?a WHERE {
+             ?w s:name ?n .
+             OPTIONAL {
+               ?w s:age ?a .
+               FILTER(EXISTS { ?w s:name ?x } && ?a > 10)
+             }
+           }""",
+    )
+    got = {(r.n, r.a) for r in out.collect()}
+    assert got == {
+        ('"Ada"', '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ('"Bob"@en', None),
+        ('"Cat"', None),
+    }
