@@ -3253,7 +3253,10 @@ def sparql_update(triples: DataFrame, update: str) -> DataFrame:
     add/remove). Operations chained with ';' apply left to right,
     each seeing the previous one's result; within one DELETE/INSERT
     WHERE both templates are instantiated against the SAME pre-state
-    solutions and deletes apply before inserts (spec §3.1.3)."""
+    solutions and deletes apply before inserts (spec §3.1.3). The
+    result schema is always the seven canonical columns (extra input
+    columns are dropped up front — insert paths cannot carry them)."""
+    triples = triples.select(*_CANON_COLS)
     for op in parse_update(update):
         if op[0] == "data":
             _, is_delete, template = op
