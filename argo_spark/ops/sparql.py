@@ -158,10 +158,13 @@ when either side is a numeric constant and otherwise compare the
 escaped lexical form as a string; REGEX matches the escaped lexical
 of the binding; an unbound variable makes comparisons NULL (the row
 drops — SPARQL's error-eliminates-row) and BOUND false. A FILTER
-directly inside an OPTIONAL group may reference only that group's
-own variables (the LeftJoin-expression case raises rather than
-silently mis-scoping); leading OPTIONAL and OPTIONAL sharing no
-variables with the accumulated solution raise likewise. VALUES
+directly inside an OPTIONAL group referencing OUTER variables is
+the spec's LeftJoin EXPRESSION (§18.2.1): it rides in the left
+join's condition, so an expression error or false keeps the left
+row alone — the spec's else-arm (a composed EXISTS referencing
+outer variables still raises; inner-only filters evaluate inside
+the subgroup as before). Leading OPTIONAL and OPTIONAL sharing no
+variables with the accumulated solution raise. VALUES
 (group-level, with UNDEF) joins as a broadcast inline table. Any
 join keyed on a POSSIBLY-UNBOUND variable — one a UNION branch
 doesn't bind, an OPTIONAL may not bind, or a VALUES UNDEF leaves
@@ -2074,8 +2077,27 @@ def _eval_group_impl(
         else:  # optional
             if acc is None:
                 raise SparqlSyntaxError("leading OPTIONAL is not supported")
+            # split the optional group's filters: plain inner filters
+            # evaluate inside the subgroup as always; a filter whose
+            # variables reach OUTSIDE the subgroup is the spec's
+            # LeftJoin EXPRESSION (§18.2.1) and becomes part of the
+            # left join's condition (error -> no match -> the left
+            # row survives alone, exactly the spec's else-arm)
+            probe, _pn, _pnn = _eval_group_impl(
+                triples, Group(payload.elements, []), True, structs
+            )
+            sub_bound = set(_binding_vars(probe.columns))
+            plain_filters, deferred = [], []
+            for f in payload.filters:
+                ex: list = []
+                _collect_exists(f, ex)
+                if ex or _expr_vars(f) <= sub_bound:
+                    plain_filters.append(f)
+                else:
+                    deferred.append(f)
             sub, sub_nulls, sub_non_nt = _eval_group_impl(
-                triples, payload, True, structs
+                triples, Group(payload.elements, plain_filters), True,
+                structs,
             )
             shared = [
                 c for c in sub.columns
@@ -2092,7 +2114,34 @@ def _eval_group_impl(
                 c for c in sub.columns
                 if c in acc.columns and c.startswith(_TERM_STRUCT_PREFIX)
             ]
-            acc = acc.join(sub.drop(*dup_structs), on=shared, how="left")
+            if deferred:
+                if structs:
+                    raise SparqlSyntaxError(
+                        "OPTIONAL filters over outer variables inside "
+                        "CONSTRUCT are not supported"
+                    )
+                # uniquify the right side's SHARED columns so both the
+                # equi keys and the filter's variable references
+                # resolve unambiguously over the joined schema (outer
+                # vars -> left columns, inner-only vars keep their
+                # names on the right)
+                from pyspark.sql import functions as F
+
+                ren = sub.drop(*dup_structs)
+                for c in shared:
+                    ren = ren.withColumnRenamed(c, f"__optk_{c}")
+                cond = None
+                for c in shared:
+                    e = F.col(c) == F.col(f"__optk_{c}")
+                    cond = e if cond is None else cond & e
+                combined_cols = list(acc.columns) + list(ren.columns)
+                for f in deferred:
+                    cond = cond & _expr_col(f, combined_cols)
+                acc = acc.join(ren, cond, "left").drop(
+                    *[f"__optk_{c}" for c in shared]
+                )
+            else:
+                acc = acc.join(sub.drop(*dup_structs), on=shared, how="left")
             # every var the optional may or may not bind is nullable
             maybe_null |= (
                 set(_binding_vars(sub.columns)) - set(shared)

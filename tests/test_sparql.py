@@ -239,16 +239,23 @@ def test_union_null_extension_and_bag(spark):
     assert ('"Cat"', None) in rows
 
 
-def test_optional_filter_outer_var_raises(spark):
-    with pytest.raises(SparqlSyntaxError):
-        sparql_select(
-            graph2(spark),
-            """PREFIX s: <http://schema.org/>
-               SELECT ?n WHERE {
-                 ?who s:name ?n .
-                 OPTIONAL { ?who s:age ?age FILTER(?n = "Ada") }
-               }""",
-        ).collect()
+def test_optional_filter_outer_var_is_leftjoin_expression(spark):
+    # round-4b: an outer-variable filter inside OPTIONAL is the
+    # LeftJoin expression — it gates the BINDING, not the row
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n ?age WHERE {
+             ?who s:name ?n .
+             OPTIONAL { ?who s:age ?age FILTER(?n = "Ada") }
+           }""",
+    )
+    got = {(r.n, r.age) for r in out.collect()}
+    assert got == {
+        ('"Ada"', '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ('"Bob"@en', None),
+        ('"Cat"', None),
+    }
 
 
 def test_leading_optional_raises(spark):
@@ -952,18 +959,24 @@ def test_regex_flags(spark):
         )
 
 
-def test_optional_filter_regex_func_outer_var_guard(spark):
-    """FILTER(REGEX(STR(?outer), ...)) inside OPTIONAL must hit the
-    LeftJoin-expression guard like bare-var references do."""
-    with pytest.raises(SparqlSyntaxError, match="outer variables"):
-        sparql_select(
-            graph2(spark),
-            """PREFIX s: <http://schema.org/>
-               SELECT ?who ?age WHERE {
-                 ?who s:name ?n .
-                 OPTIONAL { ?who s:age ?age . FILTER(REGEX(STR(?n), "A")) }
-               }""",
-        )
+def test_optional_filter_regex_func_outer_var(spark):
+    """FILTER(REGEX(STR(?outer), ...)) inside OPTIONAL takes the
+    LeftJoin-expression path like bare-var references do (round-4b:
+    evaluated in the join condition, not silently unbound)."""
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?who ?age WHERE {
+             ?who s:name ?n .
+             OPTIONAL { ?who s:age ?age . FILTER(REGEX(STR(?n), "A")) }
+           }""",
+    )
+    got = {(r.who, r.age) for r in out.collect()}
+    assert got == {
+        ("<http://e/a>", '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://e/b>", None),   # "Bob" has no "A"
+        ("<http://e/c>", None),
+    }
 
 
 def test_group_concat_and_sample(spark):
@@ -2368,6 +2381,68 @@ def test_exists_filter_in_optional_outer_var_guard(spark):
                ?w s:age ?a .
                FILTER(EXISTS { ?w s:name ?x } && ?a > 10)
              }
+           }""",
+    )
+    got = {(r.n, r.a) for r in out.collect()}
+    assert got == {
+        ('"Ada"', '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ('"Bob"@en', None),
+        ('"Cat"', None),
+    }
+
+
+def test_optional_leftjoin_expression(spark):
+    g = graph2(spark)
+    # spec example shape: the OPTIONAL binds only when the join-level
+    # expression over OUTER + inner variables holds; otherwise the
+    # left row survives with the optional side unbound
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n ?a WHERE {
+             ?w s:name ?n .
+             OPTIONAL { ?w s:age ?a . FILTER(?n = "Ada") }
+           }""",
+    )
+    got = {(r.n, r.a) for r in out.collect()}
+    assert got == {
+        ('"Ada"', '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ('"Bob"@en', None),   # filter false -> left row alone
+        ('"Cat"', None),      # no age at all
+    }
+    # outer+inner comparison in the condition
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n ?a WHERE {
+             ?w s:name ?n .
+             OPTIONAL { ?w s:age ?a . FILTER(STRLEN(?n) + ?a > 20) }
+           }""",
+    )
+    got = {(r.n, r.a) for r in out.collect()}
+    # Ada: 3+36>20 bind; Bob: 3+7 not >20 -> unbound; Cat no age
+    assert got == {
+        ('"Ada"', '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ('"Bob"@en', None),
+        ('"Cat"', None),
+    }
+    # expression ERROR (unbound third var) keeps the left row alone
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n ?a WHERE {
+             ?w s:name ?n .
+             OPTIONAL { ?w s:age ?a . FILTER(?n = "Ada" && BOUND(?a)) }
+           }""",
+    )
+    assert out.count() == 3
+    # inner-only filters still evaluate inside the subgroup
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n ?a WHERE {
+             ?w s:name ?n .
+             OPTIONAL { ?w s:age ?a . FILTER(?a > 10) FILTER(?n != "x") }
            }""",
     )
     got = {(r.n, r.a) for r in out.collect()}
