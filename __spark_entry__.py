@@ -934,6 +934,35 @@ def q_sparql_ask(spark, sf_dir):
     )
 
 
+def q_sparql_leftjoin_expr(spark, sf_dir):
+    """§2.5 E3: OPTIONAL LeftJoin expression (round 4b) — the n
+    triple binds only where the OUTER lang is 'en' AND n > 300; every
+    doc keeps its row. DuckDB replays with a conditional left
+    join."""
+    from argo_spark.ops.sparql import sparql_select
+
+    d = _docs(spark, sf_dir)
+    n_tr = d.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("s_value"),
+        F.lit("http://corpus.example/vocab#n").alias("p_value"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.col("n_chars").cast("string").alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+    )
+    tr = _doc_triples(spark, sf_dir).drop("doc_id").unionByName(n_tr)
+    return sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?d ?l ?n WHERE {
+             ?d s:inLanguage ?l .
+             OPTIONAL { ?d v:n ?n . FILTER(?l = "en" && ?n > 300) }
+           }""",
+    )
+
+
 def q_sparql_exists_expr(spark, sf_dir):
     """§2.5 E3: EXISTS composed inside a boolean FILTER (mark join,
     round 4b) — docs that have an nt edge OR are zh; DuckDB replays
@@ -1942,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_update_roundtrip": q_sparql_update_roundtrip,
         "sparql_exists_expr": q_sparql_exists_expr,
         "sparql_ask": q_sparql_ask,
+        "sparql_leftjoin_expr": q_sparql_leftjoin_expr,
         "sparql_groupby_expr": q_sparql_groupby_expr,
         "url_canonicalize": q_url_canonicalize,
         "line_dedup": q_line_dedup,
@@ -2993,6 +3023,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM k GROUP BY doc_id)
             SELECT d.doc_id, coalesce(r.t, '') AS text, d.source
             FROM d LEFT JOIN r USING (doc_id)
+        """,
+        "sparql_leftjoin_expr": f"""
+            SELECT '<{DOC_BASE}' || a.doc_id || '>' AS d,
+                   '"' || a.lang || '"' AS l,
+                   CASE WHEN a.lang = 'en' AND a.n_chars > 300
+                        THEN '"' || a.n_chars || '"' END AS n
+            FROM documents a
         """,
         "sparql_ask": """
             SELECT 'zh' AS probe,
