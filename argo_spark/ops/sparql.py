@@ -2052,8 +2052,9 @@ def _eval_group_impl(
             # RHS solution sharing ≥1 bound variable. With ALL
             # variables bound and ≥1 shared, that is exactly a
             # left-anti equi-join; disjoint domains remove nothing
-            # (spec) = no-op here. Possibly-unbound shared vars would
-            # need the compatibility relation — guarded.
+            # (spec) = no-op here. Possibly-unbound shared vars take
+            # the full compatibility relation (conditional anti join
+            # below).
             if acc is None:
                 raise SparqlSyntaxError("leading MINUS is not supported")
             # in_optional=False: MINUS's RHS never sees LHS bindings
@@ -2069,10 +2070,35 @@ def _eval_group_impl(
             ]
             if shared:
                 _guard_non_nt_join(shared, non_nt | sub_non_nt, "MINUS")
-                _guard_compat_join(shared, maybe_null | sub_nulls, "MINUS")
-                acc = acc.join(
-                    sub.select(*shared), on=shared, how="left_anti"
-                )
+                nullable = set(shared) & (maybe_null | sub_nulls)
+                if nullable:
+                    from pyspark.sql import functions as F
+
+                    # full §8.3.3 semantics when a shared var can be
+                    # unbound: remove μ1 iff some μ2 is COMPATIBLE
+                    # (each shared var unbound on either side or
+                    # equal) with a non-empty bound overlap. A
+                    # conditional anti join — Spark plans it as a
+                    # nested-loop against the DEDUPED projection of
+                    # the RHS, which is as small as the relation
+                    # itself; the all-bound case below keeps the
+                    # hash-anti-join fast path.
+                    ren = sub.select(*shared).dropDuplicates()
+                    for c in shared:
+                        ren = ren.withColumnRenamed(c, f"__mk_{c}")
+                    compat = None
+                    overlap = None
+                    for c in shared:
+                        l, r = F.col(c), F.col(f"__mk_{c}")
+                        e = l.isNull() | r.isNull() | (l == r)
+                        compat = e if compat is None else compat & e
+                        o = l.isNotNull() & r.isNotNull()
+                        overlap = o if overlap is None else overlap | o
+                    acc = acc.join(ren, compat & overlap, "left_anti")
+                else:
+                    acc = acc.join(
+                        sub.select(*shared), on=shared, how="left_anti"
+                    )
             continue
         else:  # optional
             if acc is None:

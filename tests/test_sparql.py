@@ -2451,3 +2451,32 @@ def test_optional_leftjoin_expression(spark):
         ('"Bob"@en', None),
         ('"Cat"', None),
     }
+
+
+def test_minus_compatibility_with_unbound(spark):
+    # §8.3.3 with a possibly-unbound shared variable: an unbound ?age
+    # on the LEFT is compatible with every RHS row but shares no
+    # bound var — no domain overlap, so it is NOT removed
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n ?age WHERE {
+             ?w s:name ?n OPTIONAL { ?w s:age ?age }
+             MINUS { ?x s:age ?age }
+           }""",
+    )
+    got = {(r.n, r.age) for r in out.collect()}
+    # Ada/Bob rows carry ages that some ?x binds -> removed;
+    # Cat's unbound age -> kept
+    assert got == {('"Cat"', None)}
+    # all-bound MINUS still takes the equi-anti fast path (behavior
+    # unchanged): remove by a bound shared var
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             ?w s:name ?n MINUS { ?w s:age ?a }
+           }""",
+    )
+    assert sorted(r.n for r in out.collect()) == ['"Cat"']
