@@ -963,6 +963,56 @@ def q_sparql_leftjoin_expr(spark, sf_dir):
     )
 
 
+def q_sparql_minus_compat(spark, sf_dir):
+    """§2.5 E3: MINUS with a possibly-unbound shared variable (round
+    4b, full §8.3.3 compatibility) — docs keep their row when ?n is
+    unbound (no domain overlap) and lose it when their bound ?n
+    matches a blocked value; DuckDB replays with NULL-aware NOT
+    IN."""
+    from argo_spark.ops.sparql import sparql_select
+
+    d = _docs(spark, sf_dir)
+
+    def tri(p, val, cond=None):
+        dd = d if cond is None else d.where(cond)
+        return dd.select(
+            F.lit(0).cast("tinyint").alias("s_kind"),
+            F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("s_value"),
+            F.lit(p).alias("p_value"),
+            F.lit(2).cast("tinyint").alias("o_kind"),
+            val.alias("o_value"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("string").alias("o_dt"),
+        )
+
+    tr = (
+        tri("http://schema.org/inLanguage", F.col("lang"))
+        .unionByName(
+            tri(
+                "http://corpus.example/vocab#n",
+                F.col("n_chars").cast("string"),
+                F.col("n_chars") > 300,
+            )
+        )
+        .unionByName(
+            tri(
+                "http://corpus.example/vocab#blocked",
+                F.col("n_chars").cast("string"),
+                F.col("lang") == "zh",
+            )
+        )
+    )
+    return sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?d ?n WHERE {
+             ?d s:inLanguage ?l OPTIONAL { ?d v:n ?n }
+             MINUS { ?x v:blocked ?n }
+           }""",
+    )
+
+
 def q_sparql_exists_expr(spark, sf_dir):
     """§2.5 E3: EXISTS composed inside a boolean FILTER (mark join,
     round 4b) — docs that have an nt edge OR are zh; DuckDB replays
@@ -1972,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_exists_expr": q_sparql_exists_expr,
         "sparql_ask": q_sparql_ask,
         "sparql_leftjoin_expr": q_sparql_leftjoin_expr,
+        "sparql_minus_compat": q_sparql_minus_compat,
         "sparql_groupby_expr": q_sparql_groupby_expr,
         "url_canonicalize": q_url_canonicalize,
         "line_dedup": q_line_dedup,
@@ -3023,6 +3074,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM k GROUP BY doc_id)
             SELECT d.doc_id, coalesce(r.t, '') AS text, d.source
             FROM d LEFT JOIN r USING (doc_id)
+        """,
+        "sparql_minus_compat": f"""
+            WITH L AS (
+              SELECT doc_id,
+                     CASE WHEN n_chars > 300 THEN n_chars END AS n
+              FROM documents),
+            B AS (SELECT DISTINCT n_chars AS n FROM documents
+                  WHERE lang = 'zh')
+            SELECT '<{DOC_BASE}' || doc_id || '>' AS d,
+                   '"' || n || '"' AS n
+            FROM L
+            WHERE n IS NULL OR n NOT IN (SELECT n FROM B)
         """,
         "sparql_leftjoin_expr": f"""
             SELECT '<{DOC_BASE}' || a.doc_id || '>' AS d,
