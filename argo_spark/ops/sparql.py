@@ -165,12 +165,16 @@ row alone — the spec's else-arm (a composed EXISTS referencing
 outer variables still raises; inner-only filters evaluate inside
 the subgroup as before). Leading OPTIONAL and OPTIONAL sharing no
 variables with the accumulated solution raise. VALUES
-(group-level, with UNDEF) joins as a broadcast inline table. Any
+(group-level, with UNDEF) joins as a broadcast inline table. A
 join keyed on a POSSIBLY-UNBOUND variable — one a UNION branch
 doesn't bind, an OPTIONAL may not bind, or a VALUES UNDEF leaves
-open — raises: SPARQL's compatibility join (unbound matches
-anything) is not an equi-join, and an equi-join on NULL would
-silently drop solutions.
+open — implements SPARQL's full compatibility relation (§18.5:
+unbound matches anything; the merged binding is the bound side;
+MINUS additionally requires a bound-domain overlap). It plans as a
+conditional (nested-loop) join — only when nullability forces it;
+all-bound keys keep the hash equi-join. The one residual guard:
+struct-mode (CONSTRUCT) compatibility joins, which would need
+struct coalescing.
 
 ORDER BY implements §15.1 made total (documented): unbound < blank <
 IRI < numeric literals by value < other literals by escaped lexical,
@@ -2184,18 +2188,54 @@ def _eval_group_impl(
                 if c in acc.columns and not c.startswith(_TERM_STRUCT_PREFIX)
             ]
             _guard_non_nt_join(shared, non_nt | frame_non_nt, "group")
-            _guard_compat_join(shared, maybe_null | frame_nulls, "group")
             dup_structs = [
                 c for c in frame.columns
                 if c in acc.columns and c.startswith(_TERM_STRUCT_PREFIX)
             ]
             frame = frame.drop(*dup_structs)
-            acc = (
-                acc.join(frame, on=shared, how="inner")
-                if shared
-                else acc.crossJoin(frame)
-            )
-            maybe_null |= frame_nulls
+            nullable = set(shared) & (maybe_null | frame_nulls)
+            if nullable and structs:
+                # struct-mode merge of possibly-unbound keys would
+                # need struct coalescing — keep the guard there
+                _guard_compat_join(
+                    shared, maybe_null | frame_nulls, "group"
+                )
+            if nullable:
+                # SPARQL's compatibility JOIN (§18.5 Join): merge
+                # every COMPATIBLE pair — each shared var unbound on
+                # either side or equal, the merged binding being the
+                # bound one (coalesce). Plans as a conditional join
+                # (nested-loop); the all-bound case below stays a
+                # hash equi-join.
+                from pyspark.sql import functions as F
+
+                ren = frame
+                for c in shared:
+                    ren = ren.withColumnRenamed(c, f"__jk_{c}")
+                cond = None
+                for c in shared:
+                    l, r = F.col(c), F.col(f"__jk_{c}")
+                    e = l.isNull() | r.isNull() | (l == r)
+                    cond = e if cond is None else cond & e
+                acc = acc.join(ren, cond, "inner")
+                for c in shared:
+                    acc = acc.withColumn(
+                        c, F.coalesce(F.col(c), F.col(f"__jk_{c}"))
+                    ).drop(f"__jk_{c}")
+                # a merged shared var stays nullable only if BOTH
+                # sides could leave it unbound
+                maybe_null = (
+                    maybe_null - set(shared)
+                ) | (frame_nulls - set(shared)) | (
+                    maybe_null & frame_nulls & set(shared)
+                )
+            else:
+                acc = (
+                    acc.join(frame, on=shared, how="inner")
+                    if shared
+                    else acc.crossJoin(frame)
+                )
+                maybe_null |= frame_nulls
             non_nt |= frame_non_nt
     if acc is None:
         raise SparqlSyntaxError("group has no graph patterns")

@@ -508,38 +508,48 @@ def test_values_undef_non_join_ok(spark):
     assert got == {("<http://e/a>", '"x"'), ("<http://e/c>", None)}
 
 
-def test_compat_join_guard_raises(spark):
-    # UNDEF in a joining var
-    with pytest.raises(SparqlSyntaxError, match="possibly-unbound"):
-        sparql_select(
-            graph2(spark),
-            """PREFIX s: <http://schema.org/>
-               SELECT ?n WHERE {
-                 VALUES ?n { "Ada" UNDEF }
-                 ?who s:name ?n
-               }""",
-        )
-    # a var one UNION branch doesn't bind, then joined downstream
-    with pytest.raises(SparqlSyntaxError, match="possibly-unbound"):
-        sparql_select(
-            graph2(spark),
-            """PREFIX s: <http://schema.org/>
-               SELECT ?x WHERE {
-                 { ?who s:name ?x } UNION { ?who a ?t }
-                 ?other s:name ?x
-               }""",
-        )
-    # an OPTIONAL-only var joined by a later pattern
-    with pytest.raises(SparqlSyntaxError, match="possibly-unbound"):
-        sparql_select(
-            graph2(spark),
-            """PREFIX s: <http://schema.org/>
-               SELECT ?n WHERE {
-                 ?who s:name ?n .
-                 OPTIONAL { ?who s:age ?age }
-                 ?x s:age ?age
-               }""",
-        )
+def test_compat_join_unbound_cases(spark):
+    """Round-4b: joins keyed on possibly-unbound vars implement the
+    full §18.5 compatibility relation (they used to raise)."""
+    # UNDEF in a joining var: the UNDEF row merges with every name
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             VALUES ?n { "Ada" UNDEF }
+             ?who s:name ?n
+           }""",
+    )
+    assert sorted(r.n for r in out.collect()) == [
+        '"Ada"', '"Ada"', '"Bob"@en', '"Cat"'
+    ]
+    # a var one UNION branch doesn't bind, then joined downstream:
+    # branch-2 rows (x unbound) merge with every (other, name)
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?x WHERE {
+             { ?who s:name ?x } UNION { ?who a ?t }
+             ?other s:name ?x
+           }""",
+    )
+    assert sorted(r.x for r in out.collect()) == (
+        ['"Ada"'] * 3 + ['"Bob"@en'] * 3 + ['"Cat"'] * 3
+    )
+    # an OPTIONAL-only var joined by a later pattern: Cat's unbound
+    # age merges with both bound ages
+    out = sparql_select(
+        graph2(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n WHERE {
+             ?who s:name ?n .
+             OPTIONAL { ?who s:age ?age }
+             ?x s:age ?age
+           }""",
+    )
+    assert sorted(r.n for r in out.collect()) == [
+        '"Ada"', '"Bob"@en', '"Cat"', '"Cat"'
+    ]
 
 
 def test_filter_str_lang_datatype(spark):
@@ -1556,18 +1566,21 @@ def test_third_review_fixes(spark):
     from argo_spark.ops.sparql import sparql_construct
 
     g = graph2(spark)
-    # (1) ungrouped SAMPLE over an empty pattern yields a NULL alias:
-    # joining it must hit the possibly-unbound guard, not return []
-    with pytest.raises(SparqlSyntaxError, match="possibly-unbound"):
-        sparql_select(
-            g,
-            """PREFIX s: <http://schema.org/>
-               SELECT ?x WHERE {
-                 { SELECT (SAMPLE(?o) AS ?nm)
-                   WHERE { ?w <http://nope> ?o } }
-                 ?x s:name ?nm .
-               }""",
-        )
+    # (1) ungrouped SAMPLE over an empty pattern yields a NULL alias;
+    # since round 4b that joins via the compatibility relation — the
+    # unbound ?nm merges with every name (it used to raise)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?x WHERE {
+             { SELECT (SAMPLE(?o) AS ?nm)
+               WHERE { ?w <http://nope> ?o } }
+             ?x s:name ?nm .
+           }""",
+    )
+    assert sorted(r.x for r in out.collect()) == [
+        "<http://e/a>", "<http://e/b>", "<http://e/c>"
+    ]
     # (2) CONSTRUCT WHERE with a sequence path leaks internal vars
     with pytest.raises(SparqlSyntaxError, match="plain triple block"):
         sparql_construct(
@@ -2480,3 +2493,29 @@ def test_minus_compatibility_with_unbound(spark):
            }""",
     )
     assert sorted(r.n for r in out.collect()) == ['"Cat"']
+
+
+def test_compatibility_join_unbound(spark):
+    # §18.5 Join over a possibly-unbound shared variable: a UNION
+    # whose second branch leaves ?age unbound joins a pattern binding
+    # ?age — unbound is compatible with anything and takes the bound
+    # value in the merge
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w ?age WHERE {
+             { ?w s:age ?age } UNION { ?w s:name "Cat" }
+             ?x s:age ?age .
+           }""",
+    )
+    got = {(r.w, r.age) for r in out.collect()}
+    # branch 1: (a,36),(b,7) joined on equal ages with ?x rows;
+    # branch 2: (c, unbound) compatible with BOTH ?x ages -> two
+    # merged rows carrying each bound age
+    assert got == {
+        ("<http://e/a>", '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://e/b>", '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://e/c>", '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://e/c>", '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    }
