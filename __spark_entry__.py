@@ -963,6 +963,35 @@ def q_sparql_leftjoin_expr(spark, sf_dir):
     )
 
 
+def q_sparql_compat_join(spark, sf_dir):
+    """§2.5 E3: full compatibility JOIN (round 4b, §18.5) — docs with
+    n_chars > 450 bind ?n in an OPTIONAL, then join { ?x v:n ?n }:
+    bound rows equi-match, unbound rows merge with EVERY (x, n)
+    pair taking the bound value; DuckDB replays both arms."""
+    from argo_spark.ops.sparql import sparql_select
+
+    d = _docs(spark, sf_dir)
+    n_tr = d.where(F.col("n_chars") > 450).select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("s_value"),
+        F.lit("http://corpus.example/vocab#n").alias("p_value"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.col("n_chars").cast("string").alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+    )
+    tr = _doc_triples(spark, sf_dir).drop("doc_id").unionByName(n_tr)
+    return sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?d ?x ?n WHERE {
+             ?d s:inLanguage ?l OPTIONAL { ?d v:n ?n }
+             ?x v:n ?n
+           }""",
+    )
+
+
 def q_sparql_minus_compat(spark, sf_dir):
     """§2.5 E3: MINUS with a possibly-unbound shared variable (round
     4b, full §8.3.3 compatibility) — docs keep their row when ?n is
@@ -2023,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_ask": q_sparql_ask,
         "sparql_leftjoin_expr": q_sparql_leftjoin_expr,
         "sparql_minus_compat": q_sparql_minus_compat,
+        "sparql_compat_join": q_sparql_compat_join,
         "sparql_groupby_expr": q_sparql_groupby_expr,
         "url_canonicalize": q_url_canonicalize,
         "line_dedup": q_line_dedup,
@@ -3074,6 +3104,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM k GROUP BY doc_id)
             SELECT d.doc_id, coalesce(r.t, '') AS text, d.source
             FROM d LEFT JOIN r USING (doc_id)
+        """,
+        "sparql_compat_join": f"""
+            WITH big AS (SELECT doc_id, n_chars FROM documents
+                         WHERE n_chars > 450),
+            L AS (SELECT d.doc_id, b.n_chars AS n
+                  FROM documents d
+                  LEFT JOIN big b ON b.doc_id = d.doc_id)
+            SELECT '<{DOC_BASE}' || L.doc_id || '>' AS d,
+                   '<{DOC_BASE}' || x.doc_id || '>' AS x,
+                   '"' || x.n_chars || '"' AS n
+            FROM L JOIN big x
+              ON L.n IS NULL OR L.n = x.n_chars
         """,
         "sparql_minus_compat": f"""
             WITH L AS (
