@@ -172,9 +172,9 @@ open — implements SPARQL's full compatibility relation (§18.5:
 unbound matches anything; the merged binding is the bound side;
 MINUS additionally requires a bound-domain overlap). It plans as a
 conditional (nested-loop) join — only when nullability forces it;
-all-bound keys keep the hash equi-join. The one residual guard:
-struct-mode (CONSTRUCT) compatibility joins, which would need
-struct coalescing.
+all-bound keys keep the hash equi-join. In struct mode (CONSTRUCT)
+the term struct coalesces alongside its NT column, so merged
+bindings emit correct triples.
 
 ORDER BY implements §15.1 made total (documented): unbound < blank <
 IRI < numeric literals by value < other literals by escaped lexical,
@@ -2192,26 +2192,23 @@ def _eval_group_impl(
                 c for c in frame.columns
                 if c in acc.columns and c.startswith(_TERM_STRUCT_PREFIX)
             ]
-            frame = frame.drop(*dup_structs)
             nullable = set(shared) & (maybe_null | frame_nulls)
-            if nullable and structs:
-                # struct-mode merge of possibly-unbound keys would
-                # need struct coalescing — keep the guard there
-                _guard_compat_join(
-                    shared, maybe_null | frame_nulls, "group"
-                )
             if nullable:
                 # SPARQL's compatibility JOIN (§18.5 Join): merge
                 # every COMPATIBLE pair — each shared var unbound on
                 # either side or equal, the merged binding being the
-                # bound one (coalesce). Plans as a conditional join
-                # (nested-loop); the all-bound case below stays a
-                # hash equi-join.
+                # bound one (coalesce; in struct mode the term struct
+                # coalesces alongside its NT column). Plans as a
+                # conditional join (nested-loop); the all-bound case
+                # below stays a hash equi-join.
                 from pyspark.sql import functions as F
 
                 ren = frame
                 for c in shared:
                     ren = ren.withColumnRenamed(c, f"__jk_{c}")
+                    sc = _TERM_STRUCT_PREFIX + c
+                    if sc in dup_structs:
+                        ren = ren.withColumnRenamed(sc, f"__jks_{c}")
                 cond = None
                 for c in shared:
                     l, r = F.col(c), F.col(f"__jk_{c}")
@@ -2222,6 +2219,11 @@ def _eval_group_impl(
                     acc = acc.withColumn(
                         c, F.coalesce(F.col(c), F.col(f"__jk_{c}"))
                     ).drop(f"__jk_{c}")
+                    sc = _TERM_STRUCT_PREFIX + c
+                    if sc in dup_structs:
+                        acc = acc.withColumn(
+                            sc, F.coalesce(F.col(sc), F.col(f"__jks_{c}"))
+                        ).drop(f"__jks_{c}")
                 # a merged shared var stays nullable only if BOTH
                 # sides could leave it unbound
                 maybe_null = (
@@ -2230,6 +2232,7 @@ def _eval_group_impl(
                     maybe_null & frame_nulls & set(shared)
                 )
             else:
+                frame = frame.drop(*dup_structs)
                 acc = (
                     acc.join(frame, on=shared, how="inner")
                     if shared

@@ -2519,3 +2519,25 @@ def test_compatibility_join_unbound(spark):
         ("<http://e/c>", '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
         ("<http://e/c>", '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
     }
+
+
+def test_construct_compat_join(spark):
+    # struct-mode (CONSTRUCT) compatibility join: the UNDEF VALUES
+    # row merges with every name and the emitted triple carries the
+    # MERGED term struct
+    from argo_spark.ops.sparql import sparql_construct
+    g = graph2(spark)
+    out = sparql_construct(
+        g,
+        """PREFIX s: <http://schema.org/>
+           CONSTRUCT { ?who s:tag ?n } WHERE {
+             VALUES ?n { "Ada" UNDEF }
+             ?who s:name ?n
+           }""",
+    )
+    got = {(r.s_value, r.o_value, r.o_lang) for r in out.collect()}
+    assert got == {
+        ("http://e/a", "Ada", None),
+        ("http://e/b", "Bob", "en"),
+        ("http://e/c", "Cat", None),
+    }
