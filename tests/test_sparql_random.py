@@ -463,6 +463,14 @@ def test_sparql_algebra_matches_python_oracle(spark):
             # the optional var is the interesting one for BOUND /
             # null-propagating filters — overweight it in the pool
             filter_pool += ["?o", "?o"]
+            if rnd.random() < 0.4:
+                # round-4b: a LATER pattern joining the possibly-
+                # unbound optional var exercises the engine's full
+                # compatibility join; the oracle's dict-merge _join
+                # IS that relation
+                extra = ("?q", f"<http://e/p{rnd.randint(0, 2)}>", "?o")
+                elements.append(("bgp", [extra]))
+                body.append(_pat_text(extra))
         if rnd.random() < 0.4:
             b1 = [("?x", f"<http://e/p{rnd.randint(0, 9)}>", "?u")]
             b2 = [("?x", f"<http://e/p{rnd.randint(0, 9)}>", "?w")]
