@@ -99,10 +99,12 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def repetition_score(col: Column, n: int = 2) -> Column:
     """Within-document repetition: 1 - distinct/total word n-grams
     (the Gopher/C4-style duplicate-n-gram filter signal — boilerplate
-    and spam score high). 0.0 for docs shorter than n tokens. Pure
-    column expressions: explode-free (the n-gram list is built with
-    transform over a sequence, then size/array_distinct), so the
-    whole thing is one projection at 100 TB."""
+    and spam score high). 0.0 for docs shorter than n tokens.
+    Explode-free single projection, BUT the n-gram list is built with
+    F.transform, whose lambda is INTERPRETED (not codegen'd) on this
+    build — fine for moderate docs, not the hot-path shape. For the
+    100-TB scale path use :func:`repetition_stats` (posexplode +
+    window lead + codegen'd aggregation)."""
     toks = tokens(col)
     total = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
@@ -114,6 +116,63 @@ def repetition_score(col: Column, n: int = 2) -> Column:
             1 - F.size(F.array_distinct(grams)) / total.cast("double"), 6
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    out_col: str = "repetition",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Scale-path duplicate-n-gram repetition (same score as
+    :func:`repetition_score`, different physical plan): posexplode
+    the token array, build each n-gram with ``lead()`` over a
+    per-document window, then a codegen'd
+    ``1 - count_distinct/count`` aggregation — no interpreted HOF
+    lambda anywhere. Costs one shuffle on the doc id (window + agg
+    share the hash partitioning; AQE coalesces), which is the right
+    trade at 100 TB where per-row interpreted lambdas dominate.
+    ``id_col`` names an existing unique id; when None a
+    monotonically_increasing_id is used (deterministic within one
+    job, so safe here — the id never leaves the query)."""
+    from pyspark.sql import Window
+
+    rid = id_col or "__rid"
+    base = (
+        df if id_col else df.withColumn(rid, F.monotonically_increasing_id())
+    )
+    # raw split + post-explode empty filter, NOT tokens() — its
+    # F.filter HOF lambda is interpreted; a WHERE after explode is
+    # codegen'd and lead() only needs order, not contiguous positions
+    raw = F.split(F.lower(F.col(text_col)), r"[^a-zA-Z0-9']+")
+    ex = base.select(
+        F.col(rid), F.posexplode(raw).alias("__pos", "__tok")
+    ).where(F.col("__tok") != "")
+    w = Window.partitionBy(rid).orderBy("__pos")
+    parts = [F.col("__tok")] + [
+        F.lead("__tok", i).over(w) for i in range(1, n)
+    ]
+    grams = ex.select(
+        F.col(rid),
+        F.concat_ws(" ", *parts).alias("__gram"),
+        # a gram is complete iff its last token exists (tokens are
+        # never null, so a null lead marks the ragged tail)
+        F.lead("__tok", n - 1).over(w).isNotNull().alias("__full"),
+    )
+    per = (
+        grams.where(F.col("__full"))
+        .groupBy(rid)
+        .agg(
+            F.round(
+                1 - F.count_distinct("__gram") / F.count("__gram"), 6
+            ).alias(out_col)
+        )
+    )
+    out = base.join(per, rid, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0.0))
+    )
+    return out if id_col else out.drop(rid)
 
 
 def quality_flags(col: Column, min_words: int = 50,

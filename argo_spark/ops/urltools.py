@@ -127,9 +127,18 @@ def url_dedup(
     else:
         neg_parts.append(F.lit(0.0))
     if id_col is not None:
-        neg_parts.append(F.col(id_col).cast("long"))
+        # ANSI mode (on by default here) makes cast("long") raise
+        # CAST_INVALID_INPUT on non-numeric string ids; try_cast yields
+        # NULL instead.  NULL sorts low in struct-min, which would let
+        # any non-numeric id beat every numeric one — so non-numeric
+        # ids get Long.Max and the raw string (always appended) breaks
+        # the tie lexicographically.  Fully deterministic either way.
+        idn = F.col(id_col).try_cast("long")
+        neg_parts.append(F.coalesce(idn, F.lit(2**63 - 1)))
+        neg_parts.append(F.col(id_col).cast("string"))
     else:
         neg_parts.append(F.lit(0).cast("long"))
+        neg_parts.append(F.lit(""))
     payload = F.struct(
         *neg_parts,
         F.col(url_col).alias("__u"),

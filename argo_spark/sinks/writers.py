@@ -547,10 +547,19 @@ def write_select_tsv(bindings: DataFrame, path: str,
     """Distributed SPARQL-TSV export: data rows as text part files
     plus a driver-written ``_VARS`` sidecar holding the tab-joined
     ``?var`` header (the spec's first line; kept out of the part
-    files so parallel writes stay order-independent)."""
-    import os
-
+    files so parallel writes stay order-independent). The sidecar
+    goes through the Hadoop FileSystem API so it lands on the SAME
+    filesystem as the part files (hdfs://, s3a://, file:…) — a local
+    open() would silently write elsewhere for non-local URIs."""
     header = "\t".join("?" + c for c in bindings.columns)
     select_tsv_lines(bindings).write.mode(mode).text(path)
-    with open(os.path.join(path, "_VARS"), "w", encoding="utf-8") as fh:
-        fh.write(header + "\n")
+    spark = bindings.sparkSession
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path, "_VARS")
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray((header + "\n").encode("utf-8")))
+    finally:
+        out.close()

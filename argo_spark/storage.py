@@ -208,10 +208,15 @@ def update_table(
 
     The updated frame materializes to a STAGING table first (ONE
     bucketed write — the update job reads the live table while it
-    runs, and a failed job leaves it untouched), then swaps in via a
-    catalog rename (metadata move, no second data pass — at 100 TB
-    the swap costs nothing beyond the staging write itself). Returns
-    the new triple count."""
+    runs, and a failed job leaves it untouched), then swaps in by
+    renaming live→backup, staging→live, and dropping the backup
+    (metadata moves, no second data pass — at 100 TB the swap costs
+    nothing beyond the staging write itself). No step deletes data
+    before the new table is catalogued under some name: a crash
+    between the two renames leaves BOTH ``<table>__backup`` (old
+    data) and ``<table>__staging`` (new data) intact, and recovery is
+    a single rename of whichever version you want back to ``table``.
+    Returns the new triple count."""
     import shutil
 
     from argo_spark.ops.sparql import sparql_update
@@ -219,9 +224,18 @@ def update_table(
     updated = sparql_update(read_table(spark, table), update)
     staging = table + "__staging"
     write_bucketed(updated, staging, bucket_cols, n_buckets)
-    loc = _managed_location(spark, table)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    if loc:
-        shutil.rmtree(loc, ignore_errors=True)
+    backup = table + "__backup"
+    # clear any stale backup (name AND location) so the rename target
+    # is free, then: live -> backup, staging -> live, drop backup
+    bloc = _managed_location(spark, backup)
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    if bloc:
+        shutil.rmtree(bloc, ignore_errors=True)
+    if spark.catalog.tableExists(table):
+        spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    bloc = _managed_location(spark, backup)
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    if bloc:
+        shutil.rmtree(bloc, ignore_errors=True)
     return read_table(spark, table).count()

@@ -244,3 +244,34 @@ def test_quality_flags(spark):
     assert rows[3]["flag_symbol_ratio"] is False
     assert rows[4]["flag_word_count"] is False
     assert rows[4]["flag_stopwords"] is False
+
+
+def test_repetition_stats_matches_column_version(spark):
+    from pyspark.sql import functions as F
+
+    from argo_spark.ops.textstats import repetition_score, repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "all words differ here now"),
+            (3, "one"),
+            (4, ""),
+            (5, "x y x y z x y"),
+        ],
+        "id long, text string",
+    )
+    col_ver = {
+        r.id: r.rep
+        for r in df.select(
+            "id", repetition_score(F.col("text")).alias("rep")
+        ).collect()
+    }
+    df_ver = {
+        r.id: r.repetition for r in repetition_stats(df, "text").collect()
+    }
+    assert col_ver == df_ver
+    # the scale path must not contain an interpreted HOF lambda
+    plan = repetition_stats(df, "text")._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "lambdafunction" not in plan.lower()

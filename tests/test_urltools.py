@@ -98,3 +98,21 @@ def test_filter_blocked_domains(spark):
     )
     assert [r.url for r in out.collect()] == ["http://ok.org/y"]
     assert filter_blocked_domains(df, [], "url").count() == 3
+
+
+def test_url_dedup_string_ids_no_ansi_crash(spark):
+    # ADVICE r4: cast("long") on a non-numeric string id raised
+    # CAST_INVALID_INPUT under ANSI mode; try_cast + raw-string
+    # tiebreak keeps it deterministic instead.
+    rows = [
+        ("doc-b", "http://e.com/a", 1.0),
+        ("doc-a", "http://e.com/a/", 1.0),   # same canonical, tie on q
+        ("7", "http://e.com/b", 1.0),
+        ("doc-z", "http://e.com/b?utm_source=x", 1.0),  # numeric id wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, url string, q double")
+    out = url_dedup(df, url_col="url", quality_col="q", id_col="doc_id")
+    got = {r.canonical_url: r.doc_id for r in out.collect()}
+    # tie on quality: non-numeric ids fall back to lexicographic min;
+    # a numeric id always beats a non-numeric one
+    assert got == {"http://e.com/a": "doc-a", "http://e.com/b": "7"}
