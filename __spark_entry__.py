@@ -848,6 +848,36 @@ def q_sparql_path_closure(spark, sf_dir):
     )
 
 
+def q_sparql_nested_closure(spark, sf_dir):
+    """§2.5 E3: NESTED property-path closure ``(v:nextDoc/v:nextDoc)+``
+    (round 5 — previously raised): the parenthesized inner sequence
+    compiles to a 2-hop edge frame between fresh endpoint variables
+    (ops/sparql.py::_closure_group_frame) and the pointer-doubling
+    transitive closure runs over it, so the result is the +14-stride
+    reachability over the +7 nextDoc chains. DuckDB replays with a
+    WITH RECURSIVE over the composed 2-hop edge set."""
+    from argo_spark.ops.sparql import sparql_select
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    e = d.alias("a").join(
+        d.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 7
+    )
+    tr = e.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("a.doc_id")).alias("s_value"),
+        F.lit(NEXTDOC).alias("p_value"),
+        F.lit(0).cast("tinyint").alias("o_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("b.doc_id")).alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+    )
+    return sparql_select(
+        tr,
+        """PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?a ?b WHERE { ?a (v:nextDoc/v:nextDoc)+ ?b }""",
+    )
+
+
 def q_sparql_agg_over_expr(spark, sf_dir):
     """§2.5 E3: aggregates over EXPRESSION targets — SUM(?n * 2) and
     AVG(STRLEN(?l)) per source; DuckDB replays with plain column
@@ -2067,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "sparql_nested_closure": q_sparql_nested_closure,
     }
 
 
@@ -3252,6 +3283,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT s, d FROM e
               UNION
               SELECT cl.s, e.d FROM cl JOIN e ON cl.d = e.s
+            )
+            SELECT '<{DOC_BASE}' || s || '>' AS a,
+                   '<{DOC_BASE}' || d || '>' AS b
+            FROM cl
+        """,
+        "sparql_nested_closure": f"""
+            WITH RECURSIVE e2 AS (
+              SELECT a.doc_id AS s, c.doc_id AS d
+              FROM documents a
+              JOIN documents b ON b.doc_id = a.doc_id + 7
+              JOIN documents c ON c.doc_id = b.doc_id + 7
+            ), cl AS (
+              SELECT s, d FROM e2
+              UNION
+              SELECT cl.s, e2.d FROM cl JOIN e2 ON cl.d = e2.s
             )
             SELECT '<{DOC_BASE}' || s || '>' AS a,
                    '<{DOC_BASE}' || d || '>' AS b

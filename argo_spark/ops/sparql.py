@@ -273,6 +273,45 @@ _BOOL_BUILTINS = (
 _PATH_VAR_PREFIX = "__path"
 
 
+def _flatten_static_path(alts):
+    """Distribute modifier-free parenthesized groups out of a parsed
+    path — ``(p|q)/r`` -> ``p/r | q/r``, ``^(p/q)`` -> ``^q/^p`` —
+    yielding the plain alternation-of-sequences shape ("path" form:
+    list of [(inv, iri), ...]). Only called when no step anywhere
+    carries a +/*/? modifier, so the product is over tiny literal
+    alternations, never data."""
+
+    def flat_elt(inv, prim):
+        if isinstance(prim, tuple) and prim[0] == "group":
+            seqs = [fs for sq in prim[1] for fs in flat_seq(sq)]
+            if inv:
+                seqs = [
+                    [(not i2, p2) for (i2, p2) in reversed(fs)]
+                    for fs in seqs
+                ]
+            return seqs
+        return [[(inv, prim)]]
+
+    def flat_seq(sq):
+        outs = [[]]
+        for (inv, prim, _clo) in sq:
+            outs = [a + b for a in outs for b in flat_elt(inv, prim)]
+        return outs
+
+    return [fs for sq in alts for fs in flat_seq(sq)]
+
+
+def _invert_pathx_alts(alts):
+    """``^(path)`` over a closure-bearing group: reverse each
+    sequence and flip every step's inverse flag — inversion
+    distributes over closure (``^(p+) == (^p)+``) and recursively
+    over nested groups (handled when the flipped step is expanded)."""
+    return [
+        [(not inv, prim, clo) for (inv, prim, clo) in reversed(sq)]
+        for sq in alts
+    ]
+
+
 class _Parser:
     def __init__(self, query: str):
         self.toks = _tokenize(query)
@@ -532,16 +571,7 @@ class _Parser:
             # path with closure-modified steps: expand each branch,
             # emitting bgp triples for plain steps and closure
             # elements for +/*/? steps
-            alts = p[1]
-            if len(alts) == 1:
-                self._expand_seq_closures(elements, s, alts[0], o)
-            else:
-                branches = []
-                for seq in alts:
-                    els: list = []
-                    self._expand_seq_closures(els, s, seq, o)
-                    branches.append(Group(els, []))
-                elements.append(("union", branches))
+            self._expand_pathx_alts(elements, s, p[1], o)
         elif isinstance(p, tuple) and p[0] == "negset":
             # desugar: (s ?fresh o) + a group filter keeping
             # predicates outside the set; the fresh var is an
@@ -608,19 +638,29 @@ class _Parser:
             return ("negset", iris)
 
         def elt():
+            # elt := '^'? primary ('+' | '*' | '?')?
+            # primary := iri | '(' alt ')'   (nested path group)
             inv = False
             if self.peek() == ("punct", "^"):
                 self.next()
                 inv = True
-            iri_ = self.parse_term("p")
-            if isinstance(iri_, str) and iri_.startswith("?"):
-                raise SparqlSyntaxError("variables not allowed inside paths")
+            k2, v2 = self.peek()
+            if k2 == "punct" and v2 == "(":
+                self.next()
+                prim = ("group", alt())
+                self.expect_punct(")")
+            else:
+                prim = self.parse_term("p")
+                if isinstance(prim, str) and prim.startswith("?"):
+                    raise SparqlSyntaxError(
+                        "variables not allowed inside paths"
+                    )
             clo = None
             k2, v2 = self.peek()
             if k2 == "punct" and v2 in ("+", "*", "?"):
                 clo = v2
                 self.next()
-            return (inv, iri_, clo)
+            return (inv, prim, clo)
 
         def seq():
             out = [elt()]
@@ -629,18 +669,30 @@ class _Parser:
                 out.append(elt())
             return out
 
-        alts = [seq()]
-        while self.peek() == ("punct", "|"):
-            self.next()
-            alts.append(seq())
-        closures = [e for s in alts for e in s if e[2] is not None]
-        if closures:
-            # closures may sit anywhere in a sequence or alternation
-            # branch: expansion emits a ("closure", ...) element per
+        def alt():
+            out = [seq()]
+            while self.peek() == ("punct", "|"):
+                self.next()
+                out.append(seq())
+            return out
+
+        def has_clo(alts_):
+            return any(
+                e[2] is not None
+                or (isinstance(e[1], tuple) and e[1][0] == "group"
+                    and has_clo(e[1][1]))
+                for s_ in alts_ for e in s_
+            )
+
+        alts = alt()
+        if has_clo(alts):
+            # closures may sit anywhere in a sequence, alternation
+            # branch, or parenthesized group: expansion emits a
+            # ("closure", ...) / ("closure_group", ...) element per
             # modified step, joined through the same fresh
             # intermediate variables as plain sequence steps
             return ("pathx", alts)
-        alts = [[(inv, iri_) for inv, iri_, _ in s] for s in alts]
+        alts = _flatten_static_path(alts)
         if len(alts) == 1 and len(alts[0]) == 1 and not alts[0][0][0]:
             return alts[0][0][1]  # plain predicate, no sugar
         return ("path", alts)
@@ -658,22 +710,64 @@ class _Parser:
             cur = nxt
         return out
 
+    def _expand_pathx_alts(self, elements: list, s, alts, o) -> None:
+        """Closure-bearing path expansion: a single sequence extends
+        the current group in place; an alternation becomes a UNION
+        whose branches share the path's endpoints."""
+        if len(alts) == 1:
+            self._expand_seq_closures(elements, s, alts[0], o)
+        else:
+            branches = []
+            for seq in alts:
+                els: list = []
+                self._expand_seq_closures(els, s, seq, o)
+                branches.append(Group(els, []))
+            elements.append(("union", branches))
+
     def _expand_seq_closures(self, elements: list, s, seq, o) -> None:
         """Sequence expansion when some steps carry +/*/? — plain
         steps join as bgp triples, modified steps as closure frames,
-        all chained through fresh internal variables."""
+        parenthesized groups recursively (a MODIFIED group becomes a
+        ("closure_group", ...) element whose inner path is
+        pre-expanded between fresh endpoint variables; an unmodified
+        group expands inline), all chained through fresh internal
+        variables."""
         cur = s
-        for i, (inv, iri_, clo) in enumerate(seq):
+        for i, (inv, prim, clo) in enumerate(seq):
             nxt = o if i == len(seq) - 1 else self._fresh_path_var()
+            group_prim = isinstance(prim, tuple) and prim[0] == "group"
             if clo is not None:
-                elements.append(("closure", (cur, iri_, inv, clo, nxt)))
+                if group_prim:
+                    inner = (
+                        _invert_pathx_alts(prim[1]) if inv else prim[1]
+                    )
+                    g, srcv, dstv = self._group_for_path(inner)
+                    elements.append(
+                        ("closure_group", (cur, g, srcv, dstv, clo, nxt))
+                    )
+                else:
+                    elements.append(("closure", (cur, prim, inv, clo, nxt)))
+            elif group_prim:
+                inner = _invert_pathx_alts(prim[1]) if inv else prim[1]
+                self._expand_pathx_alts(elements, cur, inner, nxt)
             else:
-                pat = (nxt, iri_, cur) if inv else (cur, iri_, nxt)
+                pat = (nxt, prim, cur) if inv else (cur, prim, nxt)
                 if elements and elements[-1][0] == "bgp":
                     elements[-1][1].append(pat)
                 else:
                     elements.append(("bgp", [pat]))
             cur = nxt
+
+    def _group_for_path(self, alts):
+        """Pre-expand a nested path between two fresh internal
+        endpoint variables -> (Group, src_var, dst_var); the group is
+        evaluated at closure time to produce the edge frame the
+        transitive closure runs over."""
+        srcv = self._fresh_path_var()
+        dstv = self._fresh_path_var()
+        els: list = []
+        self._expand_pathx_alts(els, srcv, alts, dstv)
+        return Group(els, []), srcv, dstv
 
     def _expand_path(self, elements: list, s, alts, o) -> None:
         """Desugar: a sequence extends the current BGP with fresh
@@ -1796,15 +1890,8 @@ def _closure_frame(triples, s, iri_, inv, op, o) -> DataFrame:
     ASK-shaped emptiness probe and raise."""
     from pyspark.sql import functions as F
 
-    from argo_spark.ops.traversal import transitive_closure
-    from argo_spark.terms import format_term, term_nt_col
+    from argo_spark.terms import term_nt_col
 
-    s_var = isinstance(s, str) and s.startswith("?")
-    o_var = isinstance(o, str) and o.startswith("?")
-    if not s_var and not o_var:
-        raise SparqlSyntaxError(
-            "path closure with two constant endpoints is not supported"
-        )
     src_nt = term_nt_col(F.col("s_kind"), F.col("s_value"))
     dst_nt = term_nt_col(
         F.col("o_kind"), F.col("o_value"), F.col("o_lang"), F.col("o_dt")
@@ -1818,6 +1905,55 @@ def _closure_frame(triples, s, iri_, inv, op, o) -> DataFrame:
         edges = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
+    return _closure_pairs_frame(triples, s, o, edges, op)
+
+
+def _closure_group_frame(triples, s, group, srcv, dstv, op, o,
+                         structs: bool) -> DataFrame:
+    """Nested path closure ``s (path)+ o`` / ``*`` / ``?`` (SPARQL
+    1.1 §18.4 over a parenthesized path): the inner path — itself any
+    composition of sequences, alternations, inverses, and closures —
+    was pre-expanded at parse time into a Group binding two fresh
+    endpoint variables; its solution frame projected to those
+    endpoints IS the edge set, and the same pointer-doubling closure
+    machinery as the single-predicate case runs over it. Inversion
+    was already folded into the inner path at parse time
+    (``^(p/q)+`` -> ``(^q/^p)+``)."""
+    from pyspark.sql import functions as F
+
+    if structs:
+        raise SparqlSyntaxError(
+            "path closures inside CONSTRUCT are not supported"
+        )
+    inner = _eval_group_impl(triples, group, False, False)[0]
+    edges = inner.select(
+        F.col(srcv[1:]).alias("src"), F.col(dstv[1:]).alias("dst")
+    ).dropDuplicates()
+    return _closure_pairs_frame(triples, s, o, edges, op)
+
+
+def _closure_pairs_frame(triples, s, o, edges, op) -> DataFrame:
+    """Shared closure tail: run the doubling closure over an edge
+    frame (columns src, dst — NT forms), add §18.4 zero-length pairs
+    for '*'/'?', and turn the pair set into a solution frame over the
+    endpoint terms (variable endpoints bind, constant endpoints
+    filter)."""
+    from pyspark.sql import functions as F
+
+    from argo_spark.ops.traversal import transitive_closure
+    from argo_spark.terms import format_term, term_nt_col
+
+    s_var = isinstance(s, str) and s.startswith("?")
+    o_var = isinstance(o, str) and o.startswith("?")
+    if not s_var and not o_var:
+        raise SparqlSyntaxError(
+            "path closure with two constant endpoints is not supported"
+        )
+    src_nt = term_nt_col(F.col("s_kind"), F.col("s_value"))
+    dst_nt = term_nt_col(
+        F.col("o_kind"), F.col("o_value"), F.col("o_lang"), F.col("o_dt")
+    )
+
     def const_nt(t):
         if isinstance(t, Term):
             return format_term(t)
@@ -1903,16 +2039,298 @@ def _guard_non_nt_join(shared, non_nt, what: str) -> None:
         )
 
 
+def _subsets(items):
+    """All subsets of ``items`` as frozensets, deterministic order
+    (bitmask over the given sequence)."""
+    out = []
+    for mask in range(1 << len(items)):
+        out.append(frozenset(
+            items[i] for i in range(len(items)) if mask >> i & 1
+        ))
+    return out
+
+
+_COMPAT_MAX_LEGS = 64
+
+# boundness-mask tracking: each frame carries the set of POSSIBLE
+# "bound subsets" of its maybe-null variables (a frozenset per
+# distinct row shape; always-bound vars are implicit). None = unknown
+# (all subsets possible). Join-leg enumeration iterates observed
+# masks instead of the full powerset, so e.g. a UNION whose every
+# branch binds one of two vars never plans the both-unbound
+# cross-join leg. Past _MASK_CAP distinct masks the set collapses to
+# None — conservative, never wrong, just fewer pruned legs.
+_MASK_CAP = 32
+
+
+def _mask_cap(masks):
+    if masks is not None and len(masks) > _MASK_CAP:
+        return None
+    return masks
+
+
+def _mask_project(masks, nullable_vars, universe=None):
+    """Leg index sets: distinct (mask ∩ nullable_vars) over the
+    observed masks, or every subset when masks is None."""
+    sub = sorted(nullable_vars)
+    if masks is None:
+        return _subsets(sub)
+    want = set(sub)
+    return sorted(
+        {frozenset(m & want) for m in masks},
+        key=lambda s: sorted(s),
+    )
+
+
+def _join_masks(l_masks, l_bound_base, r_masks, r_bound_base,
+                new_nullable):
+    """Masks of a (compatibility or equi) join's output: every
+    combination of a left and a right row shape binds the union of
+    their bound sets; the result mask is that union restricted to the
+    joined frame's nullable vars. A superset of the truly reachable
+    masks (not every pair is compatible) — conservative, so leg
+    pruning stays correct."""
+    if l_masks is None or r_masks is None:
+        return None
+    out = set()
+    for ml in l_masks:
+        for mr in r_masks:
+            out.add(frozenset(
+                (l_bound_base | ml | r_bound_base | mr) & new_nullable
+            ))
+    return _mask_cap(out)
+
+
+def _compat_too_wide(shared, left_nulls, right_nulls,
+                     left_masks=None, right_masks=None) -> bool:
+    """Leg-count guard for the boundness decomposition: the number of
+    (left-mask, right-mask) pairs is bounded by
+    |left legs| * |right legs| (2^|leftN| * 2^|rightN| when masks are
+    unknown); past _COMPAT_MAX_LEGS the plan itself becomes the
+    problem and the conditional-join fallback wins."""
+    ln = [c for c in shared if c in left_nulls]
+    rn = [c for c in shared if c in right_nulls]
+    n_l = len(_mask_project(left_masks, ln))
+    n_r = len(_mask_project(right_masks, rn))
+    return n_l * n_r > _COMPAT_MAX_LEGS
+
+
+def _boundness_leg(df, bound, null, cols=None):
+    """Filter ``df`` to the rows where every var in ``bound`` is
+    bound and every var in ``null`` is unbound. ``cols`` maps var ->
+    column name (identity by default)."""
+    from pyspark.sql import functions as F
+
+    get = (lambda v: F.col(cols[v])) if cols else F.col
+    cond = F.lit(True)
+    for v in sorted(bound):
+        cond = cond & get(v).isNotNull()
+    for v in sorted(null):
+        cond = cond & get(v).isNull()
+    return df.where(cond)
+
+
+def _compat_join_frames(acc, frame, shared, left_nulls, right_nulls,
+                        left_masks=None, right_masks=None):
+    """SPARQL §18.5 compatibility Join as a UNION OF HASH EQUI-JOINS
+    (the 100-TB shape — no nested-loop/cartesian plan).
+
+    Decomposition: partition the LEFT into one leg per boundness mask
+    A of its possibly-unbound shared vars (each row lands in exactly
+    one leg). Within a leg every var in boundL = (shared − leftN) ∪ A
+    is definitely bound, so a right row is compatible iff each boundL
+    var is unbound-or-equal on the right — partition the RIGHT on the
+    boundness mask B of boundL ∩ rightN, and the (A, B) pair joins by
+    PLAIN EQUALITY on keys = (boundL − rightN) ∪ B. Vars outside keys
+    are unbound on a known side, so the merged binding is a straight
+    column pick (left if bound-left else right), never a runtime
+    coalesce. The all-unbound × all-unbound pair (keys = ∅) is the
+    one genuine cross join the semantics require; every other leg is
+    a shuffle/broadcast hash join Catalyst can optimize. Both inputs
+    are persisted when they feed >1 leg so the upstream plan runs
+    once, not 2^n times.
+
+    Returns the joined frame with acc's column order
+    followed by frame-only columns; term structs (__term__v) merge by
+    the same bound-side rule. Bag semantics preserved: the legs
+    partition the input, so the union is exact."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    leftN = sorted(c for c in shared if c in left_nulls)
+    rightN = set(c for c in shared if c in right_nulls)
+    shared_set = set(shared)
+    dup_structs = {
+        c[len(_TERM_STRUCT_PREFIX):]
+        for c in frame.columns
+        if c.startswith(_TERM_STRUCT_PREFIX) and c in acc.columns
+    }
+    out_cols = list(acc.columns) + [
+        c for c in frame.columns if c not in acc.columns
+    ]
+    ren = frame
+    for c in shared:
+        ren = ren.withColumnRenamed(c, "__jk_" + c)
+    for b in dup_structs:
+        ren = ren.withColumnRenamed(
+            _TERM_STRUCT_PREFIX + b, "__jks_" + b
+        )
+    left_legs = _mask_project(left_masks, leftN)
+    if len(left_legs) > 1:
+        acc = acc.persist()
+    if len(left_legs) > 1 or rightN & shared_set:
+        ren = ren.persist()
+    pieces = []
+    for A in left_legs:
+        legl = _boundness_leg(acc, A, set(leftN) - A)
+        bound_left = [
+            c for c in shared if c not in leftN or c in A
+        ]
+        bl_set = set(bound_left)
+        rightN_eff = sorted(c for c in bound_left if c in rightN)
+        for B in _mask_project(right_masks, rightN_eff):
+            keys = [
+                c for c in bound_left if c not in rightN_eff or c in B
+            ]
+            legr = _boundness_leg(
+                ren, B, set(rightN_eff) - B,
+                cols={v: "__jk_" + v for v in rightN_eff},
+            )
+            if keys:
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [F.col(k) == F.col("__jk_" + k) for k in keys],
+                )
+                j = legl.join(legr, cond, "inner")
+            else:
+                j = legl.crossJoin(legr)
+            sel = []
+            for c in out_cols:
+                if c in shared_set:
+                    sel.append(
+                        (F.col(c) if c in bl_set
+                         else F.col("__jk_" + c)).alias(c)
+                    )
+                elif (c.startswith(_TERM_STRUCT_PREFIX)
+                      and c[len(_TERM_STRUCT_PREFIX):] in dup_structs):
+                    b2 = c[len(_TERM_STRUCT_PREFIX):]
+                    sel.append(
+                        (F.col(c) if b2 in bl_set
+                         else F.col("__jks_" + b2)).alias(c)
+                    )
+                else:
+                    sel.append(F.col(c))
+            pieces.append(j.select(*sel))
+    return reduce(lambda a, b: a.union(b), pieces)
+
+
+def _compat_minus_frames(acc, sub, shared, left_nulls, right_nulls,
+                         left_masks=None, right_masks=None):
+    """SPARQL §8.3.3 MINUS with possibly-unbound shared vars as a
+    UNION OF HASH ANTI-JOINS over boundness legs (replacing the
+    conditional nested-loop anti join).
+
+    Per left leg A, dom(μ1) ∩ shared = boundL; μ1 is removed iff some
+    RHS row has every boundL var unbound-or-equal AND at least one
+    var bound on both sides. Partitioning the (deduped, projected)
+    RHS on B ⊆ boundL ∩ rightN makes each case a plain equi-join on
+    keys = (boundL − rightN) ∪ B; keys = ∅ means an empty domain
+    intersection, which per spec removes NOTHING, so that RHS leg is
+    simply skipped — the decomposition never needs a cross join.
+    Removal-by-any-leg composes as sequential left-anti joins."""
+    from pyspark.sql import functions as F  # noqa: F401  (parity w/ join)
+
+    leftN = sorted(c for c in shared if c in left_nulls)
+    rightN = set(c for c in shared if c in right_nulls)
+    ren = sub.select(*shared).dropDuplicates()
+    for c in shared:
+        ren = ren.withColumnRenamed(c, "__mk_" + c)
+    left_legs = _mask_project(left_masks, leftN)
+    if len(left_legs) > 1:
+        acc = acc.persist()
+    if len(left_legs) > 1 or rightN:
+        ren = ren.persist()
+    pieces = []
+    from functools import reduce
+
+    for A in left_legs:
+        legl = _boundness_leg(acc, A, set(leftN) - A)
+        bound_left = [c for c in shared if c not in leftN or c in A]
+        if not bound_left:
+            # disjoint domains: compatible but removes nothing (§8.3.3)
+            pieces.append(legl)
+            continue
+        rightN_eff = sorted(c for c in bound_left if c in rightN)
+        for B in _mask_project(right_masks, rightN_eff):
+            keys = [
+                c for c in bound_left if c not in rightN_eff or c in B
+            ]
+            if not keys:
+                continue  # no common bound var -> does not remove
+            legr = _boundness_leg(
+                ren, B, set(rightN_eff) - B,
+                cols={v: "__mk_" + v for v in rightN_eff},
+            )
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(k) == F.col("__mk_" + k) for k in keys],
+            )
+            legl = legl.join(legr, cond, "left_anti")
+        pieces.append(legl)
+    return reduce(lambda a, b: a.union(b), pieces)
+
+
+def _compat_leftjoin_frames(acc, sub, shared, left_nulls, right_nulls,
+                            deferred_filters=(), left_masks=None,
+                            right_masks=None):
+    """SPARQL LeftJoin (OPTIONAL) with possibly-unbound shared vars,
+    decomposed scale-first: matched = the §18.5 compatibility join
+    (union of hash equi-joins, _compat_join_frames) with any deferred
+    LeftJoin expressions (§18.2.1) applied to the MERGED rows
+    (expression error or false -> not a match); unmatched = a hash
+    anti-join of the id-stamped left against the matched ids,
+    null-extended with the right-only columns. The row id makes
+    'matched by ANY boundness leg' exact under bag semantics —
+    duplicate left rows keep independent ids and therefore
+    independent fates. Every join in the plan is hash-based; the left
+    is persisted so the id assignment is computed once."""
+    from pyspark.sql import functions as F
+
+    rid = "__lj_rid"
+    acc = acc.withColumn(rid, F.monotonically_increasing_id()).persist()
+    matched = _compat_join_frames(
+        acc, sub, shared, left_nulls, right_nulls,
+        left_masks, right_masks,
+    )
+    for f in deferred_filters:
+        matched = matched.where(_expr_col(f, matched.columns))
+    right_only = [c for c in sub.columns if c not in acc.columns]
+    rtypes = {fl.name: fl.dataType for fl in sub.schema.fields}
+    unmatched = acc.join(
+        matched.select(rid).dropDuplicates(), on=rid, how="left_anti"
+    ).select(
+        *acc.columns,
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in right_only],
+    )
+    cols = list(acc.columns) + right_only
+    return (
+        matched.select(*cols).union(unmatched.select(*cols)).drop(rid)
+    )
+
+
 def _eval_group_impl(
     triples: DataFrame,
     group: Group,
     in_optional: bool,
     structs: bool,
 ):
-    """-> (frame, maybe_null_vars, non_nt_vars): the solution frame,
-    the set of variables that may be NULL in some rows, and the set
-    of variables whose values are NOT NT forms (subquery aggregate
-    aliases) — unjoinable against ordinary bindings."""
+    """-> (frame, maybe_null_vars, non_nt_vars, masks): the solution
+    frame, the set of variables that may be NULL in some rows, the
+    set of variables whose values are NOT NT forms (subquery
+    aggregate aliases) — unjoinable against ordinary bindings — and
+    the set of possible boundness masks over the maybe-null vars
+    (None = unknown), used to prune compatibility-join legs."""
     from functools import reduce
 
     from argo_spark.ops.bgp import bgp_match
@@ -1920,9 +2338,11 @@ def _eval_group_impl(
     acc = None
     maybe_null: set[str] = set()
     non_nt: set[str] = set()
+    acc_masks = {frozenset()}
     for kind, payload in group.elements:
         frame_nulls: set[str] = set()
         frame_non_nt: set[str] = set()
+        frame_masks = {frozenset()}
         if kind == "bgp":
             frame = (
                 _bgp_frame_structs(triples, payload)
@@ -1935,6 +2355,8 @@ def _eval_group_impl(
                     "path closures inside CONSTRUCT are not supported"
                 )
             frame = _closure_frame(triples, *payload)
+        elif kind == "closure_group":
+            frame = _closure_group_frame(triples, *payload, structs)
         elif kind == "subquery":
             # §18.2.2.14: the subquery evaluates bottom-up against
             # the full graph (outer bindings are NOT visible inside)
@@ -1947,17 +2369,18 @@ def _eval_group_impl(
             frame, frame_nulls, frame_non_nt = _select_frame(
                 triples, payload
             )
+            frame_masks = {frozenset()} if not frame_nulls else None
         elif kind == "union":
             evaled = [
                 _eval_group_impl(triples, g, False, structs) for g in payload
             ]
-            frames = [f for f, _, _ in evaled]
+            frames = [f for f, _, _, _ in evaled]
             all_vars = set()
-            for f, nulls, nn in evaled:
+            for f, nulls, nn, _ in evaled:
                 all_vars |= set(_binding_vars(f.columns))
                 frame_nulls |= nulls
                 frame_non_nt |= nn
-            for f, _, _ in evaled:
+            for f, _, _, _ in evaled:
                 # vars absent from this branch are null in its rows
                 frame_nulls |= all_vars - set(_binding_vars(f.columns))
             # a variable that is a subquery aggregate alias in one
@@ -1965,7 +2388,7 @@ def _eval_group_impl(
             # merged: unionByName would ANSI-cast the NT strings into
             # the alias's numeric type and crash at runtime
             mixed = set()
-            for f, _, nn in evaled:
+            for f, _, nn, _ in evaled:
                 bound = set(_binding_vars(f.columns))
                 mixed |= (frame_non_nt & bound) - nn
             if mixed:
@@ -1978,6 +2401,26 @@ def _eval_group_impl(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True),
                 frames,
             )
+            # masks: each branch row binds (branch vars − branch
+            # nulls) ∪ its own mask — absent vars stay unbound, which
+            # is exactly what lets leg pruning skip e.g. the
+            # both-unbound cross leg when no branch can produce it
+            frame_masks = set()
+            for f, nulls, _, bmasks in evaled:
+                bvars = set(_binding_vars(f.columns))
+                if bmasks is None:
+                    if len(nulls & bvars) > 5:
+                        frame_masks = None
+                        break
+                    bmasks = _subsets(sorted(nulls & bvars))
+                for m in bmasks:
+                    frame_masks.add(
+                        frozenset(((bvars - nulls) | m) & frame_nulls)
+                    )
+                if frame_masks is not None and len(frame_masks) > _MASK_CAP:
+                    frame_masks = None
+                    break
+            frame_masks = _mask_cap(frame_masks)
         elif kind == "values":
             vnames, rows = payload
             for i, v in enumerate(vnames):
@@ -1986,6 +2429,14 @@ def _eval_group_impl(
             frame = _values_frame(
                 triples.sparkSession, vnames, rows, structs
             )
+            # exact masks straight from the inline rows
+            frame_masks = _mask_cap({
+                frozenset(
+                    v for i, v in enumerate(vnames)
+                    if r[i] is not None and v in frame_nulls
+                )
+                for r in rows
+            })
         elif kind == "bind":
             # BIND(expr AS ?v): extend each solution with the NT form
             # of the expression's value — a plain literal for
@@ -2050,6 +2501,11 @@ def _eval_group_impl(
             acc = acc.withColumn(bvar, ntc)
             # the expression may be NULL (error) — conservative
             maybe_null.add(bvar)
+            if acc_masks is not None:
+                acc_masks = _mask_cap(
+                    {m for m in acc_masks}
+                    | {m | {bvar} for m in acc_masks}
+                )
             continue
         elif kind == "minus":
             # SPARQL §8.3.3: remove solutions compatible with some
@@ -2065,7 +2521,7 @@ def _eval_group_impl(
             # (§8.3.3 — unlike the OPTIONAL LeftJoin expression), so a
             # filter referencing an outer var correctly evaluates it
             # as unbound rather than raising
-            sub, sub_nulls, sub_non_nt = _eval_group_impl(
+            sub, sub_nulls, sub_non_nt, sub_masks = _eval_group_impl(
                 triples, payload, False, structs
             )
             shared = [
@@ -2075,18 +2531,16 @@ def _eval_group_impl(
             if shared:
                 _guard_non_nt_join(shared, non_nt | sub_non_nt, "MINUS")
                 nullable = set(shared) & (maybe_null | sub_nulls)
-                if nullable:
+                if nullable and _compat_too_wide(
+                    shared, maybe_null, sub_nulls, acc_masks, sub_masks
+                ):
                     from pyspark.sql import functions as F
 
-                    # full §8.3.3 semantics when a shared var can be
-                    # unbound: remove μ1 iff some μ2 is COMPATIBLE
-                    # (each shared var unbound on either side or
-                    # equal) with a non-empty bound overlap. A
-                    # conditional anti join — Spark plans it as a
-                    # nested-loop against the DEDUPED projection of
-                    # the RHS, which is as small as the relation
-                    # itself; the all-bound case below keeps the
-                    # hash-anti-join fast path.
+                    # fallback past the leg cap: full §8.3.3 as ONE
+                    # conditional anti join (nested-loop against the
+                    # deduped RHS projection) — correct, not the
+                    # 100-TB shape, only reachable with 7+ nullable
+                    # shared vars
                     ren = sub.select(*shared).dropDuplicates()
                     for c in shared:
                         ren = ren.withColumnRenamed(c, f"__mk_{c}")
@@ -2099,6 +2553,13 @@ def _eval_group_impl(
                         o = l.isNotNull() & r.isNotNull()
                         overlap = o if overlap is None else overlap | o
                     acc = acc.join(ren, compat & overlap, "left_anti")
+                elif nullable:
+                    # full §8.3.3 semantics, 100-TB shape: union of
+                    # hash anti-joins over boundness legs
+                    acc = _compat_minus_frames(
+                        acc, sub, shared, maybe_null, sub_nulls,
+                        acc_masks, sub_masks,
+                    )
                 else:
                     acc = acc.join(
                         sub.select(*shared), on=shared, how="left_anti"
@@ -2113,7 +2574,7 @@ def _eval_group_impl(
             # LeftJoin EXPRESSION (§18.2.1) and becomes part of the
             # left join's condition (error -> no match -> the left
             # row survives alone, exactly the spec's else-arm)
-            probe, _pn, _pnn = _eval_group_impl(
+            probe, _pn, _pnn, _pm = _eval_group_impl(
                 triples, Group(payload.elements, []), True, structs
             )
             sub_bound = set(_binding_vars(probe.columns))
@@ -2125,7 +2586,7 @@ def _eval_group_impl(
                     plain_filters.append(f)
                 else:
                     deferred.append(f)
-            sub, sub_nulls, sub_non_nt = _eval_group_impl(
+            sub, sub_nulls, sub_non_nt, sub_masks = _eval_group_impl(
                 triples, Group(payload.elements, plain_filters), True,
                 structs,
             )
@@ -2139,12 +2600,34 @@ def _eval_group_impl(
                     "pattern is not supported"
                 )
             _guard_non_nt_join(shared, non_nt | sub_non_nt, "OPTIONAL")
-            _guard_compat_join(shared, maybe_null | sub_nulls, "OPTIONAL")
+            nullable = set(shared) & (maybe_null | sub_nulls)
+            if nullable and _compat_too_wide(
+                shared, maybe_null, sub_nulls, acc_masks, sub_masks
+            ):
+                # past the leg cap the decomposition's plan explodes;
+                # no conditional-left-join fallback exists, so keep
+                # the historical clear error
+                _guard_compat_join(
+                    shared, maybe_null | sub_nulls, "OPTIONAL"
+                )
             dup_structs = [
                 c for c in sub.columns
                 if c in acc.columns and c.startswith(_TERM_STRUCT_PREFIX)
             ]
-            if deferred:
+            if nullable:
+                if deferred and structs:
+                    raise SparqlSyntaxError(
+                        "OPTIONAL filters over outer variables inside "
+                        "CONSTRUCT are not supported"
+                    )
+                # possibly-unbound shared vars: boundness-decomposed
+                # LeftJoin (hash joins only); deferred LeftJoin
+                # expressions evaluate over the merged rows
+                acc = _compat_leftjoin_frames(
+                    acc, sub, shared, maybe_null, sub_nulls, deferred,
+                    acc_masks, sub_masks,
+                )
+            elif deferred:
                 if structs:
                     raise SparqlSyntaxError(
                         "OPTIONAL filters over outer variables inside "
@@ -2173,15 +2656,32 @@ def _eval_group_impl(
             else:
                 acc = acc.join(sub.drop(*dup_structs), on=shared, how="left")
             # every var the optional may or may not bind is nullable
-            maybe_null |= (
+            left_bvars = set(_binding_vars(acc.columns)) - (
                 set(_binding_vars(sub.columns)) - set(shared)
-            ) | sub_nulls
+            )
+            sub_bvars = set(_binding_vars(sub.columns))
+            new_null = maybe_null | (sub_bvars - set(shared)) | sub_nulls
+            # masks: matched rows bind left ∪ right shapes, unmatched
+            # rows keep the left shape alone
+            matched_m = _join_masks(
+                acc_masks, left_bvars - maybe_null,
+                sub_masks, sub_bvars - sub_nulls, new_null,
+            )
+            if matched_m is None or acc_masks is None:
+                acc_masks = None
+            else:
+                acc_masks = _mask_cap(matched_m | {
+                    frozenset(((left_bvars - maybe_null) | m) & new_null)
+                    for m in acc_masks
+                })
+            maybe_null = new_null
             non_nt |= sub_non_nt
             continue
         if acc is None:
             acc = frame
             maybe_null = frame_nulls
             non_nt = frame_non_nt
+            acc_masks = frame_masks
         else:
             shared = [
                 c for c in frame.columns
@@ -2192,15 +2692,16 @@ def _eval_group_impl(
                 c for c in frame.columns
                 if c in acc.columns and c.startswith(_TERM_STRUCT_PREFIX)
             ]
+            left_bvars = set(_binding_vars(acc.columns))
+            frame_bvars = set(_binding_vars(frame.columns))
+            old_null = set(maybe_null)
             nullable = set(shared) & (maybe_null | frame_nulls)
-            if nullable:
-                # SPARQL's compatibility JOIN (§18.5 Join): merge
-                # every COMPATIBLE pair — each shared var unbound on
-                # either side or equal, the merged binding being the
-                # bound one (coalesce; in struct mode the term struct
-                # coalesces alongside its NT column). Plans as a
-                # conditional join (nested-loop); the all-bound case
-                # below stays a hash equi-join.
+            if nullable and _compat_too_wide(
+                shared, maybe_null, frame_nulls, acc_masks, frame_masks
+            ):
+                # fallback past the leg cap (7+ nullable shared
+                # vars): SPARQL §18.5 Join as ONE conditional join —
+                # nested-loop plan, correct but not the 100-TB shape
                 from pyspark.sql import functions as F
 
                 ren = frame
@@ -2231,6 +2732,22 @@ def _eval_group_impl(
                 ) | (frame_nulls - set(shared)) | (
                     maybe_null & frame_nulls & set(shared)
                 )
+            elif nullable:
+                # SPARQL's compatibility JOIN (§18.5 Join), 100-TB
+                # shape: union of hash equi-joins over boundness legs
+                # (merged binding = the bound side, picked statically
+                # per leg — see _compat_join_frames)
+                acc = _compat_join_frames(
+                    acc, frame, shared, maybe_null, frame_nulls,
+                    acc_masks, frame_masks,
+                )
+                # a merged shared var stays nullable only if BOTH
+                # sides could leave it unbound
+                maybe_null = (
+                    maybe_null - set(shared)
+                ) | (frame_nulls - set(shared)) | (
+                    maybe_null & frame_nulls & set(shared)
+                )
             else:
                 frame = frame.drop(*dup_structs)
                 acc = (
@@ -2239,6 +2756,10 @@ def _eval_group_impl(
                     else acc.crossJoin(frame)
                 )
                 maybe_null |= frame_nulls
+            acc_masks = _join_masks(
+                acc_masks, left_bvars - old_null,
+                frame_masks, frame_bvars - frame_nulls, maybe_null,
+            )
             non_nt |= frame_non_nt
     if acc is None:
         raise SparqlSyntaxError("group has no graph patterns")
@@ -2250,7 +2771,7 @@ def _eval_group_impl(
             # (guarded). Uncorrelated EXISTS (no shared vars) would
             # need a whole-table emptiness probe — unsupported.
             positive, g = f[1], f[2]
-            sub, sub_nulls, sub_non_nt = _eval_group_impl(
+            sub, sub_nulls, sub_non_nt, _sm = _eval_group_impl(
                 triples, g, False, structs
             )
             shared = [
@@ -2302,7 +2823,7 @@ def _eval_group_impl(
             mark_cols: list[str] = []
             for node in ex_nodes:
                 positive, g = node[1], node[2]
-                sub, sub_nulls, sub_non_nt = _eval_group_impl(
+                sub, sub_nulls, sub_non_nt, _sm = _eval_group_impl(
                     triples, g, False, structs
                 )
                 shared = [
@@ -2339,7 +2860,7 @@ def _eval_group_impl(
                     f"unsupported)"
                 )
         acc = acc.where(_expr_col(f, acc.columns))
-    return acc, maybe_null, non_nt
+    return acc, maybe_null, non_nt, acc_masks
 
 
 def parse_select(query: str):
@@ -2961,7 +3482,7 @@ def _select_frame(triples: DataFrame, parts):
     variables, group, distinct, limit, order, offset, group_by, having = (
         parts
     )
-    out, group_nulls, group_non_nt = _eval_group_impl(
+    out, group_nulls, group_non_nt, _gmasks = _eval_group_impl(
         triples, group, False, False
     )
     agg_null_aliases: set[str] = set()

@@ -813,6 +813,92 @@ def test_path_closure_cycle_terminates(spark):
     ]
 
 
+def test_path_nested_group_static(spark):
+    # modifier-free parenthesized groups flatten statically:
+    # (knows|likes)/name distributes to knows/name | likes/name, and
+    # ^(knows/likes) reverses to ^likes/^knows
+    g = path_graph(spark)
+    out = sparql_select(
+        g,
+        "SELECT ?o WHERE { <http://e/b> "
+        "(<http://e/knows>|<http://e/likes>)/<http://e/name> ?o }",
+    )
+    assert [r.o for r in out.collect()] == ['"Cee"']
+    out = sparql_select(
+        g,
+        "SELECT ?x WHERE { <http://e/d> "
+        "^(<http://e/knows>/<http://e/likes>) ?x }",
+    )
+    assert [r.x for r in out.collect()] == ["<http://e/a>"]
+
+
+def test_path_nested_closure_seq(spark):
+    # (p/q)+ — the round-4 "nested closures raise" gap: the inner
+    # sequence compiles to an edge frame and the pointer-doubling
+    # closure runs over it
+    E = "http://e/"
+    chain = TripleGraph.of(
+        spark,
+        [
+            TripleT(iri(E + "a"), iri(E + "k"), iri(E + "b")),
+            TripleT(iri(E + "b"), iri(E + "k"), iri(E + "c")),
+            TripleT(iri(E + "c"), iri(E + "k"), iri(E + "d")),
+            TripleT(iri(E + "d"), iri(E + "k"), iri(E + "e")),
+        ],
+    ).df
+    out = sparql_select(
+        chain,
+        "SELECT ?o WHERE { <http://e/a> "
+        "(<http://e/k>/<http://e/k>)+ ?o } ORDER BY ?o",
+    )
+    # 2-hop edges a->c, b->d, c->e; closure from a: {c, e}
+    assert [r.o for r in out.collect()] == ["<http://e/c>", "<http://e/e>"]
+    # zero-or-more adds the zero-length pair (a, a)
+    out = sparql_select(
+        chain,
+        "SELECT ?o WHERE { <http://e/a> "
+        "(<http://e/k>/<http://e/k>)* ?o } ORDER BY ?o",
+    )
+    assert [r.o for r in out.collect()] == [
+        "<http://e/a>", "<http://e/c>", "<http://e/e>",
+    ]
+
+
+def test_path_nested_closure_alt_and_of_closure(spark):
+    g = path_graph(spark)
+    # (knows|likes)+ — closure over the union edge set
+    out = sparql_select(
+        g,
+        "SELECT ?o WHERE { <http://e/a> "
+        "(<http://e/knows>|<http://e/likes>)+ ?o } ORDER BY ?o",
+    )
+    assert [r.o for r in out.collect()] == [
+        "<http://e/b>", "<http://e/c>", "<http://e/d>",
+    ]
+    # closure-of-closure: (knows+)+ == knows+
+    out = sparql_select(
+        g,
+        "SELECT ?o WHERE { <http://e/a> (<http://e/knows>+)+ ?o } "
+        "ORDER BY ?o",
+    )
+    assert [r.o for r in out.collect()] == ["<http://e/b>", "<http://e/c>"]
+    # zero-or-one over a group: zero-length (a) + one inner-path hop
+    out = sparql_select(
+        g,
+        "SELECT ?o WHERE { <http://e/a> "
+        "(<http://e/knows>/<http://e/likes>)? ?o } ORDER BY ?o",
+    )
+    assert [r.o for r in out.collect()] == ["<http://e/a>", "<http://e/d>"]
+    # inverse of a closure-bearing group: ^(knows+) from c reaches
+    # everything that reaches c via knows+
+    out = sparql_select(
+        g,
+        "SELECT ?x WHERE { <http://e/c> ^(<http://e/knows>+) ?x } "
+        "ORDER BY ?x",
+    )
+    assert [r.x for r in out.collect()] == ["<http://e/a>", "<http://e/b>"]
+
+
 def test_path_var_reserved(spark):
     with pytest.raises(SparqlSyntaxError, match="path-variable"):
         sparql_select(
@@ -2541,3 +2627,131 @@ def test_construct_compat_join(spark):
         ("http://e/b", "Bob", "en"),
         ("http://e/c", "Cat", None),
     }
+
+
+def test_compat_join_plans_hash_joins_only(spark):
+    # round-5 scale fix: the §18.5 compatibility join decomposes into
+    # a UNION OF HASH EQUI-JOINS over boundness legs. Mask tracking
+    # knows every UNION branch binds exactly one of {?n, ?age}, so the
+    # both-unbound cross leg is pruned and the EXECUTED plan contains
+    # no nested-loop/cartesian operator at all.
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w ?n ?age WHERE {
+             { ?w s:name ?n } UNION { ?w s:age ?age }
+             ?w s:name ?n . ?w s:age ?age .
+           }""",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    rows = sorted((r.w, r.n, r.age) for r in out.collect())
+    a = ("<http://e/a>", '"Ada"',
+         '"36"^^<http://www.w3.org/2001/XMLSchema#integer>')
+    b = ("<http://e/b>", '"Bob"@en',
+         '"7"^^<http://www.w3.org/2001/XMLSchema#integer>')
+    # bag semantics: each entity matched once per UNION branch
+    assert rows == [a, a, b, b]
+
+
+def test_compat_minus_plans_hash_antijoins_only(spark):
+    # the §8.3.3 MINUS decomposition: the unbound-?age leg is kept
+    # outright (empty domain intersection removes nothing) and the
+    # bound leg is a plain hash anti-join — no nested-loop plan
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n ?age WHERE {
+             ?w s:name ?n OPTIONAL { ?w s:age ?age }
+             MINUS { ?x s:age ?age }
+           }""",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert {(r.n, r.age) for r in out.collect()} == {('"Cat"', None)}
+
+
+def test_optional_over_nullable_shared_var(spark):
+    # OPTIONAL whose shared var may be unbound on the left used to
+    # raise; now it runs via the boundness-decomposed LeftJoin. Cat's
+    # unbound ?age is compatible with Ada's age row (merged binding
+    # takes the bound side); Bob's 7 matches nothing -> null-extended.
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w ?age ?y WHERE {
+             { ?w s:age ?age } UNION { ?w s:name "Cat" }
+             OPTIONAL { ?y s:age ?age . ?y s:name "Ada" }
+           }""",
+    )
+    got = {(r.w, r.age, r.y) for r in out.collect()}
+    age36 = '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    age7 = '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert got == {
+        ("<http://e/a>", age36, "<http://e/a>"),
+        ("<http://e/b>", age7, None),
+        ("<http://e/c>", age36, "<http://e/a>"),
+    }
+
+
+def test_optional_nullable_shared_var_deferred_filter(spark):
+    # deferred LeftJoin expression (§18.2.1) over the decomposed
+    # path: FILTER references outer ?n, so it evaluates on the MERGED
+    # rows — only Cat's compat-matches survive as matches, everything
+    # else null-extends
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w ?n ?age ?y WHERE {
+             ?w s:name ?n
+             { ?w s:age ?age } UNION { ?w s:name "Cat" }
+             OPTIONAL { ?y s:age ?age FILTER(?n = "Cat") }
+           }""",
+    )
+    got = {(r.w, r.n, r.age, r.y) for r in out.collect()}
+    age36 = '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    age7 = '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert got == {
+        ("<http://e/a>", '"Ada"', age36, None),
+        ("<http://e/b>", '"Bob"@en', age7, None),
+        ("<http://e/c>", '"Cat"', age36, "<http://e/a>"),
+        ("<http://e/c>", '"Cat"', age7, "<http://e/b>"),
+    }
+
+
+def test_compat_leg_cap_fallback(spark):
+    # past _COMPAT_MAX_LEGS the decomposition would itself explode;
+    # the conditional-join fallback must still give §18.5 semantics.
+    import argo_spark.ops.sparql as sq
+    g = graph2(spark)
+    q = """PREFIX s: <http://schema.org/>
+           SELECT ?w ?age WHERE {
+             { ?w s:age ?age } UNION { ?w s:name "Cat" }
+             ?x s:age ?age .
+           }"""
+    expect = {
+        ("<http://e/a>", '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://e/b>", '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://e/c>", '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://e/c>", '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    }
+    qm = """PREFIX s: <http://schema.org/>
+           SELECT ?n ?age WHERE {
+             ?w s:name ?n OPTIONAL { ?w s:age ?age }
+             MINUS { ?x s:age ?age }
+           }"""
+    old = sq._COMPAT_MAX_LEGS
+    sq._COMPAT_MAX_LEGS = 0  # force every nullable join onto the fallback
+    try:
+        got = {(r.w, r.age) for r in sparql_select(g, q).collect()}
+        gotm = {(r.n, r.age) for r in sparql_select(g, qm).collect()}
+    finally:
+        sq._COMPAT_MAX_LEGS = old
+    assert got == expect
+    assert gotm == {('"Cat"', None)}
+    # and the default path agrees
+    assert {(r.w, r.age) for r in sparql_select(g, q).collect()} == expect
