@@ -878,6 +878,54 @@ def q_sparql_nested_closure(spark, sf_dir):
     )
 
 
+def q_sparql_named_graph(spark, sf_dir):
+    """§2.5 E3: named graphs (round 5) — the triples frame carries a
+    nullable g_value column (NULL = default graph); hasDoc links live
+    in the default graph, each doc's inLanguage triple in a per-source
+    named graph <http://graphs.example/srcN>. The query joins a
+    default-graph BGP against GRAPH ?g (every pattern scan projects
+    the graph IRI as the ?g join key — one hash-join plan, no
+    per-graph loop), with FROM NAMED restricting ?g to three sources.
+    DuckDB replays as a plain join with the source set inlined."""
+    from argo_spark.ops.sparql import sparql_select
+
+    GBASE = "http://graphs.example/"
+    d = _docs(spark, sf_dir)
+    inlang = d.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("s_value"),
+        F.lit(INLANG).alias("p_value"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.col("lang").alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.concat(F.lit(GBASE), F.col("source")).alias("g_value"),
+    )
+    hasdoc = d.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(SRC_BASE), F.col("source")).alias("s_value"),
+        F.lit(HASDOC).alias("p_value"),
+        F.lit(0).cast("tinyint").alias("o_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.lit(None).cast("string").alias("g_value"),
+    )
+    return sparql_select(
+        inlang.unionByName(hasdoc),
+        f"""PREFIX s: <http://schema.org/>
+            PREFIX v: <http://corpus.example/vocab#>
+            SELECT ?g ?src ?d ?lang
+            FROM NAMED <{GBASE}src1>
+            FROM NAMED <{GBASE}src2>
+            FROM NAMED <{GBASE}src3>
+            WHERE {{
+              ?src v:hasDoc ?d .
+              GRAPH ?g {{ ?d s:inLanguage ?lang }}
+            }}""",
+    )
+
+
 def q_sparql_agg_over_expr(spark, sf_dir):
     """§2.5 E3: aggregates over EXPRESSION targets — SUM(?n * 2) and
     AVG(STRLEN(?l)) per source; DuckDB replays with plain column
@@ -2098,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "sparql_nested_closure": q_sparql_nested_closure,
+        "sparql_named_graph": q_sparql_named_graph,
     }
 
 
@@ -3287,6 +3336,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<{DOC_BASE}' || s || '>' AS a,
                    '<{DOC_BASE}' || d || '>' AS b
             FROM cl
+        """,
+        "sparql_named_graph": f"""
+            SELECT '<http://graphs.example/' || source || '>' AS g,
+                   '<{SRC_BASE}' || source || '>' AS src,
+                   '<{DOC_BASE}' || doc_id || '>' AS d,
+                   '"' || lang || '"' AS lang
+            FROM documents
+            WHERE source IN ('src1', 'src2', 'src3')
         """,
         "sparql_nested_closure": f"""
             WITH RECURSIVE e2 AS (

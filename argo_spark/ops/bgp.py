@@ -55,6 +55,7 @@ def bgp_match(
     triples: DataFrame,
     patterns: Sequence[Pattern],
     distinct: bool = True,
+    graph_var: str | None = None,
 ) -> DataFrame:
     """Conjunctive pattern match. Returns one column per variable
     (named without the '?'), holding the binding's NT lexical form.
@@ -63,7 +64,10 @@ def bgp_match(
                       ("?s", SCHEMA+"name", "?name")])
 
     A variable repeated within ONE pattern constrains equality there
-    too (e.g. ("?x", p, "?x"))."""
+    too (e.g. ("?x", p, "?x")). ``graph_var`` (SPARQL GRAPH ?g):
+    every pattern scan additionally projects the row's ``g_value``
+    as ``<IRI>`` under that name, making the graph a shared join key
+    across all patterns — one hash-join plan, no per-graph loop."""
     if not patterns:
         raise ValueError("empty pattern list")
     acc = None
@@ -82,6 +86,10 @@ def bgp_match(
                     proj[var] = nt
             else:
                 cond = cond & _const_cond(pos, term)
+        if graph_var is not None:
+            proj[graph_var] = F.concat(
+                F.lit("<"), F.col("g_value"), F.lit(">")
+            )
         frame = triples.where(cond).select(
             *[c.alias(v) for v, c in proj.items()]
         )

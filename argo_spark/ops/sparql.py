@@ -430,6 +430,20 @@ class _Parser:
             elif kind == "kw" and val.upper() == "MINUS":
                 self.next()
                 elements.append(("minus", self.parse_group()))
+            elif kind == "kw" and val.upper() == "GRAPH":
+                # GRAPH (iri | ?var) GroupGraphPattern (§13.3)
+                self.next()
+                gk, gvv = self.peek()
+                if gk == "var":
+                    self.next()
+                    gterm = gvv
+                else:
+                    gterm = self.parse_term("s")
+                    if not isinstance(gterm, str) or gterm.startswith("?"):
+                        raise SparqlSyntaxError(
+                            "GRAPH needs an IRI or a variable"
+                        )
+                elements.append(("graph", (gterm, self.parse_group())))
             elif kind == "kw" and val.upper() == "VALUES":
                 self.next()
                 elements.append(self.parse_values())
@@ -1873,6 +1887,42 @@ def eval_group(
 
 _CLOSURE_MAX_ROUNDS = 10  # doubling rounds: covers diameters to 2^10
 
+# dataset stack for GRAPH evaluation: (quad_frame, named_iris | None)
+# pushed by _select_frame around its group evaluation. Plan building
+# is synchronous driver-side Python, so a plain stack (not a
+# contextvar) is race-free; subqueries inherit the top entry.
+_DATASET_CTX: list = []
+
+
+def _graph_var_frame(scope, gvar: str, gsub) -> DataFrame:
+    """GRAPH ?g { basic graph pattern + FILTERs }: every triple
+    pattern scan projects the row's graph IRI (NT form) as the ?g
+    binding column, so the pattern-joins key on ?g too — all patterns
+    match within ONE graph and ?g binds per solution, in a single
+    multi-way hash-join plan with no per-graph loop. Inner algebra
+    beyond BGP/FILTER (OPTIONAL, UNION, paths, ...) would need the
+    graph key threaded through every operator — unsupported, raise."""
+    from argo_spark.ops.bgp import bgp_match
+
+    pats = []
+    for k, payload in gsub.elements:
+        if k != "bgp":
+            raise SparqlSyntaxError(
+                "GRAPH ?var supports basic graph patterns and FILTERs "
+                f"only (found {k!r}); use GRAPH <iri> for full algebra"
+            )
+        pats.extend(payload)
+    for pat in pats:
+        if any(t == "?" + gvar for t in pat):
+            raise SparqlSyntaxError(
+                f"GRAPH variable ?{gvar} reused inside its own "
+                "pattern is not supported"
+            )
+    frame = bgp_match(scope, pats, distinct=False, graph_var=gvar)
+    for f in gsub.filters:
+        frame = frame.where(_expr_col(f, frame.columns))
+    return frame
+
 
 def _closure_frame(triples, s, iri_, inv, op, o) -> DataFrame:
     """Evaluate ``s p+ o`` / ``s p* o`` / ``s p? o`` (SPARQL 1.1
@@ -2357,6 +2407,36 @@ def _eval_group_impl(
             frame = _closure_frame(triples, *payload)
         elif kind == "closure_group":
             frame = _closure_group_frame(triples, *payload, structs)
+        elif kind == "graph":
+            # GRAPH (§13.3): evaluate against a named graph of the
+            # dataset instead of the active default graph
+            gterm, gsub = payload
+            if structs:
+                raise SparqlSyntaxError(
+                    "GRAPH inside CONSTRUCT is not supported"
+                )
+            if not _DATASET_CTX:
+                raise SparqlSyntaxError(
+                    "GRAPH requires a dataset — evaluate via a SELECT "
+                    "over a triples frame carrying a g_value column"
+                )
+            from pyspark.sql import functions as F
+
+            quads, named_iris = _DATASET_CTX[-1]
+            if isinstance(gterm, str) and gterm.startswith("?"):
+                scope = quads.where(F.col("g_value").isNotNull())
+                if named_iris is not None:
+                    scope = scope.where(
+                        F.col("g_value").isin(named_iris)
+                    )
+                frame = _graph_var_frame(scope, gterm[1:], gsub)
+            else:
+                scope = quads.where(F.col("g_value") == gterm)
+                if named_iris is not None and gterm not in named_iris:
+                    scope = scope.where(F.lit(False))
+                frame, frame_nulls, frame_non_nt, frame_masks = (
+                    _eval_group_impl(scope, gsub, False, structs)
+                )
         elif kind == "subquery":
             # §18.2.2.14: the subquery evaluates bottom-up against
             # the full graph (outer bindings are NOT visible inside)
@@ -2865,7 +2945,8 @@ def _eval_group_impl(
 
 def parse_select(query: str):
     """-> (vars | None for *, group: Group, distinct, limit | None,
-    order: list[(var, is_desc)], offset | None)."""
+    order: list[(var, is_desc)], offset | None, group_by, having,
+    dataset: (from_iris, from_named_iris) | None)."""
     p = _Parser(query)
     p.parse_prefixes()
     p.expect_kw("SELECT")
@@ -2920,6 +3001,29 @@ def _parse_select_body(p: "_Parser", stop_at_brace: bool = False):
                 break
         if not variables:
             raise SparqlSyntaxError("SELECT needs variables or *")
+    # dataset clauses (§13.2): FROM <g> merges named graphs into the
+    # query's default graph; FROM NAMED <g> restricts the set GRAPH
+    # can range over. Top-level only — a subquery (stop_at_brace)
+    # inherits the outer dataset per spec.
+    dataset = None
+    if not stop_at_brace:
+        default_iris: list[str] = []
+        named_iris: list[str] = []
+        while True:
+            kind, val = p.peek()
+            if not (kind == "kw" and val.upper() == "FROM"):
+                break
+            p.next()
+            k2, v2 = p.peek()
+            named = k2 == "kw" and v2.upper() == "NAMED"
+            if named:
+                p.next()
+            t = p.parse_term("s")
+            if not isinstance(t, str) or t.startswith("?"):
+                raise SparqlSyntaxError("FROM needs an IRI")
+            (named_iris if named else default_iris).append(t)
+        if default_iris or named_iris:
+            dataset = (default_iris, named_iris)
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "WHERE":
         p.next()
@@ -3021,7 +3125,8 @@ def _parse_select_body(p: "_Parser", stop_at_brace: bool = False):
     # tuples stay in the projection list — _select_frame evaluates
     # them over the aggregated frame (post-aggregation Extend)
     return (
-        variables, group, distinct, limit, order, offset, group_by, having
+        variables, group, distinct, limit, order, offset, group_by, having,
+        dataset,
     )
 
 
@@ -3476,15 +3581,54 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
 def _select_frame(triples: DataFrame, parts):
     """Evaluate a parsed SELECT -> (frame, maybe_null_vars). Shared by
     the top-level entry point and '{ SELECT ... }' subquery elements
-    (which need the null set for the compatibility-join guard)."""
+    (which need the null set for the compatibility-join guard).
+
+    Named-graph model: an optional nullable ``g_value`` column on the
+    triples frame carries each row's graph IRI (NULL = default
+    graph). With no FROM clause the active default graph is the
+    g-NULL rows; FROM <g>... replaces it with the SET UNION of the
+    named graphs (RDF merge — blank nodes are skolemized engine-wide,
+    so union IS merge). The full quad frame plus the FROM NAMED
+    restriction goes on _DATASET_CTX for GRAPH elements; a subquery
+    (dataset None, ctx non-empty) inherits the outer dataset per
+    §13.2. Frames without g_value behave exactly as before — no
+    filter, no ctx."""
     from pyspark.sql import functions as F
 
-    variables, group, distinct, limit, order, offset, group_by, having = (
-        parts
-    )
-    out, group_nulls, group_non_nt, _gmasks = _eval_group_impl(
-        triples, group, False, False
-    )
+    variables, group, distinct, limit, order, offset, group_by, having, \
+        dataset = parts
+    has_g = "g_value" in triples.columns
+    pushed = False
+    active = triples
+    if (dataset is not None or has_g) and not (
+        dataset is None and _DATASET_CTX
+    ):
+        quads = (
+            triples if has_g
+            else triples.withColumn(
+                "g_value", F.lit(None).cast("string")
+            )
+        )
+        default_iris, named_iris = dataset or ([], [])
+        if default_iris:
+            active = (
+                quads.where(F.col("g_value").isin(list(default_iris)))
+                .withColumn("g_value", F.lit(None).cast("string"))
+                .dropDuplicates()
+            )
+        elif has_g:
+            active = quads.where(F.col("g_value").isNull())
+        _DATASET_CTX.append(
+            (quads, list(named_iris) if named_iris else None)
+        )
+        pushed = True
+    try:
+        out, group_nulls, group_non_nt, _gmasks = _eval_group_impl(
+            active, group, False, False
+        )
+    finally:
+        if pushed:
+            _DATASET_CTX.pop()
     agg_null_aliases: set[str] = set()
     agg_non_nt: set[str] = set()
     internal = [c for c in out.columns if c.startswith(_PATH_VAR_PREFIX)]

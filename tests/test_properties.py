@@ -98,7 +98,8 @@ def test_sparql_parser_total(text):
     from argo_spark.ops.sparql import SparqlSyntaxError, parse_select
 
     try:
-        variables, group, distinct, limit, order, offset, group_by, having = parse_select(text)
+        (variables, group, distinct, limit, order, offset, group_by,
+         having, _dataset) = parse_select(text)
         assert group.elements or group.filters
     except SparqlSyntaxError:
         pass

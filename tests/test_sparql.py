@@ -31,7 +31,8 @@ def graph(spark):
 
 
 def test_parse_select_terms():
-    variables, group, distinct, limit, order, offset, group_by, having = parse_select(
+    (variables, group, distinct, limit, order, offset, group_by, having,
+     _ds) = parse_select(
         """PREFIX s: <http://schema.org/>
            SELECT DISTINCT ?x ?n WHERE {
              ?x a s:Person .
@@ -104,13 +105,13 @@ def test_trailing_clauses_rejected_not_ignored():
 
 
 def test_order_limit_offset_parse():
-    _, _, _, limit, order, offset, _gb, _hv = parse_select(
+    _, _, _, limit, order, offset, _gb, _hv, _ds = parse_select(
         "SELECT ?d WHERE { ?d ?p ?o } ORDER BY DESC(?o) ?d LIMIT 5 OFFSET 2"
     )
     assert order == [("o", True), ("d", False)]
     assert limit == 5 and offset == 2
     # LIMIT/OFFSET accepted in either order (SPARQL grammar)
-    _, _, _, limit, order, offset, _gb, _hv = parse_select(
+    _, _, _, limit, order, offset, _gb, _hv, _ds = parse_select(
         "SELECT ?d WHERE { ?d ?p ?o } OFFSET 2 LIMIT 5"
     )
     assert limit == 5 and offset == 2
@@ -2721,6 +2722,174 @@ def test_optional_nullable_shared_var_deferred_filter(spark):
         ("<http://e/c>", '"Cat"', age36, "<http://e/a>"),
         ("<http://e/c>", '"Cat"', age7, "<http://e/b>"),
     }
+
+
+# -- named graphs (GRAPH / FROM / FROM NAMED) ------------------------------
+
+
+def quad_graph(spark):
+    """Default graph: a name; graph <http://g/1>: a age; graph
+    <http://g/2>: b age + b name."""
+    from pyspark.sql import functions as F
+
+    E, S = "http://e/", "http://schema.org/"
+    XSDI = "http://www.w3.org/2001/XMLSchema#integer"
+
+    def tg(triples, g):
+        df = TripleGraph.of(spark, triples).df
+        return df.withColumn(
+            "g_value", F.lit(g).cast("string")
+        )
+
+    return (
+        tg([TripleT(iri(E + "a"), iri(S + "name"), literal("Ada"))], None)
+        .unionByName(tg(
+            [TripleT(iri(E + "a"), iri(S + "age"),
+                     literal("36", dt=XSDI))], "http://g/1"))
+        .unionByName(tg(
+            [TripleT(iri(E + "b"), iri(S + "age"), literal("7", dt=XSDI)),
+             TripleT(iri(E + "b"), iri(S + "name"), literal("Bob"))],
+            "http://g/2"))
+    )
+
+
+def test_graph_iri_scopes_and_default_excludes_named(spark):
+    q = quad_graph(spark)
+    # default-graph BGP sees only the g-NULL rows
+    out = sparql_select(
+        q, "PREFIX s: <http://schema.org/> "
+           "SELECT ?x ?n WHERE { ?x s:name ?n }"
+    )
+    assert {(r.x, r.n) for r in out.collect()} == {
+        ("<http://e/a>", '"Ada"')
+    }
+    # GRAPH <iri> scopes the inner pattern to that graph (full
+    # algebra inside — OPTIONAL works)
+    out = sparql_select(
+        q,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?x ?age ?n WHERE {
+             GRAPH <http://g/2> {
+               ?x s:age ?age OPTIONAL { ?x s:name ?n }
+             }
+           }""",
+    )
+    assert {(r.x, r.age, r.n) for r in out.collect()} == {
+        ("<http://e/b>", '"7"^^<http://www.w3.org/2001/XMLSchema#integer>',
+         '"Bob"'),
+    }
+
+
+def test_graph_var_binds_and_joins(spark):
+    q = quad_graph(spark)
+    out = sparql_select(
+        q,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?g ?x ?age WHERE { GRAPH ?g { ?x s:age ?age } }
+           ORDER BY ?g""",
+    )
+    assert [(r.g, r.x, r.age) for r in out.collect()] == [
+        ("<http://g/1>", "<http://e/a>",
+         '"36"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://g/2>", "<http://e/b>",
+         '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    ]
+    # multiple patterns inside GRAPH ?g must match within ONE graph:
+    # only g/2 holds both an age and a name for the same subject
+    out = sparql_select(
+        q,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?g WHERE { GRAPH ?g { ?x s:age ?a . ?x s:name ?n } }""",
+    )
+    assert [r.g for r in out.collect()] == ["<http://g/2>"]
+    # FILTER inside GRAPH ?g may reference ?g
+    out = sparql_select(
+        q,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?g WHERE {
+             GRAPH ?g { ?x s:age ?a FILTER(CONTAINS(STR(?g), "g/1")) }
+           }""",
+    )
+    assert [r.g for r in out.collect()] == ["<http://g/1>"]
+    # ?g bound outside joins against the graph binding
+    out = sparql_select(
+        q,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?g ?x WHERE {
+             VALUES ?g { <http://g/2> }
+             GRAPH ?g { ?x s:age ?a }
+           }""",
+    )
+    assert [(r.g, r.x) for r in out.collect()] == [
+        ("<http://g/2>", "<http://e/b>")
+    ]
+
+
+def test_from_and_from_named(spark):
+    q = quad_graph(spark)
+    # FROM merges the named graph into the query's default graph
+    out = sparql_select(
+        q,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?x ?age FROM <http://g/1> WHERE { ?x s:age ?age }""",
+    )
+    assert {(r.x, r.age) for r in out.collect()} == {
+        ("<http://e/a>", '"36"^^<http://www.w3.org/2001/XMLSchema#integer>')
+    }
+    # two FROM graphs: set union; the plain-default rows are excluded
+    out = sparql_select(
+        q,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?x FROM <http://g/1> FROM <http://g/2>
+           WHERE { ?x s:age ?a }""",
+    )
+    assert sorted(r.x for r in out.collect()) == [
+        "<http://e/a>", "<http://e/b>"
+    ]
+    out = sparql_select(
+        q,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?n FROM <http://g/1> WHERE { ?x s:name ?n }""",
+    )
+    assert [r.n for r in out.collect()] == []
+    # FROM NAMED restricts which graphs GRAPH ?g ranges over
+    out = sparql_select(
+        q,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?g ?x FROM NAMED <http://g/1>
+           WHERE { GRAPH ?g { ?x s:age ?a } }""",
+    )
+    assert [(r.g, r.x) for r in out.collect()] == [
+        ("<http://g/1>", "<http://e/a>")
+    ]
+    # GRAPH <iri> outside the FROM NAMED set is empty
+    out = sparql_select(
+        q,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?x FROM NAMED <http://g/1>
+           WHERE { GRAPH <http://g/2> { ?x s:age ?a } }""",
+    )
+    assert out.collect() == []
+
+
+def test_graph_guards(spark):
+    # a g-less frame has no dataset: GRAPH raises instead of
+    # silently matching nothing
+    with pytest.raises(SparqlSyntaxError, match="dataset"):
+        sparql_select(
+            graph2(spark),
+            "PREFIX s: <http://schema.org/> "
+            "SELECT ?g WHERE { GRAPH ?g { ?x s:age ?a } }",
+        )
+    # GRAPH ?var carries BGP+FILTER only; richer algebra raises
+    with pytest.raises(SparqlSyntaxError, match="GRAPH .var"):
+        sparql_select(
+            quad_graph(spark),
+            """PREFIX s: <http://schema.org/>
+               SELECT ?g WHERE {
+                 GRAPH ?g { ?x s:age ?a OPTIONAL { ?x s:name ?n } }
+               }""",
+        )
 
 
 def test_compat_leg_cap_fallback(spark):
