@@ -589,14 +589,32 @@ class _Parser:
         elif isinstance(p, tuple) and p[0] == "negset":
             # desugar: (s ?fresh o) + a group filter keeping
             # predicates outside the set; the fresh var is an
-            # internal path var (dropped from solutions)
-            pv = self._fresh_path_var()
-            pat = (s, pv, o)
-            if elements and elements[-1][0] == "bgp":
-                elements[-1][1].append(pat)
+            # internal path var (dropped from solutions). ^-inverse
+            # members match REVERSED edges against their own set;
+            # mixed sets become a UNION of the two directions (§9.1:
+            # NPS(s,o) = fwd-edges pred ∉ F ∪ reversed-edges
+            # pred ∉ I)
+            fwd, invs = p[1]
+            if fwd and invs:
+                branches = []
+                for subj, obj, iris in ((s, o, fwd), (o, s, invs)):
+                    pv = self._fresh_path_var()
+                    branches.append(Group(
+                        [("bgp", [(subj, pv, obj)])],
+                        [("notin_p", pv[1:], tuple(iris))],
+                    ))
+                elements.append(("union", branches))
             else:
-                elements.append(("bgp", [pat]))
-            filters.append(("notin_p", pv[1:], tuple(p[1])))
+                subj, obj, iris = (
+                    (s, o, fwd) if fwd else (o, s, invs)
+                )
+                pv = self._fresh_path_var()
+                pat = (subj, pv, obj)
+                if elements and elements[-1][0] == "bgp":
+                    elements[-1][1].append(pat)
+                else:
+                    elements.append(("bgp", [pat]))
+                filters.append(("notin_p", pv[1:], tuple(iris)))
         elif isinstance(p, tuple) and p[0] == "path":
             self._expand_path(elements, s, p[1], o)
         else:
@@ -621,21 +639,33 @@ class _Parser:
         if kind == "var":
             return self.parse_term("p")
         if kind == "op" and val == "!":
-            # negated property set: !iri | !(iri ('|' iri)*) — any
-            # predicate OUTSIDE the set (§9.1; the ^-inverse members
-            # of the full grammar are not supported)
+            # negated property set: !iri | !^iri | !(('^'? iri)
+            # ('|' '^'? iri)*) — §9.1 full grammar: forward members
+            # exclude predicates of forward edges, ^-inverse members
+            # exclude predicates of REVERSED edges; mixed sets union
+            # both match directions
             self.next()
+
+            def negset_member():
+                inv_m = False
+                if self.peek() == ("punct", "^"):
+                    self.next()
+                    inv_m = True
+                t = self.parse_term("p")
+                if not isinstance(t, str) or t.startswith("?"):
+                    raise SparqlSyntaxError(
+                        "negated property sets take plain IRIs"
+                    )
+                return inv_m, t
+
+            fwd: list[str] = []
+            invs: list[str] = []
             k2, v2 = self.peek()
-            iris = []
             if k2 == "punct" and v2 == "(":
                 self.next()
                 while True:
-                    t = self.parse_term("p")
-                    if not isinstance(t, str) or t.startswith("?"):
-                        raise SparqlSyntaxError(
-                            "negated property sets take plain IRIs"
-                        )
-                    iris.append(t)
+                    inv_m, t = negset_member()
+                    (invs if inv_m else fwd).append(t)
                     k3, v3 = self.peek()
                     if k3 == "punct" and v3 == "|":
                         self.next()
@@ -643,13 +673,9 @@ class _Parser:
                     break
                 self.expect_punct(")")
             else:
-                t = self.parse_term("p")
-                if not isinstance(t, str) or t.startswith("?"):
-                    raise SparqlSyntaxError(
-                        "negated property sets take plain IRIs"
-                    )
-                iris.append(t)
-            return ("negset", iris)
+                inv_m, t = negset_member()
+                (invs if inv_m else fwd).append(t)
+            return ("negset", (tuple(fwd), tuple(invs)))
 
         def elt():
             # elt := '^'? primary ('+' | '*' | '?')?
@@ -1888,10 +1914,46 @@ def eval_group(
 _CLOSURE_MAX_ROUNDS = 10  # doubling rounds: covers diameters to 2^10
 
 # dataset stack for GRAPH evaluation: (quad_frame, named_iris | None)
-# pushed by _select_frame around its group evaluation. Plan building
+# pushed by _resolve_dataset around group evaluation. Plan building
 # is synchronous driver-side Python, so a plain stack (not a
 # contextvar) is race-free; subqueries inherit the top entry.
 _DATASET_CTX: list = []
+
+
+def _resolve_dataset(triples: DataFrame, dataset):
+    """Resolve a query's RDF dataset (§13.2) -> (active_default_frame,
+    pushed). ``dataset`` = (from_iris, from_named_iris) or None. With
+    no FROM, the active default graph is the g-NULL rows of a quad
+    frame (a g-less frame is all-default, untouched); FROM replaces
+    it with the SET UNION of the named graphs (blank nodes are
+    skolemized engine-wide, so union IS the RDF merge). Pushes the
+    quad frame + FROM NAMED restriction on _DATASET_CTX for GRAPH
+    elements unless an outer context exists to inherit (subqueries);
+    caller must pop iff pushed."""
+    from pyspark.sql import functions as F
+
+    has_g = "g_value" in triples.columns
+    if (dataset is None and _DATASET_CTX) or (
+        dataset is None and not has_g
+    ):
+        return triples, False
+    quads = (
+        triples if has_g
+        else triples.withColumn("g_value", F.lit(None).cast("string"))
+    )
+    default_iris, named_iris = dataset or ([], [])
+    if default_iris:
+        active = (
+            quads.where(F.col("g_value").isin(list(default_iris)))
+            .withColumn("g_value", F.lit(None).cast("string"))
+            .dropDuplicates()
+        )
+    elif has_g:
+        active = quads.where(F.col("g_value").isNull())
+    else:
+        active = triples
+    _DATASET_CTX.append((quads, list(named_iris) if named_iris else None))
+    return active, True
 
 
 def _graph_var_frame(scope, gvar: str, gsub) -> DataFrame:
@@ -2943,6 +3005,30 @@ def _eval_group_impl(
     return acc, maybe_null, non_nt, acc_masks
 
 
+def _parse_dataset_clauses(p: "_Parser"):
+    """FROM <g> merges named graphs into the query's default graph;
+    FROM NAMED <g> restricts the set GRAPH can range over. ->
+    (default_iris, named_iris) or None when absent."""
+    default_iris: list[str] = []
+    named_iris: list[str] = []
+    while True:
+        kind, val = p.peek()
+        if not (kind == "kw" and val.upper() == "FROM"):
+            break
+        p.next()
+        k2, v2 = p.peek()
+        named = k2 == "kw" and v2.upper() == "NAMED"
+        if named:
+            p.next()
+        t = p.parse_term("s")
+        if not isinstance(t, str) or t.startswith("?"):
+            raise SparqlSyntaxError("FROM needs an IRI")
+        (named_iris if named else default_iris).append(t)
+    if default_iris or named_iris:
+        return (default_iris, named_iris)
+    return None
+
+
 def parse_select(query: str):
     """-> (vars | None for *, group: Group, distinct, limit | None,
     order: list[(var, is_desc)], offset | None, group_by, having,
@@ -3001,29 +3087,9 @@ def _parse_select_body(p: "_Parser", stop_at_brace: bool = False):
                 break
         if not variables:
             raise SparqlSyntaxError("SELECT needs variables or *")
-    # dataset clauses (§13.2): FROM <g> merges named graphs into the
-    # query's default graph; FROM NAMED <g> restricts the set GRAPH
-    # can range over. Top-level only — a subquery (stop_at_brace)
-    # inherits the outer dataset per spec.
-    dataset = None
-    if not stop_at_brace:
-        default_iris: list[str] = []
-        named_iris: list[str] = []
-        while True:
-            kind, val = p.peek()
-            if not (kind == "kw" and val.upper() == "FROM"):
-                break
-            p.next()
-            k2, v2 = p.peek()
-            named = k2 == "kw" and v2.upper() == "NAMED"
-            if named:
-                p.next()
-            t = p.parse_term("s")
-            if not isinstance(t, str) or t.startswith("?"):
-                raise SparqlSyntaxError("FROM needs an IRI")
-            (named_iris if named else default_iris).append(t)
-        if default_iris or named_iris:
-            dataset = (default_iris, named_iris)
+    # dataset clauses (§13.2) — top-level only: a subquery
+    # (stop_at_brace) inherits the outer dataset per spec
+    dataset = None if stop_at_brace else _parse_dataset_clauses(p)
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "WHERE":
         p.next()
@@ -3560,15 +3626,20 @@ def _order_cols(var: str, desc: bool, columns):
     return [x.asc_nulls_first() for x in comps]
 
 
-def parse_ask(query: str) -> Group:
+def parse_ask(query: str):
+    """-> (group: Group, dataset: (from_iris, named_iris) | None)."""
     p = _Parser(query)
     p.parse_prefixes()
     p.expect_kw("ASK")
+    dataset = _parse_dataset_clauses(p)
+    kind, val = p.peek()
+    if kind == "kw" and val.upper() == "WHERE":
+        p.next()
     group = p.parse_group()
     kind, val = p.peek()
     if kind is not None:
         raise SparqlSyntaxError(f"unsupported trailing clause at {val!r}")
-    return group
+    return group, dataset
 
 
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
@@ -3597,31 +3668,7 @@ def _select_frame(triples: DataFrame, parts):
 
     variables, group, distinct, limit, order, offset, group_by, having, \
         dataset = parts
-    has_g = "g_value" in triples.columns
-    pushed = False
-    active = triples
-    if (dataset is not None or has_g) and not (
-        dataset is None and _DATASET_CTX
-    ):
-        quads = (
-            triples if has_g
-            else triples.withColumn(
-                "g_value", F.lit(None).cast("string")
-            )
-        )
-        default_iris, named_iris = dataset or ([], [])
-        if default_iris:
-            active = (
-                quads.where(F.col("g_value").isin(list(default_iris)))
-                .withColumn("g_value", F.lit(None).cast("string"))
-                .dropDuplicates()
-            )
-        elif has_g:
-            active = quads.where(F.col("g_value").isNull())
-        _DATASET_CTX.append(
-            (quads, list(named_iris) if named_iris else None)
-        )
-        pushed = True
+    active, pushed = _resolve_dataset(triples, dataset)
     try:
         out, group_nulls, group_non_nt, _gmasks = _eval_group_impl(
             active, group, False, False
@@ -3853,9 +3900,15 @@ def _select_frame(triples: DataFrame, parts):
 
 
 def sparql_ask(triples: DataFrame, query: str) -> bool:
-    """ASK text -> bool (sparqlservice.go:57-70 semantics)."""
-    group = parse_ask(query)
-    return eval_group(triples, group).limit(1).count() > 0
+    """ASK text -> bool (sparqlservice.go:57-70 semantics); FROM /
+    FROM NAMED / GRAPH supported as in SELECT (round 5)."""
+    group, dataset = parse_ask(query)
+    active, pushed = _resolve_dataset(triples, dataset)
+    try:
+        return eval_group(active, group).limit(1).count() > 0
+    finally:
+        if pushed:
+            _DATASET_CTX.pop()
 
 
 # ---------------------------------------------------------------------------

@@ -1342,6 +1342,35 @@ def test_negated_property_set(spark):
         sparql_select(g, "SELECT ?o WHERE { ?s !?p ?o }")
 
 
+def test_negated_property_set_inverse_members(spark):
+    # §9.1 full grammar (round 5): ^-members match REVERSED edges
+    # against their own exclusion set
+    g = path_graph(spark)
+    # !^likes from d: reversed edges into d with pred NOT likes ->
+    # none (only b -likes-> d)
+    out = sparql_select(
+        g, "SELECT ?x WHERE { <http://e/d> !^<http://e/likes> ?x }"
+    )
+    assert out.collect() == []
+    # !^knows from d: reversed edge b -likes-> d qualifies
+    out = sparql_select(
+        g, "SELECT ?x WHERE { <http://e/d> !^<http://e/knows> ?x }"
+    )
+    assert [r.x for r in out.collect()] == ["<http://e/b>"]
+    # mixed set: forward edges not knows UNION reversed edges not
+    # likes, anchored at b — forward: b-likes->d qualifies (likes ∉
+    # excluded-fwd {knows}); reversed: a-knows->b qualifies (knows ∉
+    # excluded-inv {likes})
+    out = sparql_select(
+        g,
+        "SELECT ?x WHERE { <http://e/b> "
+        "!(<http://e/knows>|^<http://e/likes>) ?x } ORDER BY ?x",
+    )
+    assert [r.x for r in out.collect()] == [
+        "<http://e/a>", "<http://e/d>"
+    ]
+
+
 def test_filter_arithmetic(spark):
     g = graph2(spark)
     out = sparql_select(
@@ -2870,6 +2899,28 @@ def test_from_and_from_named(spark):
            WHERE { GRAPH <http://g/2> { ?x s:age ?a } }""",
     )
     assert out.collect() == []
+
+
+def test_ask_with_dataset(spark):
+    from argo_spark.ops.sparql import sparql_ask
+    q = quad_graph(spark)
+    assert sparql_ask(
+        q, "PREFIX s: <http://schema.org/> "
+           "ASK { GRAPH <http://g/1> { ?x s:age ?a } }"
+    )
+    assert not sparql_ask(
+        q, "PREFIX s: <http://schema.org/> "
+           "ASK { GRAPH <http://g/9> { ?x s:age ?a } }"
+    )
+    # FROM replaces the default graph: names live in default/g2 only
+    assert not sparql_ask(
+        q, "PREFIX s: <http://schema.org/> "
+           "ASK FROM <http://g/1> WHERE { ?x s:name ?n }"
+    )
+    assert sparql_ask(
+        q, "PREFIX s: <http://schema.org/> "
+           "ASK FROM <http://g/2> WHERE { ?x s:name ?n }"
+    )
 
 
 def test_graph_guards(spark):
