@@ -926,6 +926,46 @@ def q_sparql_named_graph(spark, sf_dir):
     )
 
 
+def q_sparql_update_graphs(spark, sf_dir):
+    """§2.5 E3: graph-aware SPARQL Update (round 5) — each doc's
+    inLanguage triple starts in a per-LANGUAGE named graph
+    <http://graphs.example/{lang}>; the update MOVEs the de graph to
+    eu, a WITH-scoped DELETE/INSERT re-homes the zh triples into a
+    cjk graph (quad template with a GRAPH block), and CLEAR drops
+    the fr graph. Read back via GRAPH ?g; DuckDB replays with a
+    CASE over lang + a WHERE exclusion. All plan shapes are hash
+    joins / filters over the quad frame — no per-graph loop."""
+    from argo_spark.ops.sparql import sparql_select, sparql_update
+
+    GBASE = "http://graphs.example/"
+    d = _docs(spark, sf_dir)
+    quads = d.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("s_value"),
+        F.lit(INLANG).alias("p_value"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.col("lang").alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.concat(F.lit(GBASE), F.col("lang")).alias("g_value"),
+    )
+    out = sparql_update(
+        quads,
+        f"""PREFIX s: <http://schema.org/>
+            MOVE GRAPH <{GBASE}de> TO GRAPH <{GBASE}eu> ;
+            WITH <{GBASE}zh>
+            DELETE {{ ?d s:inLanguage ?l }}
+            INSERT {{ GRAPH <{GBASE}cjk> {{ ?d s:inLanguage ?l }} }}
+            WHERE {{ ?d s:inLanguage ?l }} ;
+            CLEAR SILENT GRAPH <{GBASE}fr>""",
+    )
+    return sparql_select(
+        out,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?g ?d ?l WHERE { GRAPH ?g { ?d s:inLanguage ?l } }""",
+    )
+
+
 def q_sparql_agg_over_expr(spark, sf_dir):
     """§2.5 E3: aggregates over EXPRESSION targets — SUM(?n * 2) and
     AVG(STRLEN(?l)) per source; DuckDB replays with plain column
@@ -2155,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sparql_nested_closure": q_sparql_nested_closure,
         "sparql_named_graph": q_sparql_named_graph,
+        "sparql_update_graphs": q_sparql_update_graphs,
     }
 
 
@@ -3352,6 +3393,16 @@ def oracle_sql() -> dict[str, str]:
                    '"' || lang || '"' AS lang
             FROM documents
             WHERE source IN ('src1', 'src2', 'src3')
+        """,
+        "sparql_update_graphs": f"""
+            SELECT '<http://graphs.example/' ||
+                   CASE WHEN lang = 'de' THEN 'eu'
+                        WHEN lang = 'zh' THEN 'cjk'
+                        ELSE lang END || '>' AS g,
+                   '<{DOC_BASE}' || doc_id || '>' AS d,
+                   '"' || lang || '"' AS l
+            FROM documents
+            WHERE lang != 'fr'
         """,
         "sparql_nested_closure": f"""
             WITH RECURSIVE e2 AS (

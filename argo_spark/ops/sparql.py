@@ -1790,8 +1790,13 @@ def _null_str():
     return F.lit(None).cast("string")
 
 
-def _bgp_frame_structs(triples: DataFrame, patterns) -> DataFrame:
-    """bgp_match's join plan, plus a __term__<var> struct per variable."""
+def _bgp_frame_structs(
+    triples: DataFrame, patterns, graph_var: str | None = None
+) -> DataFrame:
+    """bgp_match's join plan, plus a __term__<var> struct per
+    variable. ``graph_var`` mirrors bgp_match's: every pattern scan
+    projects the row's graph IRI as an NT binding + struct, making
+    the graph a shared join key across patterns."""
     from pyspark.sql import functions as F
 
     from argo_spark.ops.bgp import _const_cond, _nt_for_position, _POS
@@ -1801,6 +1806,16 @@ def _bgp_frame_structs(triples: DataFrame, patterns) -> DataFrame:
         cond = F.lit(True)
         proj: dict = {}
         structs: dict = {}
+        if graph_var is not None:
+            proj[graph_var] = F.concat(
+                F.lit("<"), F.col("g_value"), F.lit(">")
+            )
+            structs[graph_var] = F.struct(
+                F.lit(0).cast("tinyint").alias("kind"),
+                F.col("g_value").alias("value"),
+                _null_str().alias("lang"),
+                _null_str().alias("dt"),
+            )
         for pos, term in zip(_POS, pat):
             if isinstance(term, str) and term.startswith("?"):
                 var = term[1:]
@@ -1956,14 +1971,16 @@ def _resolve_dataset(triples: DataFrame, dataset):
     return active, True
 
 
-def _graph_var_frame(scope, gvar: str, gsub) -> DataFrame:
+def _graph_var_frame(scope, gvar: str, gsub, structs: bool = False) -> DataFrame:
     """GRAPH ?g { basic graph pattern + FILTERs }: every triple
     pattern scan projects the row's graph IRI (NT form) as the ?g
     binding column, so the pattern-joins key on ?g too — all patterns
     match within ONE graph and ?g binds per solution, in a single
     multi-way hash-join plan with no per-graph loop. Inner algebra
     beyond BGP/FILTER (OPTIONAL, UNION, paths, ...) would need the
-    graph key threaded through every operator — unsupported, raise."""
+    graph key threaded through every operator — unsupported, raise.
+    ``structs`` (CONSTRUCT / Update templates) additionally carries
+    the __term__ struct per variable, ?g included."""
     from argo_spark.ops.bgp import bgp_match
 
     pats = []
@@ -1980,9 +1997,13 @@ def _graph_var_frame(scope, gvar: str, gsub) -> DataFrame:
                 f"GRAPH variable ?{gvar} reused inside its own "
                 "pattern is not supported"
             )
-    frame = bgp_match(scope, pats, distinct=False, graph_var=gvar)
+    frame = (
+        _bgp_frame_structs(scope, pats, graph_var=gvar)
+        if structs
+        else bgp_match(scope, pats, distinct=False, graph_var=gvar)
+    )
     for f in gsub.filters:
-        frame = frame.where(_expr_col(f, frame.columns))
+        frame = frame.where(_expr_col(f, _binding_vars(frame.columns)))
     return frame
 
 
@@ -2473,10 +2494,6 @@ def _eval_group_impl(
             # GRAPH (§13.3): evaluate against a named graph of the
             # dataset instead of the active default graph
             gterm, gsub = payload
-            if structs:
-                raise SparqlSyntaxError(
-                    "GRAPH inside CONSTRUCT is not supported"
-                )
             if not _DATASET_CTX:
                 raise SparqlSyntaxError(
                     "GRAPH requires a dataset — evaluate via a SELECT "
@@ -2491,7 +2508,9 @@ def _eval_group_impl(
                     scope = scope.where(
                         F.col("g_value").isin(named_iris)
                     )
-                frame = _graph_var_frame(scope, gterm[1:], gsub)
+                frame = _graph_var_frame(
+                    scope, gterm[1:], gsub, structs=structs
+                )
             else:
                 scope = quads.where(F.col("g_value") == gterm)
                 if named_iris is not None and gterm not in named_iris:
@@ -3478,11 +3497,16 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
 
 
 def _instantiate_template(
-    triples: DataFrame, template, group, limit=None, order=None, offset=None
+    triples: DataFrame, template, group, limit=None, order=None,
+    offset=None, quads=False, default_g=None
 ) -> DataFrame:
     """Struct-mode group evaluation + template instantiation (the
     CONSTRUCT engine, shared with SPARQL Update's DELETE/INSERT
-    templates)."""
+    templates). With ``quads``, template entries are ``(s, p, o, g)``
+    and the result carries ``g_value``: a quad's None graph slot
+    lands in ``default_g`` (the WITH graph) or the default graph; a
+    ``?var`` slot takes the solution's IRI binding (non-IRI or
+    unbound graph bindings drop the row — graph names are IRIs)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -3525,34 +3549,53 @@ def _instantiate_template(
 
     frames = []
     for pat in template:
-        s, p_, o = pat
-        frame = (
-            sols.select(
-                term_col(s, "s").alias("s"),
-                term_col(p_, "p").alias("p"),
-                term_col(o, "o").alias("o"),
-            )
-            .where(
-                F.col("s").isNotNull()
-                & F.col("p").isNotNull()
-                & F.col("o").isNotNull()
-                & (F.col("s.kind") != KIND_LITERAL)
-                & (F.col("p.kind") == F.lit(0))
-            )
-            .select(
-                F.col("s.kind").alias("s_kind"),
-                F.col("s.value").alias("s_value"),
-                F.col("p.value").alias("p_value"),
-                F.col("o.kind").alias("o_kind"),
-                F.col("o.value").alias("o_value"),
-                F.col("o.lang").alias("o_lang"),
-                F.col("o.dt").alias("o_dt"),
-            )
+        s, p_, o = pat[:3]
+        gslot = pat[3] if quads and len(pat) > 3 else None
+        sel = [
+            term_col(s, "s").alias("s"),
+            term_col(p_, "p").alias("p"),
+            term_col(o, "o").alias("o"),
+        ]
+        cond = (
+            F.col("s").isNotNull()
+            & F.col("p").isNotNull()
+            & F.col("o").isNotNull()
+            & (F.col("s.kind") != KIND_LITERAL)
+            & (F.col("p.kind") == F.lit(0))
         )
+        outcols = [
+            F.col("s.kind").alias("s_kind"),
+            F.col("s.value").alias("s_value"),
+            F.col("p.value").alias("p_value"),
+            F.col("o.kind").alias("o_kind"),
+            F.col("o.value").alias("o_value"),
+            F.col("o.lang").alias("o_lang"),
+            F.col("o.dt").alias("o_dt"),
+        ]
+        if quads:
+            if isinstance(gslot, str) and gslot.startswith("?"):
+                if gslot[1:] not in bound:
+                    raise SparqlSyntaxError(
+                        f"template graph var {gslot} is not bound in "
+                        "WHERE"
+                    )
+                sel.append(
+                    F.col(_TERM_STRUCT_PREFIX + gslot[1:]).alias("g")
+                )
+                cond = cond & F.col("g").isNotNull() & (
+                    F.col("g.kind") == F.lit(0)
+                )
+                outcols.append(F.col("g.value").alias("g_value"))
+            else:
+                outcols.append(
+                    F.lit(gslot if gslot is not None else default_g)
+                    .cast("string").alias("g_value")
+                )
+        frame = sols.select(*sel).where(cond).select(*outcols)
         frames.append(frame)
     out = reduce(lambda a, b: a.unionByName(b), frames)
     return out.dropDuplicates(
-        ["s_kind", "s_value", "p_value", "o_kind", "o_value", "o_lang", "o_dt"]
+        _QUAD_COLS if quads else _CANON_COLS
     )
 
 
@@ -3922,39 +3965,147 @@ _CANON_COLS = [
     "s_kind", "s_value", "p_value", "o_kind", "o_value", "o_lang", "o_dt"
 ]
 
+_QUAD_COLS = _CANON_COLS + ["g_value"]
 
-def _update_template(p: "_Parser", what: str):
-    """A '{ ... }' template block for Update: plain triples only —
-    filters, nested forms, property paths and blank nodes all raise
-    (template blank nodes would mean per-solution generation)."""
-    g = p.parse_group()
-    if g.filters or any(k != "bgp" for k, _ in g.elements):
-        raise SparqlSyntaxError(f"{what} template must be a plain triple block")
-    template = g.triples
+
+def _group_to_quads(g: "Group", what: str):
+    """A parsed template group -> list of quads ``(s, p, o, g)``:
+    ``g`` is None for the default graph (rebound to the WITH graph at
+    execution), an IRI string for ``GRAPH <g> { ... }`` blocks, or a
+    ``?var`` from ``GRAPH ?g { ... }``. Filters, nested forms,
+    property paths and blank nodes all raise (template blank nodes
+    would mean per-solution generation)."""
+    if g.filters:
+        raise SparqlSyntaxError(
+            f"{what} template must be a plain triple block"
+        )
+    quads: list[tuple] = []
+    for kind, payload in g.elements:
+        if kind == "bgp":
+            quads.extend((s, pp, o, None) for s, pp, o in payload)
+        elif kind == "graph":
+            gterm, gsub = payload
+            if gsub.filters or any(
+                k != "bgp" for k, _ in gsub.elements
+            ):
+                raise SparqlSyntaxError(
+                    f"GRAPH block in a {what} template must be a "
+                    "plain triple block"
+                )
+            quads.extend(
+                (s, pp, o, gterm)
+                for _, pats in gsub.elements
+                for s, pp, o in pats
+            )
+        else:
+            raise SparqlSyntaxError(
+                f"{what} template must be a plain triple block"
+            )
     if any(
         isinstance(t, str) and t.startswith("?" + _PATH_VAR_PREFIX)
-        for triple in template
-        for t in triple
+        for q4 in quads
+        for t in q4[:3]
     ):
         raise SparqlSyntaxError(
             f"blank nodes / property paths in a {what} template are "
             "not supported"
         )
-    return template
+    return quads
+
+
+def _update_template(p: "_Parser", what: str):
+    """A '{ ... }' template block for Update -> quads (see
+    ``_group_to_quads``)."""
+    return _group_to_quads(p.parse_group(), what)
+
+
+def _parse_using(p: "_Parser"):
+    """``USING <g>`` / ``USING NAMED <g>`` clauses (§3.1.3, the
+    Update twin of FROM / FROM NAMED) -> (default_iris, named_iris)
+    or None when absent."""
+    default_iris: list[str] = []
+    named_iris: list[str] = []
+    while True:
+        kind, val = p.peek()
+        if not (kind == "kw" and val.upper() == "USING"):
+            break
+        p.next()
+        k2, v2 = p.peek()
+        named = k2 == "kw" and v2.upper() == "NAMED"
+        if named:
+            p.next()
+        t = p.parse_term("s")
+        if not isinstance(t, str) or t.startswith("?"):
+            raise SparqlSyntaxError("USING needs an IRI")
+        (named_iris if named else default_iris).append(t)
+    if default_iris or named_iris:
+        return (default_iris, named_iris)
+    return None
+
+
+def _maybe_silent(p: "_Parser") -> bool:
+    kind, val = p.peek()
+    if kind == "kw" and val.upper() == "SILENT":
+        p.next()
+        return True
+    return False
+
+
+def _graph_ref(p: "_Parser", *, management: str):
+    """GraphRef for CLEAR/DROP (§3.2.2): GRAPH <iri> | DEFAULT |
+    NAMED | ALL -> ("graph", iri) | "default" | "named" | "all"."""
+    kind, val = p.peek()
+    w = val.upper() if kind == "kw" else ""
+    if w == "GRAPH":
+        p.next()
+        t = p.parse_term("s")
+        if not isinstance(t, str) or t.startswith("?"):
+            raise SparqlSyntaxError(f"{management} GRAPH needs an IRI")
+        return ("graph", t)
+    if w in ("DEFAULT", "NAMED", "ALL"):
+        p.next()
+        return w.lower()
+    raise SparqlSyntaxError(
+        f"{management} takes GRAPH <iri> | DEFAULT | NAMED | ALL"
+    )
+
+
+def _graph_or_default(p: "_Parser", *, management: str):
+    """GraphOrDefault for ADD/MOVE/COPY (§3.2.3): DEFAULT | GRAPH?
+    <iri> -> ("graph", iri) | "default"."""
+    kind, val = p.peek()
+    if kind == "kw" and val.upper() == "DEFAULT":
+        p.next()
+        return "default"
+    if kind == "kw" and val.upper() == "GRAPH":
+        p.next()
+    t = p.parse_term("s")
+    if not isinstance(t, str) or t.startswith("?"):
+        raise SparqlSyntaxError(f"{management} needs an IRI or DEFAULT")
+    return ("graph", t)
 
 
 def parse_update(query: str) -> list[tuple]:
     """-> list of operations, each one of::
 
-        ("data", is_delete, [(s, p, o) constant triples])
-        ("modify", delete_tmpl | None, insert_tmpl | None, Group)
+        ("data", is_delete, [(s, p, o, g) constant quads])
+        ("modify", delete_tmpl | None, insert_tmpl | None, Group,
+         with_iri | None, using | None)
+        ("clear", target, silent)        # CLEAR and DROP (see note)
+        ("create", iri, silent)          # recorded no-op
+        ("xfer", "add" | "copy" | "move", src, dst, silent)
 
-    Grammar subset: ``INSERT DATA { t... }`` / ``DELETE DATA
-    { t... }`` / ``DELETE WHERE { pattern }`` (the pattern doubles as
-    the template, spec §3.1.3.2) / ``(DELETE { tmpl })? (INSERT
-    { tmpl })? WHERE { pattern }``, chained with ``;``. Not covered:
-    GRAPH/WITH/USING (no named graphs in the data model), LOAD/CLEAR/
-    CREATE/DROP (graph management is the storage layer's job)."""
+    Grammar: ``INSERT DATA`` / ``DELETE DATA`` (quad blocks with
+    ``GRAPH <g> { ... }``), ``DELETE WHERE`` (the quad pattern
+    doubles as the template, §3.1.3.2), ``WITH <g>``? ``(DELETE
+    { tmpl })? (INSERT { tmpl })? USING... WHERE { pattern }``, and
+    the graph-management ops ``CLEAR`` / ``DROP`` / ``CREATE`` /
+    ``ADD`` / ``MOVE`` / ``COPY`` (targets per §3.2.2-3.2.3),
+    chained with ``;``. CLEAR and DROP are the same operation here —
+    this store does not record empty graphs (documented divergence:
+    DROP of a MISSING named graph without SILENT raises, matching
+    §3.2.2's SHOULD). Not covered: LOAD (network I/O belongs to the
+    CLI source layer, cli.py)."""
     p = _Parser(query)
     p.parse_prefixes()
     ops: list[tuple] = []
@@ -3963,41 +4114,56 @@ def parse_update(query: str) -> list[tuple]:
         if kind is None:
             break
         w = val.upper() if kind == "kw" else ""
+        with_iri = None
+        if w == "WITH":
+            # §3.1.3: names the template target graph AND (absent
+            # USING) the WHERE clause's active default graph
+            p.next()
+            t = p.parse_term("s")
+            if not isinstance(t, str) or t.startswith("?"):
+                raise SparqlSyntaxError("WITH needs an IRI")
+            with_iri = t
+            kind, val = p.peek()
+            w = val.upper() if kind == "kw" else ""
+            if w not in ("INSERT", "DELETE"):
+                raise SparqlSyntaxError(
+                    "WITH must precede a DELETE/INSERT operation"
+                )
         if w == "INSERT":
             p.next()
             k2, v2 = p.peek()
             if k2 == "kw" and v2.upper() == "DATA":
+                if with_iri is not None:
+                    raise SparqlSyntaxError(
+                        "WITH is not allowed on INSERT DATA (use a "
+                        "GRAPH block in the data)"
+                    )
                 p.next()
                 ops.append(("data", False, _update_template(p, "INSERT DATA")))
             else:
                 tmpl = _update_template(p, "INSERT")
+                using = _parse_using(p)
                 p.expect_kw("WHERE")
-                ops.append(("modify", None, tmpl, p.parse_group()))
+                ops.append(
+                    ("modify", None, tmpl, p.parse_group(), with_iri, using)
+                )
         elif w == "DELETE":
             p.next()
             k2, v2 = p.peek()
             if k2 == "kw" and v2.upper() == "DATA":
+                if with_iri is not None:
+                    raise SparqlSyntaxError(
+                        "WITH is not allowed on DELETE DATA (use a "
+                        "GRAPH block in the data)"
+                    )
                 p.next()
                 ops.append(("data", True, _update_template(p, "DELETE DATA")))
             elif k2 == "kw" and v2.upper() == "WHERE":
-                # DELETE WHERE: the pattern IS the template
+                # DELETE WHERE: the quad pattern IS the template
                 p.next()
                 g = p.parse_group()
-                if g.filters or any(k != "bgp" for k, _ in g.elements):
-                    raise SparqlSyntaxError(
-                        "DELETE WHERE takes a plain triple block"
-                    )
-                if any(
-                    isinstance(t, str)
-                    and t.startswith("?" + _PATH_VAR_PREFIX)
-                    for triple in g.triples
-                    for t in triple
-                ):
-                    raise SparqlSyntaxError(
-                        "blank nodes / property paths in DELETE WHERE "
-                        "are not supported"
-                    )
-                ops.append(("modify", g.triples, None, g))
+                tmpl = _group_to_quads(g, "DELETE WHERE")
+                ops.append(("modify", tmpl, None, g, with_iri, None))
             else:
                 del_tmpl = _update_template(p, "DELETE")
                 ins_tmpl = None
@@ -4005,8 +4171,36 @@ def parse_update(query: str) -> list[tuple]:
                 if k3 == "kw" and v3.upper() == "INSERT":
                     p.next()
                     ins_tmpl = _update_template(p, "INSERT")
+                using = _parse_using(p)
                 p.expect_kw("WHERE")
-                ops.append(("modify", del_tmpl, ins_tmpl, p.parse_group()))
+                ops.append(
+                    ("modify", del_tmpl, ins_tmpl, p.parse_group(),
+                     with_iri, using)
+                )
+        elif w in ("CLEAR", "DROP"):
+            p.next()
+            silent = _maybe_silent(p)
+            ops.append(("clear", _graph_ref(p, management=w), silent))
+        elif w == "CREATE":
+            p.next()
+            silent = _maybe_silent(p)
+            p.expect_kw("GRAPH")
+            t = p.parse_term("s")
+            if not isinstance(t, str) or t.startswith("?"):
+                raise SparqlSyntaxError("CREATE GRAPH needs an IRI")
+            ops.append(("create", t, silent))
+        elif w in ("ADD", "MOVE", "COPY"):
+            p.next()
+            silent = _maybe_silent(p)
+            src = _graph_or_default(p, management=w)
+            p.expect_kw("TO")
+            dst = _graph_or_default(p, management=w)
+            ops.append(("xfer", w.lower(), src, dst, silent))
+        elif w == "LOAD":
+            raise SparqlSyntaxError(
+                "LOAD is not supported — ingest via the rdf CLI "
+                "source layer, then INSERT from a frame"
+            )
         else:
             raise SparqlSyntaxError(f"unsupported update operation {val!r}")
         if p.peek() == ("punct", ";"):
@@ -4020,14 +4214,16 @@ def parse_update(query: str) -> list[tuple]:
     return ops
 
 
-def _const_triples_frame(spark, template) -> DataFrame:
-    """Constant template triples -> TRIPLE_COLS frame (driver-side
-    literal rows — DATA blocks are by definition enumerable text)."""
+def _const_triples_frame(spark, template, quads: bool = False) -> DataFrame:
+    """Constant template quads -> canonical frame (driver-side
+    literal rows — DATA blocks are by definition enumerable text).
+    With ``quads`` the frame carries ``g_value`` (NULL = default
+    graph); the graph slot of a DATA quad must be a constant IRI."""
     from argo_spark.terms import KIND_IRI
 
     rows = []
-    for s, p_, o in template:
-        for t, pos in ((s, "s"), (p_, "p"), (o, "o")):
+    for s, p_, o, g in template:
+        for t in (s, p_, o, g):
             if isinstance(t, str) and t.startswith("?"):
                 raise SparqlSyntaxError(
                     "DATA blocks take constant triples (no variables)"
@@ -4035,87 +4231,213 @@ def _const_triples_frame(spark, template) -> DataFrame:
         if isinstance(s, Term):
             raise SparqlSyntaxError("literal in subject position")
         o_term = o if isinstance(o, Term) else None
-        rows.append(
-            (
-                int(KIND_IRI),
-                s,
-                p_,
-                int(o_term.kind) if o_term else int(KIND_IRI),
-                o_term.value if o_term else o,
-                (o_term.lang or None) if o_term else None,
-                o_term.dt if o_term else None,
-            )
+        row = (
+            int(KIND_IRI),
+            s,
+            p_,
+            int(o_term.kind) if o_term else int(KIND_IRI),
+            o_term.value if o_term else o,
+            (o_term.lang or None) if o_term else None,
+            o_term.dt if o_term else None,
         )
-    return spark.createDataFrame(
-        rows,
+        rows.append(row + (g,) if quads else row)
+    schema = (
         "s_kind tinyint, s_value string, p_value string, o_kind tinyint, "
-        "o_value string, o_lang string, o_dt string",
+        "o_value string, o_lang string, o_dt string"
     )
+    if quads:
+        schema += ", g_value string"
+    return spark.createDataFrame(rows, schema)
 
 
-def _graph_minus(triples: DataFrame, gone: DataFrame) -> DataFrame:
+def _graph_minus(triples: DataFrame, gone: DataFrame, cols=None) -> DataFrame:
     """Null-safe anti-join on the canonical columns (removes ALL
     copies of each matched triple — RDF Update is set-semantic even
     though the store keeps bag multiplicity, documented)."""
     from pyspark.sql import functions as F
 
+    cols = cols or _CANON_COLS
     left = triples.alias("l")
-    right = gone.select(*_CANON_COLS).dropDuplicates().alias("r")
+    right = gone.select(*cols).dropDuplicates().alias("r")
     cond = [
-        F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")) for c in _CANON_COLS
+        F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")) for c in cols
     ]
     return left.join(right, on=cond, how="left_anti")
 
 
-def _graph_plus(triples: DataFrame, new: DataFrame) -> DataFrame:
+def _graph_plus(triples: DataFrame, new: DataFrame, cols=None) -> DataFrame:
     """Set-semantic insert: add each NEW triple once, leave existing
     multiplicity untouched (the closest embedding of RDF Update's
     set semantics in this bag-multiplicity store)."""
     from pyspark.sql import functions as F
 
-    fresh = new.select(*_CANON_COLS).dropDuplicates()
+    cols = cols or _CANON_COLS
+    fresh = new.select(*cols).dropDuplicates()
     left = fresh.alias("l")
-    right = triples.select(*_CANON_COLS).dropDuplicates().alias("r")
+    right = triples.select(*cols).dropDuplicates().alias("r")
     cond = [
-        F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")) for c in _CANON_COLS
+        F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")) for c in cols
     ]
     fresh = left.join(right, on=cond, how="left_anti")
-    return triples.select(*_CANON_COLS).unionByName(fresh)
+    return triples.select(*cols).unionByName(fresh)
+
+
+def _op_touches_graphs(op) -> bool:
+    """True when an update op syntactically references named graphs
+    (decides quad-mode OUTPUT for a g-less input frame — static, no
+    data scan)."""
+    kind = op[0]
+    if kind == "data":
+        return any(q[3] is not None for q in op[2])
+    if kind == "modify":
+        _, del_tmpl, ins_tmpl, _group, with_iri, using = op
+        return (
+            with_iri is not None
+            or using is not None
+            or any(
+                q[3] is not None
+                for q in (del_tmpl or []) + (ins_tmpl or [])
+            )
+        )
+    return kind in ("clear", "create", "xfer")
+
+
+def _g_keep_pred(target):
+    """Rows that SURVIVE removing ``target``'s graph(s) (§3.2.2
+    GraphRef). NULL g_value = default graph, so negations must keep
+    NULL rows explicitly."""
+    from pyspark.sql import functions as F
+
+    g = F.col("g_value")
+    if target == "default":
+        return g.isNotNull()
+    if target == "named":
+        return g.isNull()
+    if target == "all":
+        return F.lit(False)
+    return g.isNull() | (g != target[1])
+
+
+def _graph_exists_or_raise(quads, target, silent, what):
+    """§3.2.2-3.2.3: operating on a MISSING named graph is an error
+    unless SILENT. One scalar driver-side probe per management op."""
+    from pyspark.sql import functions as F
+
+    if silent or not isinstance(target, tuple):
+        return
+    if quads.where(F.col("g_value") == target[1]).limit(1).count() == 0:
+        raise ValueError(
+            f"{what}: graph <{target[1]}> does not exist (use SILENT "
+            "to ignore)"
+        )
+
+
+def _xfer_graph(quads, kind, src, dst, silent) -> DataFrame:
+    """ADD / COPY / MOVE (§3.2.3-3.2.5) over the quad frame. Same
+    source and destination is a no-op per spec."""
+    from pyspark.sql import functions as F
+
+    if src == dst:
+        return quads
+    _graph_exists_or_raise(quads, src, silent, kind.upper())
+    src_pred = ~_g_keep_pred(src) if src != "default" else F.col(
+        "g_value").isNull()
+    dst_iri = dst[1] if isinstance(dst, tuple) else None
+    moved = quads.where(src_pred).withColumn(
+        "g_value", F.lit(dst_iri).cast("string")
+    )
+    if kind == "add":
+        # set-semantic insert of src's data into dst
+        return _graph_plus(quads, moved, _QUAD_COLS)
+    kept = quads.where(_g_keep_pred(dst if isinstance(dst, tuple)
+                                    else "default"))
+    if kind == "move":
+        kept = kept.where(_g_keep_pred(src))
+    # COPY/MOVE drop dst wholesale then land src's rows (bag
+    # multiplicity preserved — the graph is copied as-is)
+    return kept.unionByName(moved)
 
 
 def sparql_update(triples: DataFrame, update: str) -> DataFrame:
-    """Apply a SPARQL 1.1 Update request to a triples frame and
-    return the NEW frame (functional — same style as TripleGraph's
-    add/remove). Operations chained with ';' apply left to right,
-    each seeing the previous one's result; within one DELETE/INSERT
-    WHERE both templates are instantiated against the SAME pre-state
-    solutions and deletes apply before inserts (spec §3.1.3). The
-    result schema is always the seven canonical columns (extra input
-    columns are dropped up front — insert paths cannot carry them)."""
-    triples = triples.select(*_CANON_COLS)
-    for op in parse_update(update):
+    """Apply a SPARQL 1.1 Update request to a triples/quads frame
+    and return the NEW frame (functional — same style as
+    TripleGraph's add/remove). Operations chained with ';' apply
+    left to right, each seeing the previous one's result; within one
+    DELETE/INSERT WHERE both templates are instantiated against the
+    SAME pre-state solutions and deletes apply before inserts (spec
+    §3.1.3). Graph-aware: a frame carrying ``g_value`` is an RDF
+    dataset (NULL = default graph) and the full quad grammar applies
+    (GRAPH blocks, WITH, USING, CLEAR/DROP/CREATE/ADD/MOVE/COPY). A
+    g-less input stays g-less unless the request references named
+    graphs, in which case the result carries ``g_value``."""
+    from pyspark.sql import functions as F
+
+    ops = parse_update(update)
+    has_g = "g_value" in triples.columns
+    quad_mode = has_g or any(_op_touches_graphs(op) for op in ops)
+    cols = _QUAD_COLS if quad_mode else _CANON_COLS
+    if quad_mode and not has_g:
+        triples = triples.select(*_CANON_COLS).withColumn(
+            "g_value", F.lit(None).cast("string")
+        )
+    else:
+        triples = triples.select(*cols)
+    for op in ops:
         if op[0] == "data":
             _, is_delete, template = op
-            const = _const_triples_frame(triples.sparkSession, template)
+            const = _const_triples_frame(
+                triples.sparkSession, template, quads=quad_mode
+            )
             triples = (
-                _graph_minus(triples, const)
+                _graph_minus(triples, const, cols)
                 if is_delete
-                else _graph_plus(triples, const)
+                else _graph_plus(triples, const, cols)
             )
-        else:
-            _, del_tmpl, ins_tmpl, group = op
-            gone = (
-                _instantiate_template(triples, del_tmpl, group)
-                if del_tmpl
-                else None
-            )
-            new = (
-                _instantiate_template(triples, ins_tmpl, group)
-                if ins_tmpl
-                else None
-            )
+        elif op[0] == "modify":
+            _, del_tmpl, ins_tmpl, group, with_iri, using = op
+            if quad_mode:
+                # §3.1.3: USING builds the WHERE dataset; absent
+                # USING, WITH names the active default graph
+                dataset = (
+                    using if using is not None
+                    else (([with_iri], []) if with_iri else None)
+                )
+                active, pushed = _resolve_dataset(triples, dataset)
+            else:
+                active, pushed = triples, False
+            try:
+                gone = (
+                    _instantiate_template(
+                        active, del_tmpl, group,
+                        quads=quad_mode, default_g=with_iri,
+                    )
+                    if del_tmpl
+                    else None
+                )
+                new = (
+                    _instantiate_template(
+                        active, ins_tmpl, group,
+                        quads=quad_mode, default_g=with_iri,
+                    )
+                    if ins_tmpl
+                    else None
+                )
+            finally:
+                if pushed:
+                    _DATASET_CTX.pop()
             if gone is not None:
-                triples = _graph_minus(triples, gone)
+                triples = _graph_minus(triples, gone, cols)
             if new is not None:
-                triples = _graph_plus(triples, new)
+                triples = _graph_plus(triples, new, cols)
+        elif op[0] == "clear":
+            _, target, silent = op
+            _graph_exists_or_raise(triples, target, silent, "CLEAR/DROP")
+            triples = triples.where(_g_keep_pred(target))
+        elif op[0] == "create":
+            # empty graphs are not recorded in this store (quad rows
+            # ARE the graphs) — CREATE validates syntax and no-ops
+            pass
+        else:
+            _, kind, src, dst, silent = op
+            triples = _xfer_graph(triples, kind, src, dst, silent)
     return triples

@@ -2377,6 +2377,134 @@ def test_sparql_update(spark):
         sparql_update(g, "INSERT DATA { ?x <http://e/p> <http://e/o> }")
 
 
+def _quads(df):
+    has_g = "g_value" in df.columns
+    return sorted(
+        (r.s_value, r.p_value, r.o_value,
+         (r.g_value if has_g else None) or "")
+        for r in df.collect()
+    )
+
+
+def test_sparql_update_graph_blocks(spark):
+    # round 5: quad grammar — GRAPH blocks in DATA and templates,
+    # WITH, USING; a g-less input only grows g_value when the
+    # request references named graphs
+    from argo_spark.ops.sparql import sparql_update
+
+    g = TripleGraph.of(
+        spark, [TripleT(iri("http://e/a"), iri("http://e/name"),
+                        literal("Ada"))]
+    ).df
+    # g-less in, g-less request -> g-less out
+    out = sparql_update(
+        g, 'INSERT DATA { <http://e/b> <http://e/name> "Bob" }'
+    )
+    assert "g_value" not in out.columns
+    # GRAPH block in INSERT DATA -> quad out, default rows NULL
+    q1 = sparql_update(
+        g,
+        'INSERT DATA { GRAPH <http://g/1> '
+        '{ <http://e/a> <http://e/age> "36" } }',
+    )
+    assert _quads(q1) == [
+        ("http://e/a", "http://e/age", "36", "http://g/1"),
+        ("http://e/a", "http://e/name", "Ada", ""),
+    ]
+    # WITH: WHERE reads graph 1, DELETE targets graph 1, the INSERT
+    # template's GRAPH block overrides to graph 2
+    q2 = sparql_update(
+        q1,
+        'WITH <http://g/1> DELETE { ?s <http://e/age> ?o } '
+        'INSERT { GRAPH <http://g/2> { ?s <http://e/age> ?o } } '
+        'WHERE { ?s <http://e/age> ?o }',
+    )
+    assert _quads(q2) == [
+        ("http://e/a", "http://e/age", "36", "http://g/2"),
+        ("http://e/a", "http://e/name", "Ada", ""),
+    ]
+    # USING overrides the WHERE dataset (age lives in graph 2 only)
+    q3 = sparql_update(
+        q2,
+        'INSERT { ?s <http://e/seen> "y" } USING <http://g/2> '
+        'WHERE { ?s <http://e/age> ?o }',
+    )
+    assert ("http://e/a", "http://e/seen", "y", "") in _quads(q3)
+    # GRAPH ?var in WHERE and template: bind the graph name per
+    # solution and write back into the SAME graph
+    q4 = sparql_update(
+        q2,
+        'INSERT { GRAPH ?g { ?s <http://e/from> ?g } } '
+        'WHERE { GRAPH ?g { ?s <http://e/age> ?o } }',
+    )
+    assert (
+        "http://e/a", "http://e/from", "http://g/2", "http://g/2"
+    ) in _quads(q4)
+    # DELETE WHERE with a GRAPH block deletes from that graph only
+    q5 = sparql_update(
+        q2, 'DELETE WHERE { GRAPH <http://g/2> { ?s ?p ?o } }'
+    )
+    assert _quads(q5) == [("http://e/a", "http://e/name", "Ada", "")]
+    # WITH on a DATA block is rejected (spec: DATA has no WHERE)
+    with pytest.raises(SparqlSyntaxError, match="WITH"):
+        sparql_update(
+            q2, 'WITH <http://g/1> INSERT DATA { <s> <p> <o> }'
+        )
+
+
+def test_sparql_update_graph_management(spark):
+    # round 5: CLEAR/DROP/CREATE/COPY/MOVE/ADD over the quad frame
+    from argo_spark.ops.sparql import sparql_update
+
+    g = TripleGraph.of(
+        spark, [TripleT(iri("http://e/a"), iri("http://e/name"),
+                        literal("Ada"))]
+    ).df
+    q = sparql_update(
+        g,
+        'INSERT DATA { GRAPH <http://g/1> '
+        '{ <http://e/a> <http://e/age> "36" . '
+        '  <http://e/b> <http://e/age> "7" } }',
+    )
+    # COPY replaces the destination wholesale (default had Ada)
+    out = sparql_update(q, 'COPY GRAPH <http://g/1> TO DEFAULT')
+    assert _quads(out) == [
+        ("http://e/a", "http://e/age", "36", ""),
+        ("http://e/a", "http://e/age", "36", "http://g/1"),
+        ("http://e/b", "http://e/age", "7", ""),
+        ("http://e/b", "http://e/age", "7", "http://g/1"),
+    ]
+    # MOVE = COPY + drop the source; same src/dst is a no-op
+    out = sparql_update(q, 'MOVE GRAPH <http://g/1> TO GRAPH <http://g/2>')
+    assert {r[3] for r in _quads(out)} == {"", "http://g/2"}
+    assert _quads(sparql_update(
+        q, 'MOVE GRAPH <http://g/1> TO GRAPH <http://g/1>')) == _quads(q)
+    # ADD is set-semantic insertion, source untouched
+    out = sparql_update(q, 'ADD DEFAULT TO GRAPH <http://g/1>')
+    assert (
+        "http://e/a", "http://e/name", "Ada", "http://g/1"
+    ) in _quads(out)
+    assert ("http://e/a", "http://e/name", "Ada", "") in _quads(out)
+    # CLEAR DEFAULT empties the default graph only; DROP ALL empties
+    assert {r[3] for r in _quads(sparql_update(q, 'CLEAR DEFAULT'))} \
+        == {"http://g/1"}
+    assert sparql_update(q, 'DROP ALL').count() == 0
+    assert {r[3] for r in _quads(sparql_update(q, 'DROP NAMED'))} == {""}
+    # missing graph: error without SILENT, no-op with
+    with pytest.raises(ValueError, match="does not exist"):
+        sparql_update(q, 'DROP GRAPH <http://g/404>').count()
+    assert sparql_update(
+        q, 'DROP SILENT GRAPH <http://g/404>').count() == q.count()
+    with pytest.raises(ValueError, match="does not exist"):
+        sparql_update(q, 'COPY GRAPH <http://g/404> TO DEFAULT').count()
+    # CREATE validates and no-ops (empty graphs are not recorded)
+    assert sparql_update(
+        q, 'CREATE GRAPH <http://g/9>').count() == q.count()
+    # LOAD is declared out of scope
+    with pytest.raises(SparqlSyntaxError, match="LOAD"):
+        sparql_update(q, 'LOAD <http://example.org/data.nt>')
+
+
 def test_exists_in_expression(spark):
     g = graph2(spark)
     # EXISTS composed under || : has an age OR is named Cat
