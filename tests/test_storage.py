@@ -140,3 +140,38 @@ def test_update_table_roundtrip(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     spark.sql("DROP TABLE IF EXISTS upd_tbl")
+
+
+def test_update_table_graph_aware(spark):
+    # round 5: a graph-referencing update grows the persisted table
+    # to quads (g_value column); later updates keep the quad schema
+    from argo_spark.ops.graph import TripleGraph
+    from argo_spark.storage import read_table, update_table, write_bucketed
+    from argo_spark.terms import TripleT, iri, literal
+
+    g = TripleGraph.of(
+        spark,
+        [TripleT(iri("http://e/a"), iri("http://e/name"),
+                 literal("Ada"))],
+    ).df
+    write_bucketed(g, "upd_qtbl", ["s_value"], n_buckets=4)
+    update_table(
+        spark,
+        "upd_qtbl",
+        'INSERT DATA { GRAPH <http://g/1> '
+        '{ <http://e/a> <http://e/age> "36" } }',
+        n_buckets=4,
+    )
+    got = read_table(spark, "upd_qtbl")
+    assert "g_value" in got.columns
+    assert {r.g_value for r in got.select("g_value").collect()} == \
+        {None, "http://g/1"}
+    # quad table accepts graph management ops and stays quad
+    n = update_table(
+        spark, "upd_qtbl", "DROP GRAPH <http://g/1>", n_buckets=4
+    )
+    assert n == 1
+    got = read_table(spark, "upd_qtbl")
+    assert "g_value" in got.columns
+    assert [r.g_value for r in got.collect()] == [None]
+    spark.sql("DROP TABLE IF EXISTS upd_qtbl")
