@@ -3297,13 +3297,15 @@ def _parse_modifiers(p: "_Parser", stop_at_brace: bool = False):
 
 def parse_construct(query: str):
     """-> (template: list[(s, p, o)], group: Group, limit, order,
-    offset). The template is a plain triple block (no OPTIONAL /
-    FILTER / nested groups; no blank-node generation — the term
-    grammar has no ``_:`` form, so every template term is a variable,
-    IRI, or literal)."""
+    offset, dataset). The template is a plain triple block (no
+    OPTIONAL / FILTER / nested groups; no blank-node generation — the
+    term grammar has no ``_:`` form, so every template term is a
+    variable, IRI, or literal). ``dataset`` = (from_iris,
+    from_named_iris) | None, same as SELECT (§13.2)."""
     p = _Parser(query)
     p.parse_prefixes()
     p.expect_kw("CONSTRUCT")
+    dataset = _parse_dataset_clauses(p)
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "WHERE":
         # CONSTRUCT WHERE { bgp } shorthand (§10.2.3): the pattern IS
@@ -3331,7 +3333,7 @@ def parse_construct(query: str):
         order, limit, offset, tv = _parse_modifiers(p)
         if tv is not None:
             group = Group(group.elements + [tv], group.filters)
-        return template, group, limit, order, offset
+        return template, group, limit, order, offset, dataset
     tmpl_group = p.parse_group()
     if tmpl_group.filters or any(
         k != "bgp" for k, _ in tmpl_group.elements
@@ -3352,6 +3354,9 @@ def parse_construct(query: str):
             "blank nodes / property paths in CONSTRUCT templates are "
             "not supported"
         )
+    if dataset is None:
+        # full form: DatasetClause* sits between template and WHERE
+        dataset = _parse_dataset_clauses(p)
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "WHERE":
         p.next()
@@ -3359,14 +3364,15 @@ def parse_construct(query: str):
     order, limit, offset, tv = _parse_modifiers(p)
     if tv is not None:
         group = Group(group.elements + [tv], group.filters)
-    return template, group, limit, order, offset
+    return template, group, limit, order, offset, dataset
 
 
 def parse_describe(query: str):
     """-> (iris: list[str], vars: list[str], group: Group | None,
-    limit, order, offset). Either ``DESCRIBE <iri>...`` (no WHERE) or
-    ``DESCRIBE ?v... WHERE Group`` (vars must be bound in the
-    group)."""
+    limit, order, offset, dataset). Either ``DESCRIBE <iri>...`` (no
+    WHERE) or ``DESCRIBE ?v... WHERE Group`` (vars must be bound in
+    the group); ``dataset`` = (from_iris, from_named_iris) | None,
+    same as SELECT (§13.2)."""
     p = _Parser(query)
     p.parse_prefixes()
     p.expect_kw("DESCRIBE")
@@ -3391,6 +3397,7 @@ def parse_describe(query: str):
         raise SparqlSyntaxError(
             "DESCRIBE mixes IRIs and variables — unsupported"
         )
+    dataset = _parse_dataset_clauses(p)
     group = None
     kind, val = p.peek()
     if kind == "kw" and val.upper() == "WHERE" or (
@@ -3408,7 +3415,10 @@ def parse_describe(query: str):
                 "trailing VALUES needs a WHERE group to join into"
             )
         group = Group(group.elements + [tv], group.filters)
-    return iris, dvars, group, limit, order, offset
+    kind, val = p.peek()
+    if kind is not None:
+        raise SparqlSyntaxError(f"unsupported trailing clause at {val!r}")
+    return iris, dvars, group, limit, order, offset, dataset
 
 
 def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
@@ -3430,52 +3440,62 @@ def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
 
     from argo_spark.ops.bgp import _nt_for_position
 
-    iris, dvars, group, limit, order, offset = parse_describe(query)
+    iris, dvars, group, limit, order, offset, dataset = \
+        parse_describe(query)
     if iris and (order or limit is not None or offset is not None):
         raise SparqlSyntaxError(
             "solution modifiers need a WHERE group to act on"
         )
     spark = triples.sparkSession
-    if iris:
-        resources = spark.createDataFrame(
-            [("<" + i + ">",) for i in sorted(set(iris))], "__res string"
-        )
-    else:
-        sols = eval_group(triples, group)
-        missing = [v for v in dvars if v not in sols.columns]
-        if missing:
-            raise SparqlSyntaxError(
-                f"DESCRIBE vars not bound in WHERE: {missing}"
+    # FROM / FROM NAMED: both the WHERE evaluation and the
+    # description itself read the resolved active default graph
+    triples, pushed = _resolve_dataset(triples, dataset)
+    try:
+        if iris:
+            resources = spark.createDataFrame(
+                [("<" + i + ">",) for i in sorted(set(iris))],
+                "__res string",
             )
-        if order:
-            cols = []
-            for key in order:
-                cols.extend(_order_key_cols(key, sols.columns))
-            sols = sols.orderBy(*cols)
-        if offset:
-            sols = sols.offset(offset)
-        if limit is not None:
-            sols = sols.limit(limit)
-        resources = reduce(
-            lambda a, b: a.unionByName(b),
-            [
-                sols.select(F.col(v).alias("__res")).where(
-                    F.col(v).isNotNull()
+        else:
+            sols = eval_group(triples, group)
+            missing = [v for v in dvars if v not in sols.columns]
+            if missing:
+                raise SparqlSyntaxError(
+                    f"DESCRIBE vars not bound in WHERE: {missing}"
                 )
-                for v in dvars
-            ],
-        ).dropDuplicates()
-    if iris:
-        # driver-enumerated resource list: always broadcast-sized
-        resources = F.broadcast(resources)
-    # var path: the resource set's size is data-dependent (could be
-    # the whole subject universe at 100 TB), so the planner/AQE picks
-    # — AQE converts the semi-join to broadcast at runtime when the
-    # built side is actually small
-    subject_nt = _nt_for_position("s")
-    return triples.join(
-        resources, on=subject_nt == resources["__res"], how="left_semi"
-    )
+            if order:
+                cols = []
+                for key in order:
+                    cols.extend(_order_key_cols(key, sols.columns))
+                sols = sols.orderBy(*cols)
+            if offset:
+                sols = sols.offset(offset)
+            if limit is not None:
+                sols = sols.limit(limit)
+            resources = reduce(
+                lambda a, b: a.unionByName(b),
+                [
+                    sols.select(F.col(v).alias("__res")).where(
+                        F.col(v).isNotNull()
+                    )
+                    for v in dvars
+                ],
+            ).dropDuplicates()
+        if iris:
+            # driver-enumerated resource list: always broadcast-sized
+            resources = F.broadcast(resources)
+        # var path: the resource set's size is data-dependent (could
+        # be the whole subject universe at 100 TB), so the
+        # planner/AQE picks — AQE converts the semi-join to broadcast
+        # at runtime when the built side is actually small
+        subject_nt = _nt_for_position("s")
+        return triples.join(
+            resources, on=subject_nt == resources["__res"],
+            how="left_semi",
+        ).select(*_CANON_COLS)
+    finally:
+        if pushed:
+            _DATASET_CTX.pop()
 
 
 def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
@@ -3490,10 +3510,15 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     no triple for that pattern. The result is set-semantic
     (dropDuplicates over the canonical columns) per 'CONSTRUCT
     produces an RDF graph'."""
-    template, group, limit, order, offset = parse_construct(query)
-    return _instantiate_template(
-        triples, template, group, limit, order, offset
-    )
+    template, group, limit, order, offset, dataset = parse_construct(query)
+    active, pushed = _resolve_dataset(triples, dataset)
+    try:
+        return _instantiate_template(
+            active, template, group, limit, order, offset
+        )
+    finally:
+        if pushed:
+            _DATASET_CTX.pop()
 
 
 def _instantiate_template(

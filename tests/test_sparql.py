@@ -3029,6 +3029,51 @@ def test_from_and_from_named(spark):
     assert out.collect() == []
 
 
+def test_construct_describe_with_dataset(spark):
+    # round 5: FROM / FROM NAMED + constant GRAPH on the graph-valued
+    # query forms
+    from argo_spark.ops.sparql import sparql_construct, sparql_describe
+
+    q = quad_graph(spark)
+    S = "http://schema.org/"
+    # CONSTRUCT ... FROM <g>: ages live in g/1 (a) and g/2 (b)
+    out = sparql_construct(
+        q,
+        f"CONSTRUCT {{ ?x <{S}hasAge> ?a }} FROM <http://g/1> "
+        f"WHERE {{ ?x <{S}age> ?a }}",
+    )
+    assert [(r.s_value, r.o_value) for r in out.collect()] == [
+        ("http://e/a", "36")
+    ]
+    assert "g_value" not in out.columns
+    # constant GRAPH inside CONSTRUCT's WHERE (struct mode)
+    out = sparql_construct(
+        q,
+        f"CONSTRUCT {{ ?x <{S}hasAge> ?a }} "
+        f"WHERE {{ GRAPH <http://g/2> {{ ?x <{S}age> ?a }} }}",
+    )
+    assert [(r.s_value, r.o_value) for r in out.collect()] == [
+        ("http://e/b", "7")
+    ]
+    # CONSTRUCT WHERE shorthand with a dataset clause
+    out = sparql_construct(
+        q,
+        f"CONSTRUCT FROM <http://g/2> WHERE {{ ?x <{S}name> ?n }}",
+    )
+    assert [(r.s_value, r.o_value) for r in out.collect()] == [
+        ("http://e/b", "Bob")
+    ]
+    # DESCRIBE ... FROM: description reads the resolved default graph
+    out = sparql_describe(
+        q, "DESCRIBE <http://e/b> FROM <http://g/2>"
+    )
+    assert sorted(r.o_value for r in out.collect()) == ["7", "Bob"]
+    assert "g_value" not in out.columns
+    # quad frame without FROM: describe sees the default graph only
+    out = sparql_describe(q, "DESCRIBE <http://e/a>")
+    assert sorted(r.o_value for r in out.collect()) == ["Ada"]
+
+
 def test_ask_with_dataset(spark):
     from argo_spark.ops.sparql import sparql_ask
     q = quad_graph(spark)
