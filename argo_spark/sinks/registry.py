@@ -48,6 +48,18 @@ def _read_loop(spark, path):
     return read_loop(spark, path)
 
 
+def _read_nquads(spark, path):
+    from argo_spark.nquads import read_nquads
+
+    return read_nquads(spark, path)
+
+
+def _write_nquads(df, path, mode="overwrite"):
+    from argo_spark.nquads import write_nquads
+
+    return write_nquads(df, path, mode=mode)
+
+
 def _read_squirtle(spark, path):
     from argo_spark.extract.squirtle import read_squirtle
 
@@ -71,6 +83,12 @@ def _load():
         "ntriples": Format(
             "ntriples", "NTriples", "text/plain", ".nt",
             reader=read_nt, writer=ntriples.write_ntriples,
+        ),
+        "nquads": Format(
+            # beyond the reference (single-graph Graph, graph.go:31-50):
+            # the serialization face of the named-graph quad model
+            "nquads", "NQuads", "application/n-quads", ".nq",
+            reader=_read_nquads, writer=_write_nquads,
         ),
         "turtle": Format(
             "turtle", "Turtle", "text/turtle", ".ttl",
