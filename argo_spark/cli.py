@@ -74,7 +74,10 @@ def read_source(
         df, errors = out
     else:
         df, errors = out, None
-    return df.select(*TRIPLE_COLS), errors
+    cols = TRIPLE_COLS + (
+        ["g_value"] if "g_value" in df.columns else []
+    )
+    return df.select(*cols), errors
 
 
 def parse_http(
@@ -148,9 +151,15 @@ def _run_pipeline_on(
 ) -> int:
     from argo_spark.ops.rewrite import rewrite_terms
 
+    # mixed triple/quad sources (e.g. .nt + .nq): promote everything
+    # to quads when any source carries a graph column — triple rows
+    # land in the default graph (NULL), same as the N-Quads reader
     df = dfs[0]
     for other in dfs[1:]:
-        df = df.unionByName(other)
+        df = df.unionByName(other, allowMissingColumns=True)
+    canon = TRIPLE_COLS + (
+        ["g_value"] if "g_value" in df.columns else []
+    )
 
     # rewrite order mirrors rdf.go:272-284: the generic list first,
     # then the per-position list
@@ -168,7 +177,7 @@ def _run_pipeline_on(
         # before any CONSTRUCT/SELECT/squish
         from argo_spark.ops.sparql import sparql_update
 
-        df = sparql_update(df.select(*TRIPLE_COLS), update)
+        df = sparql_update(df.select(*canon), update)
     if select:
         # SELECT short-circuits serialization: the output is a
         # SPARQL-TSV directory (part files + _VARS header sidecar),
@@ -178,7 +187,7 @@ def _run_pipeline_on(
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
-        bindings = sparql_select(df.select(*TRIPLE_COLS), select)
+        bindings = sparql_select(df.select(*canon), select)
         obs = Observation()
         write_select_tsv(
             bindings.observe(obs, F.count(F.lit(1)).alias("n")), output
@@ -194,9 +203,11 @@ def _run_pipeline_on(
         # before squish — CONSTRUCT output is already set-semantic)
         from argo_spark.ops.sparql import sparql_construct
 
-        df = sparql_construct(df.select(*TRIPLE_COLS), construct)
+        df = sparql_construct(df.select(*canon), construct)
     if squish:
-        df = df.dropDuplicates(TRIPLE_COLS)
+        df = df.dropDuplicates(
+            canon if "g_value" in df.columns else TRIPLE_COLS
+        )
 
     ofmt = FORMATS.get(out_format) if out_format else format_from_filename(output)
     if ofmt is None or ofmt.writer is None:

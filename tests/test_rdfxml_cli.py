@@ -358,3 +358,50 @@ def test_cli_select_and_update(spark, tmp_path):
     triples, err = parse_document(text)
     assert err is None
     assert {t.p.value for t in triples} == {"http://e/q"}
+
+
+def test_cli_mixed_nt_nq_sources(spark, tmp_path):
+    # round 5: .nt + .nq sources merge into a quad frame (triple rows
+    # -> default graph); .nq output keeps graphs, .nt output drops
+    # them at serialization; graph-aware --update applies
+    import glob
+
+    from argo_spark.cli import run_pipeline
+
+    nt = tmp_path / "a.nt"
+    nt.write_text('<http://e/a> <http://e/name> "Ada" .\n')
+    nq = tmp_path / "b.nq"
+    nq.write_text(
+        '<http://e/b> <http://e/name> "Bob" <http://g/1> .\n'
+    )
+    out = str(tmp_path / "merged.nq")
+    n = run_pipeline(spark, [str(nt), str(nq)], out)
+    assert n == 2
+    lines = sorted(
+        line
+        for f in glob.glob(out + "/part-*")
+        for line in open(f).read().splitlines()
+    )
+    assert lines == [
+        '<http://e/a> <http://e/name> "Ada" .',
+        '<http://e/b> <http://e/name> "Bob" <http://g/1> .',
+    ]
+    out2 = str(tmp_path / "upd.nt")
+    n = run_pipeline(
+        spark, [str(nq)], out2,
+        update=(
+            "INSERT DATA { GRAPH <http://g/2> "
+            '{ <http://e/c> <http://e/name> "Cee" } }'
+        ),
+        squish=True,
+    )
+    assert n == 2
+    lines = sorted(
+        line
+        for f in glob.glob(out2 + "/part-*")
+        for line in open(f).read().splitlines()
+    )
+    assert lines == [
+        '<http://e/b> <http://e/name> "Bob" .',
+        '<http://e/c> <http://e/name> "Cee" .',
+    ]
