@@ -2075,6 +2075,39 @@ def q_nt_parse_roundtrip(spark, sf_dir):
     )
 
 
+def q_nq_parse_roundtrip(spark, sf_dir):
+    """S1 quad variant (round 5), ORACLED round-trip identity: doc
+    triples labeled with per-source named graphs → N-Quads lines →
+    full parse must reproduce the generating relation, graph column
+    included (default-graph rows serialize as plain triples and come
+    back NULL). The oracle is the generating CTE itself."""
+    from argo_spark.nquads import nq_lines, parse_nquads_col
+
+    GBASE = "http://graphs.example/"
+    d = _docs(spark, sf_dir)
+    quads = d.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("s_value"),
+        F.lit(INLANG).alias("p_value"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.col("lang").alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+        # even doc_ids in a per-source graph, odd ones default (NULL)
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(GBASE), F.col("source")),
+        ).alias("g_value"),
+    )
+    parsed = parse_nquads_col(nq_lines(quads)).where(
+        F.col("error").isNull()
+    )
+    return parsed.select(
+        "s_value", "p_value", "o_value",
+        F.coalesce("g_value", F.lit("")).alias("g_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract. ORDER MATTERS: the driver's correctness
     harness checks the FIRST 50 entries, so every oracle-bearing
@@ -2196,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_nested_closure": q_sparql_nested_closure,
         "sparql_named_graph": q_sparql_named_graph,
         "sparql_update_graphs": q_sparql_update_graphs,
+        "nq_parse_roundtrip": q_nq_parse_roundtrip,
     }
 
 
@@ -3393,6 +3427,15 @@ def oracle_sql() -> dict[str, str]:
                    '"' || lang || '"' AS lang
             FROM documents
             WHERE source IN ('src1', 'src2', 'src3')
+        """,
+        "nq_parse_roundtrip": f"""
+            SELECT '{DOC_BASE}' || doc_id AS s_value,
+                   '{INLANG}' AS p_value,
+                   lang AS o_value,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'http://graphs.example/' || source
+                        ELSE '' END AS g_value
+            FROM documents
         """,
         "sparql_update_graphs": f"""
             SELECT '<http://graphs.example/' ||
