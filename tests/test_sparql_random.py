@@ -102,11 +102,17 @@ def _join(A, B):
 
 
 def _left_join(A, B, shared):
+    # §18.5 LeftJoin over row dicts: compatibility is PER ROW — only
+    # vars bound in BOTH rows must agree (a var unbound on one side
+    # is always compatible; the merge takes the bound side). The
+    # global `shared` list is only the anchor guarantee, not the
+    # comparison set — stacked OPTIONALs on the same possibly-unbound
+    # var rely on this distinction.
     out = []
     for a in A:
         hits = [
             b for b in B
-            if all(a.get(v) == b.get(v) for v in shared)
+            if all(a[v] == b[v] for v in set(a) & set(b))
         ]
         if hits:
             for b in hits:
@@ -471,6 +477,16 @@ def test_sparql_algebra_matches_python_oracle(spark):
                 extra = ("?q", f"<http://e/p{rnd.randint(0, 2)}>", "?o")
                 elements.append(("bgp", [extra]))
                 body.append(_pat_text(extra))
+            if rnd.random() < 0.4:
+                # round 5 (VERDICT r4 #5): a SECOND OPTIONAL binding
+                # the SAME ?o — the engine's boundness-decomposed
+                # compat LeftJoin (rows where ?o is already bound
+                # must agree with the second OPTIONAL's ?o; rows
+                # where it is unbound take it)
+                opt2 = [("?" + rnd.choice(base_vars),
+                         f"<http://e/p{rnd.randint(2, 9)}>", "?o")]
+                elements.append(("optional", ([("bgp", opt2)], [])))
+                body.append("OPTIONAL { " + _pat_text(opt2[0]) + " }")
         if rnd.random() < 0.4:
             b1 = [("?x", f"<http://e/p{rnd.randint(0, 9)}>", "?u")]
             b2 = [("?x", f"<http://e/p{rnd.randint(0, 9)}>", "?w")]
@@ -481,10 +497,15 @@ def test_sparql_algebra_matches_python_oracle(spark):
                 "{ " + _pat_text(b1[0]) + " } UNION { " + _pat_text(b2[0]) + " }"
             )
         if rnd.random() < 0.35 and base_vars:
-            # MINUS anchored on a base-bound var (all-bound shared
-            # vars — the compat guard covers the rest by raising)
+            # MINUS anchored on a base-bound var; the object is
+            # sometimes the possibly-unbound OPTIONAL var ?o (round
+            # 5: exercises the boundness-decomposed compat MINUS —
+            # rows with unbound ?o only drop when compatible on the
+            # remaining shared vars, §8.3.3)
+            mobj = "?o" if "?o" in filter_pool and rnd.random() < 0.5 \
+                else "?m"
             mpat = [("?" + rnd.choice(base_vars),
-                     f"<http://e/p{rnd.randint(0, 9)}>", "?m")]
+                     f"<http://e/p{rnd.randint(0, 9)}>", mobj)]
             elements.append(("minus", ([("bgp", mpat)], [])))
             body.append("MINUS { " + _pat_text(mpat[0]) + " }")
         filters = []
