@@ -95,6 +95,12 @@ def _load():
             other_mimes=["application/x-turtle"],
             writer=writers.write_turtle,
         ),
+        "trig": Format(
+            # Turtle analogue for the quad model (writer-only, like
+            # the reference's Turtle registration, argo.go:117-140)
+            "trig", "TriG", "application/trig", ".trig",
+            writer=writers.write_trig,
+        ),
         "json": Format(
             "json", "RDF/JSON", "application/json", ".json",
             writer=lambda df, path, mode="overwrite": writers.rdfjson_lines(df)

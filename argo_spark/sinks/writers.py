@@ -167,6 +167,90 @@ def write_turtle(
 
 
 # ---------------------------------------------------------------------------
+# TriG (round 5) — the Turtle analogue for the quad model. No
+# reference counterpart (argo's Graph is single-graph); the per-
+# subject block layout (trailing-';' quirk included) is reused from
+# turtle_blocks so the default graph serializes byte-identically to
+# the Turtle sink.
+# ---------------------------------------------------------------------------
+
+
+def trig_blocks(
+    df: DataFrame, prefixes: Optional[dict[str, str]] = None
+) -> DataFrame:
+    """One row per (graph, subject): the subject's Turtle block,
+    wrapped in ``<g> { ... }`` for named-graph rows and bare for the
+    default graph. TriG allows a graph label to repeat across blocks
+    (triples accumulate), so each row is independently valid — the
+    distributed form needs no per-graph grouping beyond the subject
+    aggregation, and a 100-TB graph never has to fit one task."""
+    pmap = _prefix_map_col(prefixes if prefixes is not None else NAMESPACES)
+    s_enc = _turtle_term(F.col("s_kind"), F.col("s_value"), None, None, pmap)
+    p_enc = _qname_or_iri(F.col("p_value"), pmap)
+    o_enc = _turtle_term(
+        F.col("o_kind"), F.col("o_value"), F.col("o_lang"), F.col("o_dt"), pmap
+    )
+    g = (
+        F.col("g_value")
+        if "g_value" in df.columns
+        else F.lit(None).cast("string")
+    )
+    line = F.concat(F.lit("  "), p_enc, F.lit(" "), o_enc, F.lit(" ;"))
+    blocks = (
+        df.select(
+            g.alias("g_value"), s_enc.alias("s_enc"), line.alias("line")
+        )
+        .groupBy("g_value", "s_enc")
+        .agg(F.array_sort(F.collect_list("line")).alias("lines"))
+        .select(
+            "g_value",
+            F.concat(
+                F.col("s_enc"),
+                F.lit("\n"),
+                F.array_join("lines", "\n"),
+                F.lit("\n  ."),
+            ).alias("body"),
+        )
+    )
+    return blocks.select(
+        F.when(
+            F.col("g_value").isNotNull(),
+            F.concat(
+                F.lit("<"), F.col("g_value"), F.lit("> {\n"),
+                F.col("body"), F.lit("\n}\n"),
+            ),
+        )
+        .otherwise(F.concat(F.col("body"), F.lit("\n")))
+        .alias("block")
+    )
+
+
+def trig_string(
+    df: DataFrame, prefixes: Optional[dict[str, str]] = None,
+    max_rows: Optional[int] = STRING_MAX_ROWS,
+) -> str:
+    """Whole TriG document as ONE DRIVER-SIDE string (tests / small
+    graphs; size-guarded — write_trig is the distributed form)."""
+    rows = _collect_guarded(trig_blocks(df, prefixes), max_rows, "trig_string")
+    return turtle_header(prefixes) + "\n".join(sorted(r.block for r in rows))
+
+
+def write_trig(
+    df: DataFrame, path: str, prefixes: Optional[dict[str, str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Distributed TriG: block rows as text; prefix header sidecar as
+    in the Turtle sink."""
+    trig_blocks(df, prefixes).select(F.col("block").alias("value")).write.mode(
+        mode
+    ).text(path)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(turtle_header(prefixes).rstrip("\n"),)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(path.rstrip("/") + "._prefixes")
+
+
+# ---------------------------------------------------------------------------
 # RDF/JSON (K4) — Talis shape, valid-JSON variant
 # ---------------------------------------------------------------------------
 

@@ -159,3 +159,48 @@ def test_string_serializers_size_guarded(spark):
     # under the cap everything still serializes
     assert "http://e/s1" in turtle_string(tr, max_rows=100)
     assert squirtle_string(tr, max_rows=100).count("{") >= 10
+
+
+def test_trig_layout(spark):
+    # round 5: TriG — default graph = bare Turtle blocks (byte-
+    # identical to the Turtle sink), named graphs wrapped in
+    # <g> { ... }; a graph label may repeat across blocks (TriG
+    # triples accumulate), which is what makes the writer
+    # embarrassingly parallel
+    from pyspark.sql import functions as F
+
+    from argo_spark.sinks.writers import trig_string
+
+    g = small_graph(spark).df.withColumn(
+        "g_value",
+        F.when(
+            F.col("s_kind") != 0, F.lit("http://g/1")
+        ).cast("string"),
+    )
+    out = trig_string(g, PREFIXES)
+    assert out.startswith("@prefix ex: <http://e/> .\n")
+    # named-graph wrapper around the blank-node subject block
+    assert (
+        "<http://g/1> {\n"
+        "_:b\n"
+        '  ex:p "t"^^<http://e/dt> ;\n'
+        "  .\n"
+        "}\n"
+    ) in out
+    # default-graph block stays bare and Turtle-shaped
+    assert (
+        "ex:s\n"
+        '  <http://other#x> "chat"@fr ;\n'
+        '  ex:p "v1" ;\n'
+        "  ex:q ex:o ;\n"
+        "  .\n"
+    ) in out
+    # a g-less triples frame is all-default: no wrappers at all
+    assert "{" not in trig_string(small_graph(spark).df, PREFIXES)
+
+
+def test_trig_registry():
+    assert format_from_filename("dump.trig").id == "trig"
+    assert format_from_mime("application/trig").id == "trig"
+    assert FORMATS["trig"].writer is not None
+    assert FORMATS["trig"].reader is None
