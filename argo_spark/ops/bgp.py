@@ -76,6 +76,13 @@ def bgp_match(
             raise ValueError(f"pattern must be (s, p, o): {pat!r}")
         cond = F.lit(True)
         proj: dict[str, object] = {}
+        if graph_var is not None:
+            # seeded BEFORE the position loop: the graph variable
+            # reused inside the pattern constrains equality against
+            # the row's graph IRI like any repeated variable
+            proj[graph_var] = F.concat(
+                F.lit("<"), F.col("g_value"), F.lit(">")
+            )
         for pos, term in zip(_POS, pat):
             if isinstance(term, str) and term.startswith("?"):
                 var = term[1:]
@@ -86,10 +93,6 @@ def bgp_match(
                     proj[var] = nt
             else:
                 cond = cond & _const_cond(pos, term)
-        if graph_var is not None:
-            proj[graph_var] = F.concat(
-                F.lit("<"), F.col("g_value"), F.lit(">")
-            )
         frame = triples.where(cond).select(
             *[c.alias(v) for v, c in proj.items()]
         )

@@ -1971,42 +1971,6 @@ def _resolve_dataset(triples: DataFrame, dataset):
     return active, True
 
 
-def _graph_var_frame(scope, gvar: str, gsub, structs: bool = False) -> DataFrame:
-    """GRAPH ?g { basic graph pattern + FILTERs }: every triple
-    pattern scan projects the row's graph IRI (NT form) as the ?g
-    binding column, so the pattern-joins key on ?g too — all patterns
-    match within ONE graph and ?g binds per solution, in a single
-    multi-way hash-join plan with no per-graph loop. Inner algebra
-    beyond BGP/FILTER (OPTIONAL, UNION, paths, ...) would need the
-    graph key threaded through every operator — unsupported, raise.
-    ``structs`` (CONSTRUCT / Update templates) additionally carries
-    the __term__ struct per variable, ?g included."""
-    from argo_spark.ops.bgp import bgp_match
-
-    pats = []
-    for k, payload in gsub.elements:
-        if k != "bgp":
-            raise SparqlSyntaxError(
-                "GRAPH ?var supports basic graph patterns and FILTERs "
-                f"only (found {k!r}); use GRAPH <iri> for full algebra"
-            )
-        pats.extend(payload)
-    for pat in pats:
-        if any(t == "?" + gvar for t in pat):
-            raise SparqlSyntaxError(
-                f"GRAPH variable ?{gvar} reused inside its own "
-                "pattern is not supported"
-            )
-    frame = (
-        _bgp_frame_structs(scope, pats, graph_var=gvar)
-        if structs
-        else bgp_match(scope, pats, distinct=False, graph_var=gvar)
-    )
-    for f in gsub.filters:
-        frame = frame.where(_expr_col(f, _binding_vars(frame.columns)))
-    return frame
-
-
 def _closure_frame(triples, s, iri_, inv, op, o) -> DataFrame:
     """Evaluate ``s p+ o`` / ``s p* o`` / ``s p? o`` (SPARQL 1.1
     §18.4 OneOrMorePath / ZeroOrMorePath / ZeroOrOnePath) as a
@@ -2457,13 +2421,21 @@ def _eval_group_impl(
     group: Group,
     in_optional: bool,
     structs: bool,
+    graph_var: str | None = None,
 ):
     """-> (frame, maybe_null_vars, non_nt_vars, masks): the solution
     frame, the set of variables that may be NULL in some rows, the
     set of variables whose values are NOT NT forms (subquery
     aggregate aliases) — unjoinable against ordinary bindings — and
     the set of possible boundness masks over the maybe-null vars
-    (None = unknown), used to prune compatibility-join legs."""
+    (None = unknown), used to prune compatibility-join legs.
+
+    ``graph_var`` (GRAPH ?g evaluation, §13.3): every triple-pattern
+    scan additionally projects the row's graph IRI under that name,
+    making the graph ONE MORE SHARED JOIN KEY through the whole
+    algebra — joins, OPTIONAL, MINUS, UNION and EXISTS all keep
+    their solutions within one graph per row with no per-graph loop,
+    because ?g is just another binding column to them."""
     from functools import reduce
 
     from argo_spark.ops.bgp import bgp_match
@@ -2478,21 +2450,38 @@ def _eval_group_impl(
         frame_masks = {frozenset()}
         if kind == "bgp":
             frame = (
-                _bgp_frame_structs(triples, payload)
+                _bgp_frame_structs(triples, payload, graph_var=graph_var)
                 if structs
-                else bgp_match(triples, payload, distinct=False)
+                else bgp_match(
+                    triples, payload, distinct=False, graph_var=graph_var
+                )
             )
         elif kind == "closure":
             if structs:
                 raise SparqlSyntaxError(
                     "path closures inside CONSTRUCT are not supported"
                 )
+            if graph_var is not None:
+                raise SparqlSyntaxError(
+                    "path closures inside GRAPH ?var are not supported "
+                    "(the closure would need per-graph keying); use "
+                    "GRAPH <iri>"
+                )
             frame = _closure_frame(triples, *payload)
         elif kind == "closure_group":
+            if graph_var is not None:
+                raise SparqlSyntaxError(
+                    "path closures inside GRAPH ?var are not supported "
+                    "(the closure would need per-graph keying); use "
+                    "GRAPH <iri>"
+                )
             frame = _closure_group_frame(triples, *payload, structs)
         elif kind == "graph":
             # GRAPH (§13.3): evaluate against a named graph of the
-            # dataset instead of the active default graph
+            # dataset instead of the active default graph. A nested
+            # GRAPH switches the active graph: it does NOT inherit
+            # the outer graph_var (its frame carries its own graph
+            # binding; shared-variable joins reconcile the two).
             gterm, gsub = payload
             if not _DATASET_CTX:
                 raise SparqlSyntaxError(
@@ -2508,9 +2497,20 @@ def _eval_group_impl(
                     scope = scope.where(
                         F.col("g_value").isin(named_iris)
                     )
-                frame = _graph_var_frame(
-                    scope, gterm[1:], gsub, structs=structs
+                gv = gterm[1:]
+                frame, frame_nulls, frame_non_nt, frame_masks = (
+                    _eval_group_impl(
+                        scope, gsub, False, structs, graph_var=gv
+                    )
                 )
+                if gv not in frame.columns or gv in frame_nulls:
+                    # only triple-pattern scans bind ?g; a branch or
+                    # group without one would need the per-named-
+                    # graph cross product of §18.6 — unsupported
+                    raise SparqlSyntaxError(
+                        f"every branch of GRAPH ?{gv} needs a triple "
+                        "pattern binding the graph variable"
+                    )
             else:
                 scope = quads.where(F.col("g_value") == gterm)
                 if named_iris is not None and gterm not in named_iris:
@@ -2527,13 +2527,22 @@ def _eval_group_impl(
                 raise SparqlSyntaxError(
                     "subqueries inside CONSTRUCT are not supported"
                 )
+            if graph_var is not None:
+                raise SparqlSyntaxError(
+                    "subqueries inside GRAPH ?var are not supported "
+                    "(the subquery would need per-graph keying); use "
+                    "GRAPH <iri>"
+                )
             frame, frame_nulls, frame_non_nt = _select_frame(
                 triples, payload
             )
             frame_masks = {frozenset()} if not frame_nulls else None
         elif kind == "union":
             evaled = [
-                _eval_group_impl(triples, g, False, structs) for g in payload
+                _eval_group_impl(
+                    triples, g, False, structs, graph_var=graph_var
+                )
+                for g in payload
             ]
             frames = [f for f, _, _, _ in evaled]
             all_vars = set()
@@ -2683,7 +2692,7 @@ def _eval_group_impl(
             # filter referencing an outer var correctly evaluates it
             # as unbound rather than raising
             sub, sub_nulls, sub_non_nt, sub_masks = _eval_group_impl(
-                triples, payload, False, structs
+                triples, payload, False, structs, graph_var=graph_var
             )
             shared = [
                 c for c in sub.columns
@@ -2736,7 +2745,8 @@ def _eval_group_impl(
             # left join's condition (error -> no match -> the left
             # row survives alone, exactly the spec's else-arm)
             probe, _pn, _pnn, _pm = _eval_group_impl(
-                triples, Group(payload.elements, []), True, structs
+                triples, Group(payload.elements, []), True, structs,
+                graph_var=graph_var,
             )
             sub_bound = set(_binding_vars(probe.columns))
             plain_filters, deferred = [], []
@@ -2749,7 +2759,7 @@ def _eval_group_impl(
                     deferred.append(f)
             sub, sub_nulls, sub_non_nt, sub_masks = _eval_group_impl(
                 triples, Group(payload.elements, plain_filters), True,
-                structs,
+                structs, graph_var=graph_var,
             )
             shared = [
                 c for c in sub.columns
@@ -2933,7 +2943,7 @@ def _eval_group_impl(
             # need a whole-table emptiness probe — unsupported.
             positive, g = f[1], f[2]
             sub, sub_nulls, sub_non_nt, _sm = _eval_group_impl(
-                triples, g, False, structs
+                triples, g, False, structs, graph_var=graph_var
             )
             shared = [
                 c for c in sub.columns
@@ -2985,7 +2995,7 @@ def _eval_group_impl(
             for node in ex_nodes:
                 positive, g = node[1], node[2]
                 sub, sub_nulls, sub_non_nt, _sm = _eval_group_impl(
-                    triples, g, False, structs
+                    triples, g, False, structs, graph_var=graph_var
                 )
                 shared = [
                     c for c in sub.columns

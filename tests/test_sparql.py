@@ -3105,15 +3105,68 @@ def test_graph_guards(spark):
             "PREFIX s: <http://schema.org/> "
             "SELECT ?g WHERE { GRAPH ?g { ?x s:age ?a } }",
         )
-    # GRAPH ?var carries BGP+FILTER only; richer algebra raises
-    with pytest.raises(SparqlSyntaxError, match="GRAPH .var"):
+    # round 5: GRAPH ?var threads the graph as one more join key, so
+    # full algebra works inside — except constructs that would need
+    # per-graph keying of a different engine (closures, subqueries)
+    # or the §18.6 per-named-graph cross product (no triple pattern)
+    with pytest.raises(SparqlSyntaxError, match="closures inside GRAPH"):
         sparql_select(
             quad_graph(spark),
-            """PREFIX s: <http://schema.org/>
-               SELECT ?g WHERE {
-                 GRAPH ?g { ?x s:age ?a OPTIONAL { ?x s:name ?n } }
-               }""",
+            "PREFIX s: <http://schema.org/> "
+            "SELECT ?g WHERE { GRAPH ?g { ?x s:age+ ?a } }",
         )
+    with pytest.raises(SparqlSyntaxError, match="triple pattern"):
+        sparql_select(
+            quad_graph(spark),
+            'SELECT ?g ?v WHERE { GRAPH ?g { VALUES ?v { "1" } } }',
+        )
+
+
+def test_graph_var_full_algebra(spark):
+    # round 5: OPTIONAL / UNION / MINUS / EXISTS inside GRAPH ?g all
+    # stay within one graph per solution row — ?g is a shared join
+    # key on every pattern scan, no per-graph loop
+    q = quad_graph(spark)
+    S = "PREFIX s: <http://schema.org/> "
+    # OPTIONAL: names exist in g/2 only (b), ages in g/1 (a) + g/2 (b)
+    out = sparql_select(
+        q,
+        S + "SELECT ?g ?x ?a ?n WHERE { GRAPH ?g "
+            "{ ?x s:age ?a OPTIONAL { ?x s:name ?n } } } ORDER BY ?g",
+    )
+    assert [(r.g, r.x, r.n) for r in out.collect()] == [
+        ("<http://g/1>", "<http://e/a>", None),
+        ("<http://g/2>", "<http://e/b>", '"Bob"'),
+    ]
+    # MINUS in-graph: only g/1's age row survives (no name in g/1)
+    out = sparql_select(
+        q,
+        S + "SELECT ?g ?x WHERE { GRAPH ?g "
+            "{ ?x s:age ?a MINUS { ?x s:name ?n } } }",
+    )
+    assert [(r.g, r.x) for r in out.collect()] == [
+        ("<http://g/1>", "<http://e/a>")
+    ]
+    # EXISTS in-graph: only g/2 has both age and name for ?x
+    out = sparql_select(
+        q,
+        S + "SELECT ?g ?x WHERE { GRAPH ?g "
+            "{ ?x s:age ?a FILTER EXISTS { ?x s:name ?n } } }",
+    )
+    assert [(r.g, r.x) for r in out.collect()] == [
+        ("<http://g/2>", "<http://e/b>")
+    ]
+    # UNION: both branches bind ?g per row
+    out = sparql_select(
+        q,
+        S + "SELECT ?g ?x WHERE { GRAPH ?g "
+            "{ { ?x s:age ?a } UNION { ?x s:name ?n } } } ORDER BY ?g ?x",
+    )
+    assert [(r.g, r.x) for r in out.collect()] == [
+        ("<http://g/1>", "<http://e/a>"),
+        ("<http://g/2>", "<http://e/b>"),
+        ("<http://g/2>", "<http://e/b>"),
+    ]
 
 
 def test_compat_leg_cap_fallback(spark):
