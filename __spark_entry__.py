@@ -2075,6 +2075,52 @@ def q_nt_parse_roundtrip(spark, sf_dir):
     )
 
 
+def q_sparql_graph_algebra(spark, sf_dir):
+    """§2.5 E3 (round 5b): full algebra INSIDE GRAPH ?g — the graph
+    variable is threaded through every pattern scan as one more
+    shared join key, so the in-graph OPTIONAL is the ordinary
+    LeftJoin plan with ?g in its equi keys (no per-graph loop).
+    Per-source graphs carry each doc's inLanguage triple, and a
+    charCount triple only for even doc_ids; the OPTIONAL null-extends
+    the odd ones. DuckDB replays with a CASE."""
+    from argo_spark.ops.sparql import sparql_select
+
+    GBASE = "http://graphs.example/"
+    CHARS = "http://corpus.example/vocab#charCount"
+    d = _docs(spark, sf_dir)
+
+    def leg(pred, val, only_even):
+        base = d.where(F.col("doc_id") % 2 == 0) if only_even else d
+        return base.select(
+            F.lit(0).cast("tinyint").alias("s_kind"),
+            F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("s_value"),
+            F.lit(pred).alias("p_value"),
+            F.lit(2).cast("tinyint").alias("o_kind"),
+            val.alias("o_value"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("string").alias("o_dt"),
+            F.concat(F.lit(GBASE), F.col("source")).alias("g_value"),
+        )
+
+    quads = leg(INLANG, F.col("lang"), False).unionByName(
+        leg(CHARS, F.col("n_chars").cast("string"), True)
+    )
+    out = sparql_select(
+        quads,
+        f"""PREFIX s: <http://schema.org/>
+            PREFIX v: <http://corpus.example/vocab#>
+            SELECT ?g ?d ?l ?n WHERE {{
+              GRAPH ?g {{
+                ?d s:inLanguage ?l
+                OPTIONAL {{ ?d v:charCount ?n }}
+              }}
+            }}""",
+    )
+    return out.select(
+        "g", "d", "l", F.coalesce("n", F.lit("")).alias("n")
+    )
+
+
 def q_nq_parse_roundtrip(spark, sf_dir):
     """S1 quad variant (round 5), ORACLED round-trip identity: doc
     triples labeled with per-source named graphs → N-Quads lines →
@@ -2230,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_named_graph": q_sparql_named_graph,
         "sparql_update_graphs": q_sparql_update_graphs,
         "nq_parse_roundtrip": q_nq_parse_roundtrip,
+        "sparql_graph_algebra": q_sparql_graph_algebra,
     }
 
 
@@ -3427,6 +3474,15 @@ def oracle_sql() -> dict[str, str]:
                    '"' || lang || '"' AS lang
             FROM documents
             WHERE source IN ('src1', 'src2', 'src3')
+        """,
+        "sparql_graph_algebra": f"""
+            SELECT '<http://graphs.example/' || source || '>' AS g,
+                   '<{DOC_BASE}' || doc_id || '>' AS d,
+                   '"' || lang || '"' AS l,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '"' || n_chars || '"'
+                        ELSE '' END AS n
+            FROM documents
         """,
         "nq_parse_roundtrip": f"""
             SELECT '{DOC_BASE}' || doc_id AS s_value,
