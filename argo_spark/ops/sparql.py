@@ -3352,17 +3352,21 @@ def parse_construct(query: str):
             "CONSTRUCT template must be a plain triple block"
         )
     template = tmpl_group.triples
-    # template blank nodes mean fresh-bnode-per-solution generation
-    # (spec 16.2.1) — not implemented; the WHERE pattern may still use
-    # them freely (they are plain internal join variables there)
+    # template blank nodes generate fresh-per-solution (spec 16.2.1;
+    # instantiated in _instantiate_template as a deterministic hash
+    # of the solution's bindings); the WHERE pattern may use its OWN
+    # labels freely (plain internal join variables there) but a label
+    # shared between template and WHERE is rejected at instantiation.
+    # Property paths in the template stay rejected.
+    bn = "?" + _PATH_VAR_PREFIX + "bn_"
     if any(
         isinstance(t, str) and t.startswith("?" + _PATH_VAR_PREFIX)
+        and not t.startswith(bn)
         for triple in template
         for t in triple
     ):
         raise SparqlSyntaxError(
-            "blank nodes / property paths in CONSTRUCT templates are "
-            "not supported"
+            "property paths in CONSTRUCT templates are not supported"
         )
     if dataset is None:
         # full form: DatasetClause* sits between template and WHERE
@@ -3558,10 +3562,42 @@ def _instantiate_template(
         sols = sols.limit(limit)
 
     bound = set(_binding_vars(sols.columns))
+    bn_prefix = _PATH_VAR_PREFIX + "bn_"
+    bn_keys = [
+        F.coalesce(F.col(c), F.lit("")) for c in sorted(bound)
+    ]
 
     def term_col(t, position):
         if isinstance(t, str) and t.startswith("?"):
             v = t[1:]
+            if v.startswith(bn_prefix):
+                # template blank node (spec 16.2.1): fresh per
+                # SOLUTION — deterministic hash of the solution's
+                # bindings + the label, so the same label yields the
+                # same node across the template's patterns for one
+                # solution and distinct nodes across solutions.
+                # Pure column expr: no state, no collect, stable
+                # under any partitioning.
+                if v in bound:
+                    raise SparqlSyntaxError(
+                        f"blank node label _:{v[len(bn_prefix):]} is "
+                        "shared between template and WHERE — rename "
+                        "one (template labels are template-scoped)"
+                    )
+                from argo_spark.terms import KIND_BLANK
+
+                label = v[len(bn_prefix):]
+                return F.struct(
+                    F.lit(int(KIND_BLANK)).cast("tinyint").alias("kind"),
+                    F.concat(
+                        F.lit("ct"),
+                        F.md5(F.concat_ws(
+                            "\x01", F.lit(label), *bn_keys
+                        )),
+                    ).alias("value"),
+                    _null_str().alias("lang"),
+                    _null_str().alias("dt"),
+                )
             if v not in bound:
                 raise SparqlSyntaxError(
                     f"CONSTRUCT template var ?{v} is not bound in WHERE"
@@ -4003,13 +4039,15 @@ _CANON_COLS = [
 _QUAD_COLS = _CANON_COLS + ["g_value"]
 
 
-def _group_to_quads(g: "Group", what: str):
+def _group_to_quads(g: "Group", what: str, allow_bnodes: bool = False):
     """A parsed template group -> list of quads ``(s, p, o, g)``:
     ``g`` is None for the default graph (rebound to the WITH graph at
     execution), an IRI string for ``GRAPH <g> { ... }`` blocks, or a
-    ``?var`` from ``GRAPH ?g { ... }``. Filters, nested forms,
-    property paths and blank nodes all raise (template blank nodes
-    would mean per-solution generation)."""
+    ``?var`` from ``GRAPH ?g { ... }``. Filters, nested forms and
+    property paths raise. ``allow_bnodes`` (INSERT templates, spec
+    §19.6): template blank-node labels pass through as their internal
+    ``__pathbn_`` variables and instantiate fresh-per-solution;
+    DELETE templates reject them per spec."""
     if g.filters:
         raise SparqlSyntaxError(
             f"{what} template must be a plain triple block"
@@ -4036,22 +4074,31 @@ def _group_to_quads(g: "Group", what: str):
             raise SparqlSyntaxError(
                 f"{what} template must be a plain triple block"
             )
-    if any(
-        isinstance(t, str) and t.startswith("?" + _PATH_VAR_PREFIX)
-        for q4 in quads
-        for t in q4[:3]
-    ):
-        raise SparqlSyntaxError(
-            f"blank nodes / property paths in a {what} template are "
-            "not supported"
-        )
+    bn = "?" + _PATH_VAR_PREFIX + "bn_"
+    for q4 in quads:
+        for t in q4[:3]:
+            if not (isinstance(t, str)
+                    and t.startswith("?" + _PATH_VAR_PREFIX)):
+                continue
+            if t.startswith(bn):
+                if not allow_bnodes:
+                    raise SparqlSyntaxError(
+                        f"blank nodes are not allowed in a {what} "
+                        "template (spec §19.6 — they only generate "
+                        "in INSERT/CONSTRUCT templates)"
+                    )
+            else:
+                raise SparqlSyntaxError(
+                    f"property paths in a {what} template are "
+                    "not supported"
+                )
     return quads
 
 
-def _update_template(p: "_Parser", what: str):
+def _update_template(p: "_Parser", what: str, allow_bnodes: bool = False):
     """A '{ ... }' template block for Update -> quads (see
     ``_group_to_quads``)."""
-    return _group_to_quads(p.parse_group(), what)
+    return _group_to_quads(p.parse_group(), what, allow_bnodes)
 
 
 def _parse_using(p: "_Parser"):
@@ -4176,7 +4223,7 @@ def parse_update(query: str) -> list[tuple]:
                 p.next()
                 ops.append(("data", False, _update_template(p, "INSERT DATA")))
             else:
-                tmpl = _update_template(p, "INSERT")
+                tmpl = _update_template(p, "INSERT", allow_bnodes=True)
                 using = _parse_using(p)
                 p.expect_kw("WHERE")
                 ops.append(
@@ -4205,7 +4252,9 @@ def parse_update(query: str) -> list[tuple]:
                 k3, v3 = p.peek()
                 if k3 == "kw" and v3.upper() == "INSERT":
                     p.next()
-                    ins_tmpl = _update_template(p, "INSERT")
+                    ins_tmpl = _update_template(
+                        p, "INSERT", allow_bnodes=True
+                    )
                 using = _parse_using(p)
                 p.expect_kw("WHERE")
                 ops.append(

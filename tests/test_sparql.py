@@ -3029,6 +3029,62 @@ def test_from_and_from_named(spark):
     assert out.collect() == []
 
 
+def test_template_blank_nodes(spark):
+    # spec 16.2.1 / §19.6 (round 5b): template blank nodes generate
+    # fresh-per-solution — a deterministic hash of the solution's
+    # bindings, so the same label is ONE node across the template's
+    # patterns for a given solution and distinct nodes across
+    # solutions/labels; stable under any partitioning
+    from argo_spark.ops.sparql import sparql_construct, sparql_update
+
+    g = TripleGraph.of(spark, [
+        TripleT(iri("http://e/a"), iri("http://e/name"), literal("Ada")),
+        TripleT(iri("http://e/b"), iri("http://e/name"), literal("Bob")),
+    ]).df
+    q = ("CONSTRUCT { ?x <http://e/meta> _:m . _:m <http://e/lbl> ?n } "
+         "WHERE { ?x <http://e/name> ?n }")
+    out = sparql_construct(g, q)
+    rows = [(r.s_value, r.p_value, r.o_kind, r.o_value)
+            for r in out.collect()]
+    metas = {r[3] for r in rows if r[1] == "http://e/meta"}
+    subs = {r[0] for r in rows if r[1] == "http://e/lbl"}
+    assert len(rows) == 4 and len(metas) == 2 and metas == subs
+    # generated nodes are blank-kind, not IRIs
+    assert all(r[2] == 1 for r in rows if r[1] == "http://e/meta")
+    # distinct labels yield distinct nodes per solution
+    out2 = sparql_construct(
+        g,
+        "CONSTRUCT { ?x <http://e/p> _:m . ?x <http://e/q> _:n } "
+        "WHERE { ?x <http://e/name> ?v }",
+    )
+    vals = {(r.p_value, r.o_value) for r in out2.collect()}
+    ms = {v for p, v in vals if p.endswith("/p")}
+    ns = {v for p, v in vals if p.endswith("/q")}
+    assert len(ms) == 2 and len(ns) == 2 and not (ms & ns)
+    # INSERT templates generate too; DELETE templates reject per spec
+    up = sparql_update(
+        g, "INSERT { ?x <http://e/tag> _:t } "
+           "WHERE { ?x <http://e/name> ?n }"
+    )
+    tags = [r for r in up.collect() if r.p_value == "http://e/tag"]
+    assert len(tags) == 2 and len({t.o_value for t in tags}) == 2
+    with pytest.raises(SparqlSyntaxError, match="DELETE template"):
+        sparql_update(
+            g, "DELETE { ?x <http://e/name> _:z } "
+               "WHERE { ?x <http://e/name> ?n }"
+        )
+    # a label shared between template and WHERE is ambiguous: raise
+    with pytest.raises(SparqlSyntaxError, match="shared between"):
+        sparql_construct(
+            g, "CONSTRUCT { ?x <http://e/p> _:m } "
+               "WHERE { ?x <http://e/name> _:m }"
+        )
+    # partitioning-independent output
+    assert sorted((r.s_value, r.o_value) for r in out.collect()) == \
+        sorted((r.s_value, r.o_value)
+               for r in sparql_construct(g.repartition(7), q).collect())
+
+
 def test_construct_describe_with_dataset(spark):
     # round 5: FROM / FROM NAMED + constant GRAPH on the graph-valued
     # query forms
