@@ -346,6 +346,29 @@ class _Parser:
         if not (kind == "punct" and val == ch):
             raise SparqlSyntaxError(f"expected {ch!r}, got {val!r}")
 
+    def capture_group_tokens(self) -> str:
+        """Raw token text of one balanced ``{ ... }`` group — the
+        SERVICE payload, re-serialized from tokens (space-joined,
+        except language tags and ``^^<dt>`` which must stay glued to
+        their literal per the SPARQL grammar)."""
+        self.expect_punct("{")
+        depth = 1
+        parts: list[str] = []
+        prev_kind: str | None = None
+        while True:
+            kind, val = self.next()
+            if kind == "punct" and val == "{":
+                depth += 1
+            elif kind == "punct" and val == "}":
+                depth -= 1
+                if depth == 0:
+                    return "".join(parts)
+            if parts and kind not in ("langtag", "dtmark") \
+                    and prev_kind != "dtmark":
+                parts.append(" ")
+            parts.append(val)
+            prev_kind = kind
+
     def parse_prefixes(self):
         while True:
             kind, val = self.peek()
@@ -444,6 +467,32 @@ class _Parser:
                             "GRAPH needs an IRI or a variable"
                         )
                 elements.append(("graph", (gterm, self.parse_group())))
+            elif kind == "kw" and val.upper() == "SERVICE":
+                # §18.8 federation: the inner pattern ships to the
+                # endpoint VERBATIM (re-serialized from tokens), so
+                # the full remote grammar is available regardless of
+                # this engine's local coverage
+                self.next()
+                silent = False
+                k2, v2 = self.peek()
+                if k2 == "kw" and v2.upper() == "SILENT":
+                    self.next()
+                    silent = True
+                k2, v2 = self.peek()
+                if k2 == "var":
+                    raise SparqlSyntaxError(
+                        "SERVICE with a variable endpoint is not "
+                        "supported (constant IRI only)"
+                    )
+                ep = self.parse_term("s")
+                if not isinstance(ep, str) or ep.startswith("?"):
+                    raise SparqlSyntaxError(
+                        "SERVICE needs an endpoint IRI"
+                    )
+                raw = self.capture_group_tokens()
+                elements.append(
+                    ("service", (ep, silent, raw, dict(self.prefixes)))
+                )
             elif kind == "kw" and val.upper() == "VALUES":
                 self.next()
                 elements.append(self.parse_values())
@@ -1935,6 +1984,75 @@ _CLOSURE_MAX_ROUNDS = 10  # doubling rounds: covers diameters to 2^10
 _DATASET_CTX: list = []
 
 
+# test/ops hook: transport injected into SERVICE endpoint calls
+# (signature of sparql_client.Transport); None = real urllib
+SERVICE_TRANSPORT = None
+
+
+def _service_frame(
+    spark, endpoint: str, silent: bool, raw: str, prefixes: dict,
+    structs: bool,
+):
+    """Execute one SERVICE pattern against its endpoint -> (frame,
+    maybe_null_vars, masks) | None (identity — SILENT failure or a
+    variable-free match) | "empty" (variable-free non-match). The
+    captured pattern goes out verbatim under the query's PREFIX
+    declarations; result bindings land as NT-form columns (plus
+    __term__ structs in CONSTRUCT/Update-template mode). Remote
+    blank-node labels pass through as-is (documented: scoped to the
+    response per spec, merged as-is here)."""
+    from argo_spark.ops.sparql_client import SparqlService
+    from argo_spark.terms import format_term
+
+    header = "".join(
+        f"PREFIX {k}: <{v}> " for k, v in sorted(prefixes.items())
+    )
+    q = header + "SELECT * WHERE { " + raw + " }"
+    try:
+        parser = SparqlService(
+            endpoint, transport=SERVICE_TRANSPORT
+        ).select(q)
+    except Exception:
+        if silent:
+            return None
+        raise
+    vars_, rows = parser.vars, parser.results
+    if not vars_:
+        return None if rows else "empty"
+    for v in vars_:
+        if v.startswith(_TERM_STRUCT_PREFIX):
+            raise SparqlSyntaxError(
+                f"SERVICE variable name {v!r} collides with the "
+                "internal term-struct prefix"
+            )
+    nulls = {v for v in vars_ if any(v not in r for r in rows)}
+    masks = _mask_cap(
+        {frozenset(set(r) & nulls) for r in rows} or {frozenset()}
+    )
+    fields, data = [], []
+    for v in vars_:
+        fields.append(f"`{v}` string")
+        if structs:
+            fields.append(
+                f"`{_TERM_STRUCT_PREFIX}{v}` struct<kind:tinyint,"
+                "value:string,lang:string,dt:string>"
+            )
+    for r in rows:
+        row: list = []
+        for v in vars_:
+            t = r.get(v)
+            row.append(format_term(t) if t is not None else None)
+            if structs:
+                row.append(
+                    (int(t.kind), t.value, t.lang or None, t.dt)
+                    if t is not None
+                    else None
+                )
+        data.append(tuple(row))
+    frame = spark.createDataFrame(data, ", ".join(fields))
+    return frame, nulls, masks
+
+
 def _resolve_dataset(triples: DataFrame, dataset):
     """Resolve a query's RDF dataset (§13.2) -> (active_default_frame,
     pushed). ``dataset`` = (from_iris, from_named_iris) or None. With
@@ -2518,6 +2636,38 @@ def _eval_group_impl(
                 frame, frame_nulls, frame_non_nt, frame_masks = (
                     _eval_group_impl(scope, gsub, False, structs)
                 )
+        elif kind == "service":
+            # §18.8 federation: ship the captured pattern to the
+            # endpoint as SELECT *, land the bindings as a local
+            # frame, and join like any other element. Results
+            # materialize DRIVER-SIDE (the remote endpoint bounds
+            # them by design); compat machinery handles unbound vars.
+            if graph_var is not None:
+                raise SparqlSyntaxError(
+                    "SERVICE inside GRAPH ?var is not supported "
+                    "(remote patterns cannot bind the graph variable)"
+                )
+            svc = _service_frame(
+                triples.sparkSession, *payload, structs=structs
+            )
+            if svc is None:
+                # SILENT failure, or a variable-free pattern that
+                # matched: the single-empty-solution identity
+                continue
+            if svc == "empty":
+                # variable-free pattern with no remote match: the
+                # whole group so far yields nothing
+                if acc is None:
+                    raise SparqlSyntaxError(
+                        "leading variable-free SERVICE with an empty "
+                        "result is not supported"
+                    )
+                from pyspark.sql import functions as F
+
+                acc = acc.where(F.lit(False))
+                continue
+            frame, frame_nulls, frame_masks = svc
+            frame_non_nt = set()
         elif kind == "subquery":
             # §18.2.2.14: the subquery evaluates bottom-up against
             # the full graph (outer bindings are NOT visible inside)

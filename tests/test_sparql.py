@@ -3029,6 +3029,131 @@ def test_from_and_from_named(spark):
     assert out.collect() == []
 
 
+_SVC_XML = b"""<?xml version="1.0"?>
+<sparql xmlns="http://www.w3.org/2005/sparql-results#">
+ <head><variable name="x"/><variable name="age"/></head>
+ <results>
+  <result><binding name="x"><uri>http://e/a</uri></binding>
+          <binding name="age"><literal>36</literal></binding></result>
+  <result><binding name="x"><uri>http://e/z</uri></binding>
+          <binding name="age"><literal>99</literal></binding></result>
+  <result><binding name="x"><uri>http://e/b</uri></binding></result>
+ </results>
+</sparql>"""
+
+
+def test_service_federation(spark):
+    # §18.8 (round 5b): SERVICE ships the captured pattern verbatim
+    # (re-serialized from tokens under the query's PREFIXes) and the
+    # returned bindings join as a local frame — unbound remote vars
+    # flow through the compatibility machinery
+    import argo_spark.ops.sparql as sq
+
+    sent = {}
+
+    def canned(method, url, payload, headers):
+        sent["url"] = url
+        sent["payload"] = payload.decode()
+        return 200, "OK", {}, _SVC_XML
+
+    g = TripleGraph.of(spark, [
+        TripleT(iri("http://e/a"), iri("http://e/name"), literal("Ada")),
+        TripleT(iri("http://e/b"), iri("http://e/name"), literal("Bob")),
+    ]).df
+    old = sq.SERVICE_TRANSPORT
+    sq.SERVICE_TRANSPORT = canned
+    try:
+        out = sparql_select(
+            g,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?x ?n ?age WHERE {
+                 ?x <http://e/name> ?n
+                 SERVICE <http://remote.example/sparql>
+                   { ?x s:age ?age . FILTER(?age > 0) }
+               }""",
+        )
+        assert sorted((r.x, r.n, r.age) for r in out.collect()) == [
+            ("<http://e/a>", '"Ada"', '"36"'),
+            ("<http://e/b>", '"Bob"', None),  # remote row, unbound age
+        ]
+        assert sent["url"] == "http://remote.example/sparql"
+        # PREFIX header + verbatim pattern incl. the FILTER
+        assert "PREFIX+s%3A" in sent["payload"]
+        assert "FILTER" in sent["payload"]
+
+        # SILENT swallows endpoint failure (identity); plain raises
+        def dead(method, url, payload, headers):
+            raise OSError("down")
+
+        sq.SERVICE_TRANSPORT = dead
+        out = sparql_select(
+            g,
+            "SELECT ?x WHERE { ?x <http://e/name> ?n "
+            "SERVICE SILENT <http://x/> { ?x ?p ?o } }",
+        )
+        assert out.count() == 2
+        with pytest.raises(OSError):
+            sparql_select(
+                g,
+                "SELECT ?x WHERE { ?x <http://e/name> ?n "
+                "SERVICE <http://x/> { ?x ?p ?o } }",
+            ).collect()
+        # variable endpoints are rejected up front
+        with pytest.raises(SparqlSyntaxError, match="variable endpoint"):
+            sparql_select(
+                g,
+                "SELECT ?x WHERE { SERVICE ?ep { ?x ?p ?o } }",
+            )
+    finally:
+        sq.SERVICE_TRANSPORT = old
+
+
+def test_service_default_transport_loopback(spark):
+    # the real-urllib path: a stdlib http.server serves the canned
+    # result; SERVICE with no injected transport must reach it
+    import http.server
+    import threading
+
+    import argo_spark.ops.sparql as sq
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            length = int(self.headers["Content-Length"])
+            self.rfile.read(length)
+            self.send_response(200)
+            self.send_header(
+                "Content-Type", "application/sparql-results+xml"
+            )
+            self.send_header("Content-Length", str(len(_SVC_XML)))
+            self.end_headers()
+            self.wfile.write(_SVC_XML)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        assert sq.SERVICE_TRANSPORT is None
+        g = TripleGraph.of(spark, [
+            TripleT(iri("http://e/a"), iri("http://e/name"),
+                    literal("Ada")),
+        ]).df
+        out = sparql_select(
+            g,
+            f"SELECT ?x ?age WHERE {{ ?x <http://e/name> ?n "
+            f"SERVICE <http://127.0.0.1:{srv.server_port}/sparql> "
+            f"{{ ?x <http://e/age> ?age }} }}",
+        )
+        assert [(r.x, r.age) for r in out.collect()] == [
+            ("<http://e/a>", '"36"')
+        ]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_template_blank_nodes(spark):
     # spec 16.2.1 / §19.6 (round 5b): template blank nodes generate
     # fresh-per-solution — a deterministic hash of the solution's
