@@ -4431,10 +4431,24 @@ def parse_update(query: str) -> list[tuple]:
             dst = _graph_or_default(p, management=w)
             ops.append(("xfer", w.lower(), src, dst, silent))
         elif w == "LOAD":
-            raise SparqlSyntaxError(
-                "LOAD is not supported — ingest via the rdf CLI "
-                "source layer, then INSERT from a frame"
-            )
+            # §3.1.4: LOAD (SILENT)? <doc> (INTO GRAPH <g>)? — the
+            # document is read through the rdf CLI's format registry
+            # (extension/MIME dispatch, http(s) fetch, quarantine)
+            p.next()
+            silent = _maybe_silent(p)
+            t = p.parse_term("s")
+            if not isinstance(t, str) or t.startswith("?"):
+                raise SparqlSyntaxError("LOAD needs a document IRI")
+            into = None
+            k2, v2 = p.peek()
+            if k2 == "kw" and v2.upper() == "INTO":
+                p.next()
+                p.expect_kw("GRAPH")
+                gi = p.parse_term("s")
+                if not isinstance(gi, str) or gi.startswith("?"):
+                    raise SparqlSyntaxError("INTO GRAPH needs an IRI")
+                into = gi
+            ops.append(("load", t, into, silent))
         else:
             raise SparqlSyntaxError(f"unsupported update operation {val!r}")
         if p.peek() == ("punct", ";"):
@@ -4516,6 +4530,47 @@ def _graph_plus(triples: DataFrame, new: DataFrame, cols=None) -> DataFrame:
     return triples.select(*cols).unionByName(fresh)
 
 
+def _load_document_frame(spark, src: str) -> DataFrame:
+    """LOAD's document reader: http(s) IRIs fetch driver-side
+    (streamed to a temp file, materialized via localCheckpoint before
+    cleanup), ``file://`` IRIs and plain paths read in place; format
+    dispatch and quarantine come from the rdf CLI's registry. A
+    document with ANY parse error fails the operation (§3.1.4 —
+    SILENT at the call site turns that into a no-op); the error
+    probe is one driver-side scalar action."""
+    import os as _os
+    import urllib.parse as _up
+
+    from argo_spark.cli import _fetch_url, read_source
+
+    if src.startswith(("http://", "https://")):
+        local, mime = _fetch_url(src)
+        try:
+            df, errors = read_source(spark, local, mime=mime)
+            df = df.localCheckpoint(eager=True)
+            if errors is not None:
+                errors = errors.localCheckpoint(eager=True)
+        finally:
+            try:
+                _os.unlink(local)
+            except OSError:
+                pass
+    else:
+        path = (
+            _up.unquote(_up.urlparse(src).path)
+            if src.startswith("file://")
+            else src
+        )
+        df, errors = read_source(spark, path)
+    if errors is not None and errors.limit(1).count() > 0:
+        first = errors.limit(1).collect()[0]
+        raise ValueError(
+            f"LOAD <{src}>: document has parse errors "
+            f"(first: {first.error!r})"
+        )
+    return df
+
+
 def _op_touches_graphs(op) -> bool:
     """True when an update op syntactically references named graphs
     (decides quad-mode OUTPUT for a g-less input frame — static, no
@@ -4533,6 +4588,8 @@ def _op_touches_graphs(op) -> bool:
                 for q in (del_tmpl or []) + (ins_tmpl or [])
             )
         )
+    if kind == "load":
+        return op[2] is not None  # INTO GRAPH <g>
     return kind in ("clear", "create", "xfer")
 
 
@@ -4671,6 +4728,32 @@ def sparql_update(triples: DataFrame, update: str) -> DataFrame:
             # empty graphs are not recorded in this store (quad rows
             # ARE the graphs) — CREATE validates syntax and no-ops
             pass
+        elif op[0] == "load":
+            _, src, into, silent = op
+            try:
+                loaded = _load_document_frame(
+                    triples.sparkSession, src
+                )
+            except Exception:
+                if silent:
+                    continue
+                raise
+            if quad_mode:
+                if into is not None:
+                    # INTO flattens the source (dataset or graph)
+                    # into the one target graph per §3.1.4
+                    loaded = loaded.select(*_CANON_COLS).withColumn(
+                        "g_value", F.lit(into).cast("string")
+                    )
+                elif "g_value" not in loaded.columns:
+                    loaded = loaded.withColumn(
+                        "g_value", F.lit(None).cast("string")
+                    )
+            else:
+                # triple-mode request: a quad source (.nq) flattens
+                # into the default graph (documented)
+                loaded = loaded.select(*_CANON_COLS)
+            triples = _graph_plus(triples, loaded, cols)
         else:
             _, kind, src, dst, silent = op
             triples = _xfer_graph(triples, kind, src, dst, silent)

@@ -1941,15 +1941,18 @@ def test_blank_nodes_in_patterns(spark):
     # blank node in predicate position is rejected
     with pytest.raises(SparqlSyntaxError, match="predicate"):
         sparql_select(g, "SELECT ?s WHERE { ?s _:p ?o }")
-    # blank nodes in CONSTRUCT templates are rejected (fresh-bnode
-    # generation semantics); in the WHERE pattern they are fine
+    # blank nodes in CONSTRUCT templates generate fresh-per-solution
+    # nodes (spec 16.2.1, see test_construct_template_blank_nodes);
+    # in the WHERE pattern they are plain join variables
     from argo_spark.ops.sparql import sparql_construct
-    with pytest.raises(SparqlSyntaxError, match="blank nodes"):
-        sparql_construct(
-            g,
-            """PREFIX s: <http://schema.org/>
-               CONSTRUCT { _:x s:name ?n } WHERE { ?w s:name ?n }""",
-        )
+    out = sparql_construct(
+        g,
+        """PREFIX s: <http://schema.org/>
+           CONSTRUCT { _:x s:name ?n } WHERE { ?w s:name ?n }""",
+    )
+    rows = out.collect()
+    assert len(rows) == 3 and len({r.s_value for r in rows}) == 3
+    assert all(r.s_kind == 1 for r in rows)  # kind 1 = blank node
     out = sparql_construct(
         g,
         """PREFIX s: <http://schema.org/>
@@ -2500,9 +2503,60 @@ def test_sparql_update_graph_management(spark):
     # CREATE validates and no-ops (empty graphs are not recorded)
     assert sparql_update(
         q, 'CREATE GRAPH <http://g/9>').count() == q.count()
-    # LOAD is declared out of scope
-    with pytest.raises(SparqlSyntaxError, match="LOAD"):
-        sparql_update(q, 'LOAD <http://example.org/data.nt>')
+    # LOAD needs a document IRI, not a variable
+    with pytest.raises(SparqlSyntaxError, match="document IRI"):
+        sparql_update(q, 'LOAD ?doc')
+
+
+def test_sparql_update_load(spark, tmp_path):
+    # §3.1.4 (round 5b): LOAD reads through the rdf CLI's format
+    # registry; INTO GRAPH flattens into the target graph; parse
+    # errors fail the operation unless SILENT
+    from argo_spark.ops.sparql import sparql_update
+
+    nt = tmp_path / "ld.nt"
+    nt.write_text('<http://e/c> <http://e/name> "Cee" .\n')
+    nq = tmp_path / "ld.nq"
+    nq.write_text(
+        '<http://e/d> <http://e/name> "Dee" <http://g/7> .\n'
+    )
+    bad = tmp_path / "bad.nt"
+    bad.write_text("not a triple\n")
+    g = TripleGraph.of(
+        spark,
+        [TripleT(iri("http://e/a"), iri("http://e/name"),
+                 literal("Ada"))],
+    ).df
+    # plain LOAD of a triple doc: g-less in, g-less out
+    out = sparql_update(g, f"LOAD <{nt}>")
+    assert sorted(r.s_value for r in out.collect()) == \
+        ["http://e/a", "http://e/c"]
+    assert "g_value" not in out.columns
+    # INTO GRAPH
+    out = sparql_update(g, f"LOAD <{nt}> INTO GRAPH <http://g/5>")
+    assert sorted((r.s_value, r.g_value or "")
+                  for r in out.collect()) == [
+        ("http://e/a", ""), ("http://e/c", "http://g/5"),
+    ]
+    # a quad source keeps its graphs in a quad-mode request
+    out = sparql_update(
+        g, f"CREATE GRAPH <http://g/0> ; LOAD <{nq}>"
+    )
+    assert ("http://e/d", "http://g/7") in {
+        (r.s_value, r.g_value) for r in out.collect()
+    }
+    # ...and flattens to the default graph in a triple-mode request
+    out = sparql_update(g, f"LOAD <{nq}>")
+    assert "g_value" not in out.columns
+    assert sorted(r.s_value for r in out.collect()) == \
+        ["http://e/a", "http://e/d"]
+    # parse errors fail; SILENT no-ops (bad doc or missing doc)
+    with pytest.raises(ValueError, match="parse errors"):
+        sparql_update(g, f"LOAD <{bad}>").count()
+    assert sparql_update(g, f"LOAD SILENT <{bad}>").count() == 1
+    assert sparql_update(
+        g, f"LOAD SILENT <{tmp_path}/none.nt>"
+    ).count() == 1
 
 
 def test_exists_in_expression(spark):
