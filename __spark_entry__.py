@@ -2121,6 +2121,71 @@ def q_sparql_graph_algebra(spark, sf_dir):
     )
 
 
+def q_sparql_graph_subquery(spark, sf_dir):
+    """§2.5 E3 (round 5b): SUBQUERY inside GRAPH ?g — per-graph
+    top-k. The subquery's ORDER BY DESC(?n) LIMIT 3 becomes a
+    row_number window PARTITIONED BY the graph variable (no per-graph
+    loop, no global sort); ties broken by the ?d term order. Each
+    source is a named graph carrying charCount triples; DuckDB
+    replays with row_number() OVER (PARTITION BY source ...)."""
+    from argo_spark.ops.sparql import sparql_select
+
+    GBASE = "http://graphs.example/"
+    CHARS = "http://corpus.example/vocab#charCount"
+    d = _docs(spark, sf_dir)
+    quads = d.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("s_value"),
+        F.lit(CHARS).alias("p_value"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.col("n_chars").cast("string").alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.concat(F.lit(GBASE), F.col("source")).alias("g_value"),
+    )
+    return sparql_select(
+        quads,
+        """PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?g ?d ?n WHERE {
+             GRAPH ?g {
+               SELECT ?d ?n WHERE { ?d v:charCount ?n }
+               ORDER BY DESC(?n) ?d LIMIT 3
+             }
+           }""",
+    )
+
+
+def q_sparql_graph_closure(spark, sf_dir):
+    """§2.5 E3 (round 5b): path CLOSURE inside GRAPH ?g — the
+    pointer-doubling closure runs over composite struct(g, node) keys
+    so paths never cross graphs (one equi-join per doubling round, no
+    per-graph loop). Edges chain doc_id -> doc_id+7 labeled with the
+    SUBJECT doc's source graph; DuckDB replays with a WITH RECURSIVE
+    keyed on the graph column."""
+    from argo_spark.ops.sparql import sparql_select
+
+    GBASE = "http://graphs.example/"
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    e = d.alias("a").join(
+        d.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 7
+    )
+    quads = e.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("a.doc_id")).alias("s_value"),
+        F.lit(NEXTDOC).alias("p_value"),
+        F.lit(0).cast("tinyint").alias("o_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("b.doc_id")).alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.concat(F.lit(GBASE), F.col("a.source")).alias("g_value"),
+    )
+    return sparql_select(
+        quads,
+        """PREFIX v: <http://corpus.example/vocab#>
+           SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a v:nextDoc+ ?b } }""",
+    )
+
+
 def q_nq_parse_roundtrip(spark, sf_dir):
     """S1 quad variant (round 5), ORACLED round-trip identity: doc
     triples labeled with per-source named graphs → N-Quads lines →
@@ -2277,6 +2342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_update_graphs": q_sparql_update_graphs,
         "nq_parse_roundtrip": q_nq_parse_roundtrip,
         "sparql_graph_algebra": q_sparql_graph_algebra,
+        "sparql_graph_subquery": q_sparql_graph_subquery,
+        "sparql_graph_closure": q_sparql_graph_closure,
     }
 
 
@@ -3483,6 +3550,35 @@ def oracle_sql() -> dict[str, str]:
                         THEN '"' || n_chars || '"'
                         ELSE '' END AS n
             FROM documents
+        """,
+        "sparql_graph_subquery": f"""
+            SELECT g, d, n FROM (
+              SELECT '<http://graphs.example/' || source || '>' AS g,
+                     '<{DOC_BASE}' || doc_id || '>' AS d,
+                     '"' || n_chars || '"' AS n,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC,
+                                '{DOC_BASE}' || doc_id ASC
+                     ) AS rn
+              FROM documents
+            ) t WHERE rn <= 3
+        """,
+        "sparql_graph_closure": f"""
+            WITH RECURSIVE e AS (
+              SELECT a.source AS g, a.doc_id AS s, b.doc_id AS d
+              FROM documents a
+              JOIN documents b ON b.doc_id = a.doc_id + 7
+            ), cl AS (
+              SELECT g, s, d FROM e
+              UNION
+              SELECT cl.g, cl.s, e.d
+              FROM cl JOIN e ON cl.d = e.s AND e.g = cl.g
+            )
+            SELECT '<http://graphs.example/' || g || '>' AS g,
+                   '<{DOC_BASE}' || s || '>' AS a,
+                   '<{DOC_BASE}' || d || '>' AS b
+            FROM cl
         """,
         "nq_parse_roundtrip": f"""
             SELECT '{DOC_BASE}' || doc_id AS s_value,

@@ -2089,7 +2089,9 @@ def _resolve_dataset(triples: DataFrame, dataset):
     return active, True
 
 
-def _closure_frame(triples, s, iri_, inv, op, o) -> DataFrame:
+def _closure_frame(
+    triples, s, iri_, inv, op, o, graph_var: str | None = None
+) -> DataFrame:
     """Evaluate ``s p+ o`` / ``s p* o`` / ``s p? o`` (SPARQL 1.1
     §18.4 OneOrMorePath / ZeroOrMorePath / ZeroOrOnePath) as a
     solution frame.
@@ -2102,7 +2104,13 @@ def _closure_frame(triples, s, iri_, inv, op, o) -> DataFrame:
     swaps the edge direction first. Endpoint variables become binding
     columns (NT forms, same key scheme as bgp_match); a constant
     endpoint filters; two constant endpoints would make this an
-    ASK-shaped emptiness probe and raise."""
+    ASK-shaped emptiness probe and raise.
+
+    ``graph_var`` (GRAPH ?g, §13.3): the closure must not cross
+    graphs, so node keys become ``struct(g, node)`` — the doubling
+    join on dst == src then matches only within one graph (one
+    composite-key equi-join, no per-graph loop) and the graph IRI
+    unpacks into the ?g binding column afterwards."""
     from pyspark.sql import functions as F
 
     from argo_spark.terms import term_nt_col
@@ -2111,20 +2119,27 @@ def _closure_frame(triples, s, iri_, inv, op, o) -> DataFrame:
     dst_nt = term_nt_col(
         F.col("o_kind"), F.col("o_value"), F.col("o_lang"), F.col("o_dt")
     )
-    edges = (
-        triples.where(F.col("p_value") == iri_)
-        .select(src_nt.alias("src"), dst_nt.alias("dst"))
-        .dropDuplicates()
-    )
+    scoped = triples.where(F.col("p_value") == iri_)
+    if graph_var is None:
+        edges = scoped.select(
+            src_nt.alias("src"), dst_nt.alias("dst")
+        ).dropDuplicates()
+    else:
+        g_nt = F.concat(F.lit("<"), F.col("g_value"), F.lit(">"))
+        edges = scoped.select(
+            F.struct(g_nt.alias("g"), src_nt.alias("n")).alias("src"),
+            F.struct(g_nt.alias("g"), dst_nt.alias("n")).alias("dst"),
+        ).dropDuplicates()
     if inv:
         edges = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
-    return _closure_pairs_frame(triples, s, o, edges, op)
+    return _closure_pairs_frame(triples, s, o, edges, op, graph_var)
 
 
 def _closure_group_frame(triples, s, group, srcv, dstv, op, o,
-                         structs: bool) -> DataFrame:
+                         structs: bool,
+                         graph_var: str | None = None) -> DataFrame:
     """Nested path closure ``s (path)+ o`` / ``*`` / ``?`` (SPARQL
     1.1 §18.4 over a parenthesized path): the inner path — itself any
     composition of sequences, alternations, inverses, and closures —
@@ -2133,26 +2148,43 @@ def _closure_group_frame(triples, s, group, srcv, dstv, op, o,
     endpoints IS the edge set, and the same pointer-doubling closure
     machinery as the single-predicate case runs over it. Inversion
     was already folded into the inner path at parse time
-    (``^(p/q)+`` -> ``(^q/^p)+``)."""
+    (``^(p/q)+`` -> ``(^q/^p)+``). Under GRAPH ?g the inner path
+    evaluates with the graph threaded as a join key (so an inner
+    sequence never crosses graphs either) and the edge keys become
+    ``struct(g, node)`` — see :func:`_closure_frame`."""
     from pyspark.sql import functions as F
 
     if structs:
         raise SparqlSyntaxError(
             "path closures inside CONSTRUCT are not supported"
         )
-    inner = _eval_group_impl(triples, group, False, False)[0]
-    edges = inner.select(
-        F.col(srcv[1:]).alias("src"), F.col(dstv[1:]).alias("dst")
-    ).dropDuplicates()
-    return _closure_pairs_frame(triples, s, o, edges, op)
+    inner = _eval_group_impl(
+        triples, group, False, False, graph_var=graph_var
+    )[0]
+    if graph_var is None:
+        edges = inner.select(
+            F.col(srcv[1:]).alias("src"), F.col(dstv[1:]).alias("dst")
+        ).dropDuplicates()
+    else:
+        g = F.col(graph_var)
+        edges = inner.select(
+            F.struct(g.alias("g"), F.col(srcv[1:]).alias("n"))
+            .alias("src"),
+            F.struct(g.alias("g"), F.col(dstv[1:]).alias("n"))
+            .alias("dst"),
+        ).dropDuplicates()
+    return _closure_pairs_frame(triples, s, o, edges, op, graph_var)
 
 
-def _closure_pairs_frame(triples, s, o, edges, op) -> DataFrame:
+def _closure_pairs_frame(
+    triples, s, o, edges, op, graph_var: str | None = None
+) -> DataFrame:
     """Shared closure tail: run the doubling closure over an edge
-    frame (columns src, dst — NT forms), add §18.4 zero-length pairs
-    for '*'/'?', and turn the pair set into a solution frame over the
-    endpoint terms (variable endpoints bind, constant endpoints
-    filter)."""
+    frame (columns src, dst — NT forms, or ``struct(g, n)`` composite
+    keys under GRAPH ?g), add §18.4 zero-length pairs for '*'/'?',
+    and turn the pair set into a solution frame over the endpoint
+    terms (variable endpoints bind, constant endpoints filter; the
+    graph IRI unpacks into the ?g binding column)."""
     from pyspark.sql import functions as F
 
     from argo_spark.ops.traversal import transitive_closure
@@ -2182,39 +2214,83 @@ def _closure_pairs_frame(triples, s, o, edges, op) -> DataFrame:
         else transitive_closure(edges, max_rounds=_CLOSURE_MAX_ROUNDS)
     )
     if op in ("*", "?"):
-        nodes = triples.select(src_nt.alias("n")).unionByName(
-            triples.select(dst_nt.alias("n"))
-        )
+        if graph_var is None:
+            nodes = triples.select(src_nt.alias("n")).unionByName(
+                triples.select(dst_nt.alias("n"))
+            )
+        else:
+            # zero-length pairs hold per named graph: (g, n) for
+            # every term n of graph g
+            g_nt = F.concat(F.lit("<"), F.col("g_value"), F.lit(">"))
+            nodes = triples.select(
+                F.struct(g_nt.alias("g"), src_nt.alias("n")).alias("n")
+            ).unionByName(
+                triples.select(
+                    F.struct(g_nt.alias("g"), dst_nt.alias("n"))
+                    .alias("n")
+                )
+            )
         # §18.4: a BOUND endpoint X contributes (X, X) whether or not
         # X appears in the graph — add constant endpoints explicitly
+        # (under GRAPH ?g: once per named graph in range)
         consts = [
             const_nt(t)
             for t in (s, o)
             if not (isinstance(t, str) and t.startswith("?"))
         ]
         if consts:
-            nodes = nodes.unionByName(
-                triples.sparkSession.createDataFrame(
+            if graph_var is None:
+                extra = triples.sparkSession.createDataFrame(
                     [(c,) for c in consts], "n string"
                 )
-            )
+            else:
+                g_nt = F.concat(
+                    F.lit("<"), F.col("g_value"), F.lit(">")
+                )
+                graphs = triples.select(
+                    g_nt.alias("g")
+                ).dropDuplicates()
+                extra = graphs.crossJoin(
+                    triples.sparkSession.createDataFrame(
+                        [(c,) for c in consts], "cn string"
+                    )
+                ).select(
+                    F.struct(
+                        F.col("g"), F.col("cn").alias("n")
+                    ).alias("n")
+                )
+            nodes = nodes.unionByName(extra)
         nodes = nodes.dropDuplicates()
         pairs = pairs.unionByName(
             nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
         ).dropDuplicates()
 
+    gcol = None if graph_var is None else F.col("src").getField("g")
     if s_var and o_var and s == o:
-        # ?x p+ ?x — cycle membership: one binding column
-        return (
-            pairs.where(F.col("src") == F.col("dst"))
-            .select(F.col("src").alias(s[1:]))
-            .dropDuplicates()
-        )
+        # ?x p+ ?x — cycle membership: one binding column (+ ?g)
+        out = pairs.where(F.col("src") == F.col("dst"))
+        if graph_var is None:
+            return out.select(
+                F.col("src").alias(s[1:])
+            ).dropDuplicates()
+        return out.select(
+            gcol.alias(graph_var),
+            F.col("src").getField("n").alias(s[1:]),
+        ).dropDuplicates()
     # move to reserved internal names first: a user variable literally
     # named ?src or ?dst must not collide with the closure's working
     # columns (the __path prefix is rejected as a query variable)
     csrc, cdst = _PATH_VAR_PREFIX + "src", _PATH_VAR_PREFIX + "dst"
-    out = pairs.select(F.col("src").alias(csrc), F.col("dst").alias(cdst))
+    if graph_var is None:
+        out = pairs.select(
+            F.col("src").alias(csrc), F.col("dst").alias(cdst)
+        )
+    else:
+        out = pairs.select(
+            gcol.alias(graph_var),
+            F.col("src").getField("n").alias(csrc),
+            F.col("dst").getField("n").alias(cdst),
+        )
     if s_var:
         out = out.withColumnRenamed(csrc, s[1:])
     else:
@@ -2579,21 +2655,11 @@ def _eval_group_impl(
                 raise SparqlSyntaxError(
                     "path closures inside CONSTRUCT are not supported"
                 )
-            if graph_var is not None:
-                raise SparqlSyntaxError(
-                    "path closures inside GRAPH ?var are not supported "
-                    "(the closure would need per-graph keying); use "
-                    "GRAPH <iri>"
-                )
-            frame = _closure_frame(triples, *payload)
+            frame = _closure_frame(triples, *payload, graph_var=graph_var)
         elif kind == "closure_group":
-            if graph_var is not None:
-                raise SparqlSyntaxError(
-                    "path closures inside GRAPH ?var are not supported "
-                    "(the closure would need per-graph keying); use "
-                    "GRAPH <iri>"
-                )
-            frame = _closure_group_frame(triples, *payload, structs)
+            frame = _closure_group_frame(
+                triples, *payload, structs, graph_var=graph_var
+            )
         elif kind == "graph":
             # GRAPH (§13.3): evaluate against a named graph of the
             # dataset instead of the active default graph. A nested
@@ -2677,14 +2743,8 @@ def _eval_group_impl(
                 raise SparqlSyntaxError(
                     "subqueries inside CONSTRUCT are not supported"
                 )
-            if graph_var is not None:
-                raise SparqlSyntaxError(
-                    "subqueries inside GRAPH ?var are not supported "
-                    "(the subquery would need per-graph keying); use "
-                    "GRAPH <iri>"
-                )
             frame, frame_nulls, frame_non_nt = _select_frame(
-                triples, payload
+                triples, payload, graph_var=graph_var
             )
             frame_masks = {frozenset()} if not frame_nulls else None
         elif kind == "union":
@@ -3913,10 +3973,21 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     return _select_frame(triples, parse_select(query))[0]
 
 
-def _select_frame(triples: DataFrame, parts):
+def _select_frame(triples: DataFrame, parts, graph_var: str | None = None):
     """Evaluate a parsed SELECT -> (frame, maybe_null_vars). Shared by
     the top-level entry point and '{ SELECT ... }' subquery elements
     (which need the null set for the compatibility-join guard).
+
+    ``graph_var`` (a subquery under GRAPH ?g, §18.6): the subquery
+    evaluates once per named graph — implemented with NO per-graph
+    loop by threading the graph as one more binding column: BGPs bind
+    it, GROUP BY gains it as an implicit leading key (aggregation is
+    per graph; a graph with zero matching solutions contributes no
+    row — documented divergence from the strict reading where e.g.
+    COUNT would yield 0 for it), and ORDER/LIMIT/OFFSET become a
+    row_number window partitioned by the graph — per-graph top-k, the
+    shape that scales. A pure ORDER BY with no LIMIT/OFFSET is
+    dropped (unobservable through the enclosing join per §18.5).
 
     Named-graph model: an optional nullable ``g_value`` column on the
     triples frame carries each row's graph IRI (NULL = default
@@ -3932,14 +4003,26 @@ def _select_frame(triples: DataFrame, parts):
 
     variables, group, distinct, limit, order, offset, group_by, having, \
         dataset = parts
+    if graph_var is not None and dataset is not None:
+        raise SparqlSyntaxError(
+            "FROM / FROM NAMED inside a GRAPH ?var subquery is not "
+            "supported"
+        )
     active, pushed = _resolve_dataset(triples, dataset)
     try:
         out, group_nulls, group_non_nt, _gmasks = _eval_group_impl(
-            active, group, False, False
+            active, group, False, False, graph_var=graph_var
         )
     finally:
         if pushed:
             _DATASET_CTX.pop()
+    if graph_var is not None and (
+        graph_var not in out.columns or graph_var in group_nulls
+    ):
+        raise SparqlSyntaxError(
+            f"every branch of GRAPH ?{graph_var} needs a triple "
+            "pattern binding the graph variable"
+        )
     agg_null_aliases: set[str] = set()
     agg_non_nt: set[str] = set()
     internal = [c for c in out.columns if c.startswith(_PATH_VAR_PREFIX)]
@@ -4037,14 +4120,19 @@ def _select_frame(triples: DataFrame, parts):
                 e = {"SUM": F.sum, "AVG": F.avg,
                      "MIN": F.min, "MAX": F.max}[fn](num)
             exprs.append(e.alias(alias))
+        # under GRAPH ?g the graph is an implicit leading group key:
+        # aggregation happens within each named graph (§18.6)
+        eff_group_by = (
+            [graph_var] if graph_var is not None else []
+        ) + list(group_by)
         if not exprs:
             # GROUP BY with no aggregate projections: grouped
             # projection == distinct over the group keys
-            out = out.select(*group_by).dropDuplicates()
+            out = out.select(*eff_group_by).dropDuplicates()
         else:
             out = (
-                out.groupBy(*group_by).agg(*exprs)
-                if group_by
+                out.groupBy(*eff_group_by).agg(*exprs)
+                if eff_group_by
                 else out.agg(*exprs)
             )
         for h in having:
@@ -4093,10 +4181,13 @@ def _select_frame(triples: DataFrame, parts):
                     )
                 # the expression may be NULL (error) — conservative
                 expr_nulls.add(alias)
-        out = out.select(
-            *[v if isinstance(v, str) else v[4] if v[0] == "agg" else v[2]
-              for v in variables]
-        )
+        sel = [
+            v if isinstance(v, str) else v[4] if v[0] == "agg" else v[2]
+            for v in variables
+        ]
+        if graph_var is not None:
+            sel = [graph_var] + sel
+        out = out.select(*sel)
         # COUNT and GROUP_CONCAT never yield NULL for an existing
         # group; the numeric aggs do whenever every contribution is
         # non-numeric; SAMPLE (min NT form) when its target can be
@@ -4139,23 +4230,60 @@ def _select_frame(triples: DataFrame, parts):
                 raise SparqlSyntaxError(
                     f"ORDER BY over non-selected vars with DISTINCT: {unsel}"
                 )
-            out = out.select(*variables).dropDuplicates()
+            out = out.select(
+                *([graph_var] if graph_var is not None else []),
+                *variables,
+            ).dropDuplicates()
             variables = None  # already projected
-    if order:
+    if graph_var is not None and (limit is not None or offset):
+        # per-graph slice (§18.6): ORDER/LIMIT/OFFSET apply within
+        # each named graph — a row_number window partitioned by the
+        # graph var, NOT a per-graph loop or a global sort
+        from pyspark.sql import Window
+
         dtypes = dict(out.dtypes)
         cols = []
         for key in order:
             cols.extend(_order_key_cols(key, out.columns, dtypes))
-        out = out.orderBy(*cols)
-    # non-DISTINCT: ORDER BY may reference non-selected vars, so
-    # projection stays after sort+limit (limit-after-sort keeps the
-    # plan a top-k TakeOrderedAndProject, not a global sort)
-    if offset:
-        out = out.offset(offset)
-    if limit is not None:
-        out = out.limit(limit)
+        if not cols:
+            # LIMIT without ORDER BY: any subset is spec-valid — pick
+            # deterministically by ordering on all binding columns
+            cols = [
+                F.col(c) for c in sorted(_binding_vars(out.columns))
+            ]
+        rn_col = _PATH_VAR_PREFIX + "rn"
+        out = out.withColumn(
+            rn_col,
+            F.row_number().over(
+                Window.partitionBy(graph_var).orderBy(*cols)
+            ),
+        )
+        lo = offset or 0
+        cond = F.col(rn_col) > lo
+        if limit is not None:
+            cond = cond & (F.col(rn_col) <= lo + limit)
+        out = out.where(cond).drop(rn_col)
+    elif graph_var is None:
+        if order:
+            dtypes = dict(out.dtypes)
+            cols = []
+            for key in order:
+                cols.extend(_order_key_cols(key, out.columns, dtypes))
+            out = out.orderBy(*cols)
+        # non-DISTINCT: ORDER BY may reference non-selected vars, so
+        # projection stays after sort+limit (limit-after-sort keeps
+        # the plan a top-k TakeOrderedAndProject, not a global sort)
+        if offset:
+            out = out.offset(offset)
+        if limit is not None:
+            out = out.limit(limit)
+    # (graph_var set, no slice: a bare ORDER BY is unobservable
+    # through the enclosing join — dropped)
     if variables is not None:
-        out = out.select(*variables)
+        out = out.select(
+            *([graph_var] if graph_var is not None else []),
+            *variables,
+        )
     return (
         out,
         (group_nulls & set(out.columns)) | agg_null_aliases,

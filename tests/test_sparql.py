@@ -3341,15 +3341,18 @@ def test_graph_guards(spark):
             "SELECT ?g WHERE { GRAPH ?g { ?x s:age ?a } }",
         )
     # round 5: GRAPH ?var threads the graph as one more join key, so
-    # full algebra works inside — except constructs that would need
-    # per-graph keying of a different engine (closures, subqueries)
-    # or the §18.6 per-named-graph cross product (no triple pattern)
-    with pytest.raises(SparqlSyntaxError, match="closures inside GRAPH"):
-        sparql_select(
-            quad_graph(spark),
-            "PREFIX s: <http://schema.org/> "
-            "SELECT ?g WHERE { GRAPH ?g { ?x s:age+ ?a } }",
-        )
+    # full algebra works inside (round 5b added closures and
+    # subqueries via composite struct(g, node) keys / implicit group
+    # keys) — the remaining guard is the §18.6 per-named-graph cross
+    # product (a branch with no triple pattern binding ?g)
+    out = sparql_select(
+        quad_graph(spark),
+        "PREFIX s: <http://schema.org/> "
+        "SELECT ?g WHERE { GRAPH ?g { ?x s:age+ ?a } }",
+    )
+    assert sorted(r.g for r in out.collect()) == [
+        "<http://g/1>", "<http://g/2>"
+    ]
     with pytest.raises(SparqlSyntaxError, match="triple pattern"):
         sparql_select(
             quad_graph(spark),
@@ -3402,6 +3405,124 @@ def test_graph_var_full_algebra(spark):
         ("<http://g/2>", "<http://e/b>"),
         ("<http://g/2>", "<http://e/b>"),
     ]
+
+
+def test_graph_var_closures(spark):
+    # round 5b: path closures under GRAPH ?g — node keys become
+    # struct(g, node) so the pointer-doubling closure never crosses
+    # graphs (one composite-key equi-join, no per-graph loop)
+    rows = [
+        (0, "http://e/a", "http://e/p", 0, "http://e/b", None, None,
+         "http://g/1"),
+        (0, "http://e/b", "http://e/p", 0, "http://e/c", None, None,
+         "http://g/1"),
+        (0, "http://e/c", "http://e/p", 0, "http://e/d", None, None,
+         "http://g/2"),
+        (0, "http://e/d", "http://e/q", 0, "http://e/e", None, None,
+         "http://g/2"),
+    ]
+    schema = (
+        "s_kind int, s_value string, p_value string, o_kind int, "
+        "o_value string, o_lang string, o_dt string, g_value string"
+    )
+    q = spark.createDataFrame(rows, schema)
+    # '+' stays within graphs: a->c transitively in g/1; NO a->d
+    out = sparql_select(
+        q, "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <http://e/p>+ ?y } }"
+    )
+    assert {(r.g, r.x, r.y) for r in out.collect()} == {
+        ("<http://g/1>", "<http://e/a>", "<http://e/b>"),
+        ("<http://g/1>", "<http://e/a>", "<http://e/c>"),
+        ("<http://g/1>", "<http://e/b>", "<http://e/c>"),
+        ("<http://g/2>", "<http://e/c>", "<http://e/d>"),
+    }
+    # '*' zero-length pairs are per-graph: c is a term of BOTH graphs
+    out = sparql_select(
+        q,
+        "SELECT ?g ?y WHERE "
+        "{ GRAPH ?g { <http://e/c> <http://e/p>* ?y } }",
+    )
+    assert {(r.g, r.y) for r in out.collect()} == {
+        ("<http://g/1>", "<http://e/c>"),
+        ("<http://g/2>", "<http://e/c>"),
+        ("<http://g/2>", "<http://e/d>"),
+    }
+    # nested closure (p/q)+ under GRAPH ?g: the inner sequence
+    # evaluates with ?g threaded, so it cannot cross graphs either
+    out = sparql_select(
+        q,
+        "SELECT ?g ?x ?y WHERE "
+        "{ GRAPH ?g { ?x (<http://e/p>/<http://e/q>)+ ?y } }",
+    )
+    assert {(r.g, r.x, r.y) for r in out.collect()} == {
+        ("<http://g/2>", "<http://e/c>", "<http://e/e>"),
+    }
+
+
+def test_graph_var_subquery(spark):
+    # round 5b: subqueries under GRAPH ?g — the graph threads through
+    # as an implicit leading GROUP BY key (per-graph aggregation) and
+    # ORDER/LIMIT become a row_number window partitioned by ?g
+    # (per-graph top-k) — no per-graph loop
+    rows = [
+        (0, "http://e/a", "http://e/p", 2, "1", None, None, "http://g/1"),
+        (0, "http://e/a", "http://e/p", 2, "2", None, None, "http://g/1"),
+        (0, "http://e/b", "http://e/p", 2, "3", None, None, "http://g/1"),
+        (0, "http://e/a", "http://e/p", 2, "9", None, None, "http://g/2"),
+        (0, "http://e/c", "http://e/q", 2, "0", None, None, "http://g/2"),
+    ]
+    schema = (
+        "s_kind int, s_value string, p_value string, o_kind int, "
+        "o_value string, o_lang string, o_dt string, g_value string"
+    )
+    q = spark.createDataFrame(rows, schema)
+    # per-graph grouped aggregate
+    out = sparql_select(
+        q,
+        """SELECT ?g ?s ?c WHERE { GRAPH ?g {
+             SELECT ?s (COUNT(*) AS ?c)
+             WHERE { ?s <http://e/p> ?v } GROUP BY ?s
+           } }""",
+    )
+    assert {(r.g, r.s, r.c) for r in out.collect()} == {
+        ("<http://g/1>", "<http://e/a>", 2),
+        ("<http://g/1>", "<http://e/b>", 1),
+        ("<http://g/2>", "<http://e/a>", 1),
+    }
+    # per-graph ungrouped aggregate (graphs with zero matches are
+    # absent — documented divergence)
+    out = sparql_select(
+        q,
+        """SELECT ?g ?c WHERE { GRAPH ?g {
+             SELECT (COUNT(*) AS ?c) WHERE { ?s ?p ?v }
+           } }""",
+    )
+    assert {(r.g, r.c) for r in out.collect()} == {
+        ("<http://g/1>", 3), ("<http://g/2>", 2),
+    }
+    # per-graph top-1 (ORDER BY DESC + LIMIT inside the subquery)
+    out = sparql_select(
+        q,
+        """SELECT ?g ?s ?v WHERE { GRAPH ?g {
+             SELECT ?s ?v WHERE { ?s <http://e/p> ?v }
+             ORDER BY DESC(?v) LIMIT 1
+           } }""",
+    )
+    assert {(r.g, r.s, r.v) for r in out.collect()} == {
+        ("<http://g/1>", "<http://e/b>", '"3"'),
+        ("<http://g/2>", "<http://e/a>", '"9"'),
+    }
+    # a projection subquery joins with a sibling pattern IN-GRAPH
+    out = sparql_select(
+        q,
+        """SELECT ?g ?s WHERE { GRAPH ?g {
+             { SELECT DISTINCT ?s WHERE { ?s <http://e/p> ?v } }
+             ?s <http://e/p> "1" .
+           } }""",
+    )
+    assert {(r.g, r.s) for r in out.collect()} == {
+        ("<http://g/1>", "<http://e/a>"),
+    }
 
 
 def test_compat_leg_cap_fallback(spark):
