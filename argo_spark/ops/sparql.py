@@ -272,6 +272,10 @@ _BOOL_BUILTINS = (
 
 _PATH_VAR_PREFIX = "__path"
 
+# RFC 3986 scheme — an IRI starting with one is absolute and ignores
+# the prologue BASE
+_ABS_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
 
 def _flatten_static_path(alts):
     """Distribute modifier-free parenthesized groups out of a parsed
@@ -317,6 +321,7 @@ class _Parser:
         self.toks = _tokenize(query)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self.base: str | None = None
         self._pathvar = 0
         # non-None only while parsing HAVING constraints: collects
         # hidden aggregates for bare AGG(...) operands
@@ -380,11 +385,30 @@ class _Parser:
                 ik, iv = self.next()
                 if ik != "iri":
                     raise SparqlSyntaxError(f"bad PREFIX iri {iv!r}")
-                self.prefixes[pv[:-1]] = iv[1:-1]
+                # §4.1.1: a PREFIX IRI resolves against the base in
+                # effect at its declaration (prologue order matters)
+                self.prefixes[pv[:-1]] = self.resolve_iri(iv[1:-1])
             elif kind == "kw" and val.upper() == "BASE":
-                raise SparqlSyntaxError("BASE is not supported")
+                self.next()
+                ik, iv = self.next()
+                if ik != "iri":
+                    raise SparqlSyntaxError(f"bad BASE iri {iv!r}")
+                # a later BASE resolves against the earlier one (RFC
+                # 3986 §5.1.1 chaining, same as repeated @base)
+                self.base = self.resolve_iri(iv[1:-1])
             else:
                 return
+
+    def resolve_iri(self, iri_text: str) -> str:
+        """RFC 3986 resolution against the prologue BASE. Absolute
+        IRIs (with a scheme) pass through; without a BASE, relative
+        IRIs also pass through unchanged (pre-BASE behavior — the
+        frame's IRIs are plain strings either way)."""
+        if self.base is None or _ABS_IRI_RE.match(iri_text):
+            return iri_text
+        from urllib.parse import urljoin
+
+        return urljoin(self.base, iri_text)
 
     def expand_pname(self, pname: str) -> str:
         p, _, local = pname.partition(":")
@@ -402,7 +426,7 @@ class _Parser:
                 )
             return "?" + val[1:]
         if kind == "iri":
-            return val[1:-1]
+            return self.resolve_iri(val[1:-1])
         if kind == "pname" and val.startswith("_:"):
             # blank node label (§4.1.4): scoped non-projectable
             # variable — internal-prefix name so the projection-drop
@@ -429,7 +453,7 @@ class _Parser:
                 self.next()
                 dk, dv = self.next()
                 if dk == "iri":
-                    dt = dv[1:-1]
+                    dt = self.resolve_iri(dv[1:-1])
                 elif dk == "pname":
                     dt = self.expand_pname(dv)
                 else:
@@ -3609,7 +3633,7 @@ def parse_describe(query: str):
             dvars.append(val[1:])
         elif kind == "iri":
             p.next()
-            iris.append(val[1:-1])
+            iris.append(p.resolve_iri(val[1:-1]))
         elif kind == "pname":
             p.next()
             iris.append(p.expand_pname(val))

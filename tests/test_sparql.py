@@ -1896,6 +1896,39 @@ def test_predicate_object_lists(spark):
     assert sorted(r.n for r in out.collect()) == ['"Ada"', '"Bob"@en']
 
 
+def test_base_iri_resolution(spark):
+    # §4.1.1 (round 5b): BASE resolves relative IRIs per RFC 3986 —
+    # in patterns, datatypes, PREFIX declarations (prologue order),
+    # DESCRIBE lists, FROM clauses and Update ops; absolute IRIs
+    # pass through
+    g = graph2(spark)
+    out = sparql_select(
+        g,
+        """BASE <http://schema.org/>
+           SELECT ?n WHERE { ?w <name> ?n . ?w <age> ?a }""",
+    )
+    assert sorted(r.n for r in out.collect()) == ['"Ada"', '"Bob"@en']
+    # PREFIX IRIs resolve against the base in effect when declared;
+    # a second BASE chains against the first
+    out = sparql_select(
+        g,
+        """BASE <http://schema.org/x>
+           PREFIX s: <./>
+           BASE <http://nowhere.example/>
+           SELECT ?n WHERE { ?w s:name ?n . ?w s:age ?a }""",
+    )
+    assert sorted(r.n for r in out.collect()) == ['"Ada"', '"Bob"@en']
+    # update: INSERT DATA with relative IRIs
+    from argo_spark.ops.sparql import sparql_update
+    out = sparql_update(
+        g,
+        'BASE <http://e/> INSERT DATA { <d> <touched> "yes" }',
+    )
+    assert ("http://e/d", "http://e/touched") in {
+        (r.s_value, r.p_value) for r in out.collect()
+    }
+
+
 def test_blank_nodes_in_patterns(spark):
     g = graph2(spark)
     # _:label is a non-projected join variable
