@@ -293,6 +293,93 @@ def iter_results(chunks, chunk_results: bool = True) -> Iterator[dict]:
         emitted += 1
 
 
+class SparqlResultJsonError(Exception):
+    """Malformed application/sparql-results+json document."""
+
+
+class SparqlResultJsonParser:
+    """``application/sparql-results+json`` parser (W3C SPARQL 1.1
+    Query Results JSON Format — Fuseki/Virtuoso's default; NO
+    reference analogue, result.go parses XML only). Same surface as
+    :class:`SparqlResultParser`: :attr:`vars`, :attr:`link_uris`,
+    :attr:`bool_result`, :attr:`results` as ``{binding_name: Term}``
+    dicts in document order — so :class:`StructuredResultParser` and
+    the SERVICE federation layer consume either format unchanged.
+    ``typed-literal`` (the pre-REC Virtuoso spelling) is accepted as
+    ``literal``."""
+
+    def __init__(self) -> None:
+        self.vars: List[str] = []
+        self.link_uris: List[str] = []
+        self.bool_result: Optional[bool] = None
+        self.results: List[dict] = []
+        self.header_done = False
+        self.done = False
+
+    def parse(self, data) -> "SparqlResultJsonParser":
+        import json
+
+        if isinstance(data, (bytes, bytearray)):
+            data = data.decode("utf-8")
+        try:
+            doc = json.loads(data)
+        except ValueError as e:
+            raise SparqlResultJsonError(f"bad JSON: {e}") from None
+        if not isinstance(doc, dict):
+            raise SparqlResultJsonError("top level must be an object")
+        head = doc.get("head", {})
+        self.vars = list(head.get("vars", []))
+        self.link_uris = list(head.get("link", []))
+        self.header_done = True
+        if "boolean" in doc:
+            if not isinstance(doc["boolean"], bool):
+                raise SparqlResultJsonError("'boolean' must be a bool")
+            self.bool_result = doc["boolean"]
+            self.done = True
+            return self
+        bindings = doc.get("results", {}).get("bindings")
+        if bindings is None:
+            raise SparqlResultJsonError(
+                "document has neither 'boolean' nor 'results.bindings'"
+            )
+        for b in bindings:
+            self.results.append(
+                {name: self._term(name, t) for name, t in b.items()}
+            )
+        self.done = True
+        return self
+
+    @staticmethod
+    def _term(name: str, t) -> Term:
+        if not isinstance(t, dict) or "value" not in t:
+            raise SparqlResultJsonError(
+                f"binding {name!r} is not a term object"
+            )
+        ttype, value = t.get("type"), t["value"]
+        if ttype == "uri":
+            return Term(KIND_IRI, value)
+        if ttype == "bnode":
+            return Term(KIND_BLANK, value)
+        if ttype in ("literal", "typed-literal"):
+            return Term(
+                KIND_LITERAL, value,
+                t.get("xml:lang") or None, t.get("datatype") or None,
+            )
+        raise SparqlResultJsonError(
+            f"binding {name!r} has unknown term type {ttype!r}"
+        )
+
+
+def parse_sparql_results(body: bytes, content_type: str = ""):
+    """Dispatch a SPARQL results document on its Content-Type: json
+    media types go to :class:`SparqlResultJsonParser`, everything
+    else (including the bare default) to the XML state machine."""
+    ct = (content_type or "").split(";", 1)[0].strip().lower()
+    if ct in ("application/sparql-results+json", "application/json"):
+        return SparqlResultJsonParser().parse(body)
+    return SparqlResultParser().parse(body)
+
+
 class StructuredResultParser:
     """Bind result rows onto an object's attributes (result.go:33-96).
     ``rename`` maps binding name -> attribute name (the Go
@@ -341,20 +428,32 @@ class SparqlService:
         self.endpoint_uri = endpoint_uri
         self.transport = transport or urllib_transport
 
-    def _do(self, form: dict, accept: str) -> bytes:
+    def _do(self, form: dict, accept: str) -> Tuple[bytes, dict]:
         payload = urllib.parse.urlencode(form).encode("ascii")
         headers = {"Content-Type": "application/x-www-form-urlencoded"}
         if accept:
             headers["Accept"] = accept
-        status, reason, _hdrs, body = self.transport(
+        status, reason, hdrs, body = self.transport(
             "POST", self.endpoint_uri, payload, headers
         )
         _ensure_ok(status, reason)
-        return body
+        return body, hdrs
 
-    def select(self, query: str) -> SparqlResultParser:
-        body = self._do({"query": query}, "application/sparql-results+xml")
-        return SparqlResultParser().parse(body)
+    def select(self, query: str):
+        """-> a parsed result set (XML or JSON parser — identical
+        surface). Accept prefers the reference's XML but also offers
+        the JSON format; the response Content-Type picks the parser,
+        so a JSON-only endpoint works out of the box."""
+        body, hdrs = self._do(
+            {"query": query},
+            "application/sparql-results+xml, "
+            "application/sparql-results+json;q=0.9",
+        )
+        ct = next(
+            (v for k, v in hdrs.items() if k.lower() == "content-type"),
+            "",
+        )
+        return parse_sparql_results(body, ct)
 
     def ask(self, query: str) -> bool:
         parser = self.select(query)
@@ -367,7 +466,7 @@ class SparqlService:
         from the RDF/XML response (sparqlservice.go:71-86)."""
         from argo_spark.extract.rdfxml import parse_rdfxml
 
-        body = self._do({"query": query}, "application/rdf+xml")
+        body, _ = self._do({"query": query}, "application/rdf+xml")
         triples, error = parse_rdfxml(
             body.decode("utf-8"), skolem_key=self.endpoint_uri
         )

@@ -166,7 +166,10 @@ def test_select_request_construction_and_parity_with_native(spark):
     method, url, data, headers = log[0]
     assert method == "POST" and url == "http://fuseki.local/ds/query"
     assert urllib.parse.parse_qs(data.decode()) == {"query": [query]}
-    assert headers["Accept"] == "application/sparql-results+xml"
+    assert headers["Accept"] == (
+        "application/sparql-results+xml, "
+        "application/sparql-results+json;q=0.9"
+    )
     assert headers["Content-Type"] == "application/x-www-form-urlencoded"
 
     got = {
@@ -372,7 +375,10 @@ def test_urllib_transport_live_loopback():
             "<http://e/live>"
         ]
         assert seen["path"] == "/ds/query"
-        assert seen["accept"] == "application/sparql-results+xml"
+        assert seen["accept"] == (
+            "application/sparql-results+xml, "
+            "application/sparql-results+json;q=0.9"
+        )
         assert seen["ctype"] == "application/x-www-form-urlencoded"
         # a 500 must surface as SparqlHttpError through real urllib
         # (urllib raises HTTPError; the transport converts, EnsureOK
@@ -382,3 +388,81 @@ def test_urllib_transport_live_loopback():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+SELECT_JSON = """{
+  "head": {"vars": ["d", "src"],
+           "link": ["http://example.org/meta"]},
+  "results": {"bindings": [
+    {"d": {"type": "uri", "value": "http://corpus.example/doc/1"},
+     "src": {"type": "uri",
+             "value": "http://corpus.example/source/web"}},
+    {"d": {"type": "bnode", "value": "b0"},
+     "src": {"type": "literal", "value": "hello", "xml:lang": "en"}},
+    {"d": {"type": "typed-literal", "value": "42",
+           "datatype": "http://www.w3.org/2001/XMLSchema#integer"}}
+  ]}
+}"""
+
+
+def test_json_result_parser_matches_xml():
+    # round 5b: the JSON results format parses to the SAME rows as
+    # the XML state machine (typed-literal accepted as literal)
+    from argo_spark.ops.sparql_client import SparqlResultJsonParser
+
+    px = SparqlResultParser().parse(SELECT_XML)
+    pj = SparqlResultJsonParser().parse(SELECT_JSON)
+    assert pj.vars == px.vars == ["d", "src"]
+    assert pj.link_uris == px.link_uris == ["http://example.org/meta"]
+    assert pj.results == px.results
+    assert pj.bool_result is None and pj.done and pj.header_done
+
+
+def test_json_result_parser_ask_and_errors():
+    from argo_spark.ops.sparql_client import (
+        SparqlResultJsonError,
+        SparqlResultJsonParser,
+    )
+
+    p = SparqlResultJsonParser().parse(
+        '{"head": {}, "boolean": true}'
+    )
+    assert p.bool_result is True and p.results == []
+    for bad in (
+        "{not json",
+        "[]",
+        '{"head": {}}',                        # neither form
+        '{"head": {}, "boolean": "yes"}',      # non-bool boolean
+        '{"results": {"bindings": [{"x": "plain"}]}}',  # not a term
+        '{"results": {"bindings": '
+        '[{"x": {"type": "frob", "value": "v"}}]}}',    # bad type
+    ):
+        with pytest.raises(SparqlResultJsonError):
+            SparqlResultJsonParser().parse(bad)
+
+
+def test_select_dispatches_on_json_content_type():
+    # a JSON-only endpoint (Content-Type picks the parser; the fake
+    # transport advertises sparql-results+json)
+    def transport(method, url, data, headers):
+        assert "application/sparql-results+json" in headers["Accept"]
+        return (200, "OK",
+                {"Content-Type":
+                 "application/sparql-results+json; charset=utf-8"},
+                SELECT_JSON.encode())
+
+    svc = SparqlService("http://f/q", transport=transport)
+    parser = svc.select("SELECT * WHERE { ?s ?p ?o }")
+    assert parser.vars == ["d", "src"]
+    assert format_term(parser.results[0]["d"]) == \
+        "<http://corpus.example/doc/1>"
+    assert parser.results[1]["src"] == Term(
+        KIND_LITERAL, "hello", "en", None
+    )
+    # and an ASK over JSON
+    def transport2(method, url, data, headers):
+        return (200, "OK", {"content-type": "application/json"},
+                b'{"head": {}, "boolean": false}')
+
+    assert SparqlService("http://f/q", transport=transport2) \
+        .ask("ASK {}") is False
