@@ -370,13 +370,154 @@ class SparqlResultJsonParser:
         )
 
 
+class SparqlResultTsvError(Exception):
+    """Malformed text/tab-separated-values results document."""
+
+
+_TSV_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", '"': '"', "\\": "\\",
+                "b": "\b", "f": "\f", "'": "'"}
+
+
+def _tsv_unescape(s: str) -> str:
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt in _TSV_ESCAPES:
+                out.append(_TSV_ESCAPES[nxt])
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _tsv_term(cell: str) -> Term:
+    """One SPARQL-TSV cell -> Term (Turtle-subset encoding per the
+    W3C results-TSV spec: <iri>, _:label, quoted literals with
+    @lang / ^^<dt>, bare numerics and booleans)."""
+    import re
+
+    _XSD = "http://www.w3.org/2001/XMLSchema#"
+    if cell.startswith("<") and cell.endswith(">"):
+        return Term(KIND_IRI, cell[1:-1])
+    if cell.startswith("_:"):
+        return Term(KIND_BLANK, cell[2:])
+    if cell.startswith('"'):
+        m = re.match(r'^"((?:[^"\\]|\\.)*)"', cell)
+        if not m:
+            raise SparqlResultTsvError(f"unterminated literal: {cell!r}")
+        value, rest = _tsv_unescape(m.group(1)), cell[m.end():]
+        if rest.startswith("@"):
+            return Term(KIND_LITERAL, value, lang=rest[1:])
+        if rest.startswith("^^<") and rest.endswith(">"):
+            return Term(KIND_LITERAL, value, dt=rest[3:-1])
+        if rest:
+            raise SparqlResultTsvError(f"bad literal suffix: {cell!r}")
+        return Term(KIND_LITERAL, value)
+    if cell in ("true", "false"):
+        return Term(KIND_LITERAL, cell, dt=_XSD + "boolean")
+    if re.fullmatch(r"[+-]?\d+", cell):
+        return Term(KIND_LITERAL, cell, dt=_XSD + "integer")
+    if re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+)", cell):
+        return Term(KIND_LITERAL, cell, dt=_XSD + "decimal")
+    if re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+", cell):
+        return Term(KIND_LITERAL, cell, dt=_XSD + "double")
+    raise SparqlResultTsvError(f"unparseable term cell: {cell!r}")
+
+
+class SparqlResultTsvParser:
+    """``text/tab-separated-values`` results parser (W3C SPARQL 1.1
+    Query Results CSV/TSV Format §4 — no reference analogue). Same
+    surface as the XML/JSON parsers; an empty cell leaves the
+    variable out of that row's dict (unbound). Round-trips the
+    repo's own ``write_select_tsv`` output (NT forms are valid
+    results-TSV terms)."""
+
+    def __init__(self) -> None:
+        self.vars: List[str] = []
+        self.link_uris: List[str] = []
+        self.bool_result: Optional[bool] = None
+        self.results: List[dict] = []
+        self.header_done = False
+        self.done = False
+
+    def parse(self, data) -> "SparqlResultTsvParser":
+        if isinstance(data, (bytes, bytearray)):
+            data = data.decode("utf-8")
+        lines = data.split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        if not lines:
+            raise SparqlResultTsvError("empty TSV document (no header)")
+        hdr = lines[0].rstrip("\r")
+        self.vars = [
+            v[1:] if v.startswith("?") else v
+            for v in hdr.split("\t")
+        ] if hdr else []
+        self.header_done = True
+        for ln in lines[1:]:
+            cells = ln.rstrip("\r").split("\t")
+            if len(cells) != len(self.vars):
+                raise SparqlResultTsvError(
+                    f"row has {len(cells)} cells, header has "
+                    f"{len(self.vars)}"
+                )
+            self.results.append({
+                v: _tsv_term(c)
+                for v, c in zip(self.vars, cells) if c != ""
+            })
+        self.done = True
+        return self
+
+
+class SparqlResultCsvParser:
+    """``text/csv`` results parser (W3C results-CSV §3). The format
+    is LOSSY by design — cells are raw lexical values with no term
+    syntax — so every non-empty cell lands as a PLAIN LITERAL Term
+    (documented; use TSV/JSON/XML when term kinds matter)."""
+
+    def __init__(self) -> None:
+        self.vars: List[str] = []
+        self.link_uris: List[str] = []
+        self.bool_result: Optional[bool] = None
+        self.results: List[dict] = []
+        self.header_done = False
+        self.done = False
+
+    def parse(self, data) -> "SparqlResultCsvParser":
+        import csv
+        import io
+
+        if isinstance(data, (bytes, bytearray)):
+            data = data.decode("utf-8")
+        rows = list(csv.reader(io.StringIO(data)))
+        if not rows:
+            raise SparqlResultTsvError("empty CSV document (no header)")
+        self.vars = rows[0]
+        self.header_done = True
+        for cells in rows[1:]:
+            self.results.append({
+                v: Term(KIND_LITERAL, c)
+                for v, c in zip(self.vars, cells) if c != ""
+            })
+        self.done = True
+        return self
+
+
 def parse_sparql_results(body: bytes, content_type: str = ""):
     """Dispatch a SPARQL results document on its Content-Type: json
-    media types go to :class:`SparqlResultJsonParser`, everything
-    else (including the bare default) to the XML state machine."""
+    media types go to :class:`SparqlResultJsonParser`, TSV/CSV to
+    their line parsers, everything else (including the bare default)
+    to the XML state machine."""
     ct = (content_type or "").split(";", 1)[0].strip().lower()
     if ct in ("application/sparql-results+json", "application/json"):
         return SparqlResultJsonParser().parse(body)
+    if ct == "text/tab-separated-values":
+        return SparqlResultTsvParser().parse(body)
+    if ct == "text/csv":
+        return SparqlResultCsvParser().parse(body)
     return SparqlResultParser().parse(body)
 
 

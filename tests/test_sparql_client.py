@@ -466,3 +466,64 @@ def test_select_dispatches_on_json_content_type():
 
     assert SparqlService("http://f/q", transport=transport2) \
         .ask("ASK {}") is False
+
+
+def test_tsv_result_parser_terms_and_roundtrip():
+    # round 5b: results-TSV — full Turtle-subset term syntax; NT
+    # forms (the repo's own write_select_tsv encoding) parse back
+    from argo_spark.ops.sparql_client import (
+        SparqlResultTsvError,
+        SparqlResultTsvParser,
+    )
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    doc = (
+        "?d\t?src\n"
+        "<http://corpus.example/doc/1>\t"
+        "<http://corpus.example/source/web>\n"
+        '_:b0\t"hello"@en\n'
+        '"42"^^<' + XSD + 'integer>\t\n'          # empty cell: unbound
+        '"tab\\there"\t3.5\n'                      # escape + bare decimal
+        "true\t-7\n"                               # booleans + integers
+    )
+    p = SparqlResultTsvParser().parse(doc.encode())
+    assert p.vars == ["d", "src"]
+    assert p.results[0]["d"] == Term(KIND_IRI, "http://corpus.example/doc/1")
+    assert p.results[1]["d"] == Term(KIND_BLANK, "b0")
+    assert p.results[1]["src"] == Term(KIND_LITERAL, "hello", "en", None)
+    assert p.results[2] == {"d": Term(KIND_LITERAL, "42",
+                                      None, XSD + "integer")}
+    assert p.results[3]["d"] == Term(KIND_LITERAL, "tab\there")
+    assert p.results[3]["src"] == Term(KIND_LITERAL, "3.5",
+                                       None, XSD + "decimal")
+    assert p.results[4]["d"] == Term(KIND_LITERAL, "true",
+                                     None, XSD + "boolean")
+    assert p.results[4]["src"] == Term(KIND_LITERAL, "-7",
+                                       None, XSD + "integer")
+    with pytest.raises(SparqlResultTsvError, match="cells"):
+        SparqlResultTsvParser().parse("?a\t?b\n<http://e/x>\n")
+    with pytest.raises(SparqlResultTsvError, match="unparseable"):
+        SparqlResultTsvParser().parse("?a\nnot-a-term\n")
+
+
+def test_csv_result_parser_is_lossy_plain_literals():
+    from argo_spark.ops.sparql_client import SparqlResultCsvParser
+
+    doc = 'd,src\nhttp://e/x,"with, comma"\n42,\n'
+    p = SparqlResultCsvParser().parse(doc)
+    assert p.vars == ["d", "src"]
+    # documented lossiness: everything is a plain literal
+    assert p.results[0]["d"] == Term(KIND_LITERAL, "http://e/x")
+    assert p.results[0]["src"] == Term(KIND_LITERAL, "with, comma")
+    assert p.results[1] == {"d": Term(KIND_LITERAL, "42")}
+
+
+def test_select_dispatches_on_tsv_content_type():
+    def transport(method, url, data, headers):
+        return (200, "OK",
+                {"Content-Type": "text/tab-separated-values"},
+                b'?x\n<http://e/t>\n')
+
+    svc = SparqlService("http://f/q", transport=transport)
+    parser = svc.select("SELECT ?x WHERE { ?x ?p ?o }")
+    assert format_term(parser.results[0]["x"]) == "<http://e/t>"
