@@ -725,3 +725,158 @@ def test_sparql_strfns_arith_match_python_oracle(spark):
             kept += len(want)
     # vacuity: the filters must actually keep SOME and drop SOME
     assert 0 < kept < total, (kept, total)
+
+
+def test_sparql_graph_var_matches_python_oracle(spark):
+    """Round 5b: GRAPH ?g over the full generated algebra. The
+    engine threads ?g as one more join key through every pattern
+    scan (plus boundness-decomposed compat joins when OPTIONAL vars
+    recur); the independent oracle is the spec §18.6 DEFINITION —
+    evaluate the group against each named graph in isolation and
+    union the per-graph results extended with ?g — so any cross-
+    graph leakage or missed graph shows up as a bag mismatch."""
+    from pyspark.sql import functions as F
+
+    total_rows = 0
+    graphs_seen = set()
+    for seed in range(10 * _SCALE):
+        rnd = random.Random(7000 + seed)
+        triples = _gen_graph(rnd)
+        # assign each triple a named graph g0-g2, plus ~25% default-
+        # graph rows that GRAPH ?g must NOT see (mutation-killed:
+        # dropping the isNotNull scope filter leaks them as g=None
+        # rows through single-pattern bases and fails the compare)
+        by_graph: dict = {}
+        default_rows = []
+        for t in triples:
+            if rnd.random() < 0.25:
+                default_rows.append(t)
+            else:
+                g = f"http://g/{rnd.randint(0, 2)}"
+                by_graph.setdefault(g, []).append(t)
+
+        legs = []
+        for g, ts in by_graph.items():
+            legs.append(
+                TripleGraph.of(spark, ts).df.withColumn(
+                    "g_value", F.lit(g).cast("string"))
+            )
+        if default_rows:
+            legs.append(
+                TripleGraph.of(spark, default_rows).df.withColumn(
+                    "g_value", F.lit(None).cast("string"))
+            )
+        df = legs[0]
+        for leg in legs[1:]:
+            df = df.unionByName(leg)
+
+        # same algebra shapes as the main fuzzer, wrapped in GRAPH ?g
+        vars_pool = ["?x", "?y", "?z"]
+        base = [_gen_pattern(rnd, vars_pool)]
+        if rnd.random() < 0.6:
+            base.append(_gen_pattern(rnd, vars_pool))
+        elements = [("bgp", base)]
+        body = [_pat_text(p) for p in base]
+        base_vars = sorted(
+            {t[1:] for pat in base for t in pat if t.startswith("?")}
+        )
+        filter_pool = list(vars_pool)
+        if rnd.random() < 0.3:
+            words = rnd.sample(["w0", "w1", "w2", "w3", "w4"],
+                               rnd.randint(1, 3))
+            vvar = rnd.choice(base_vars) if base_vars else "y"
+            elements.append(
+                ("values", ([vvar], [[f'"{w}"'] for w in words]))
+            )
+            body.append(
+                "VALUES ?" + vvar + " { "
+                + " ".join(f'"{w}"' for w in words) + " }"
+            )
+        if rnd.random() < 0.6 and base_vars:
+            opt = [("?" + rnd.choice(base_vars),
+                    f"<http://e/p{rnd.randint(2, 9)}>", "?o")]
+            elements.append(("optional", ([("bgp", opt)], [])))
+            body.append("OPTIONAL { " + _pat_text(opt[0]) + " }")
+            filter_pool += ["?o", "?o"]
+            if rnd.random() < 0.4:
+                # compat join on the possibly-unbound ?o WITH the
+                # graph key in play
+                extra = ("?q", f"<http://e/p{rnd.randint(0, 2)}>", "?o")
+                elements.append(("bgp", [extra]))
+                body.append(_pat_text(extra))
+        if rnd.random() < 0.4:
+            b1 = [("?x", f"<http://e/p{rnd.randint(0, 9)}>", "?u")]
+            b2 = [("?x", f"<http://e/p{rnd.randint(0, 9)}>", "?w")]
+            elements.append(
+                ("union", [([("bgp", b1)], []), ([("bgp", b2)], [])])
+            )
+            body.append(
+                "{ " + _pat_text(b1[0]) + " } UNION { "
+                + _pat_text(b2[0]) + " }"
+            )
+        if rnd.random() < 0.35 and base_vars:
+            mpat = [("?" + rnd.choice(base_vars),
+                     f"<http://e/p{rnd.randint(0, 9)}>", "?m")]
+            elements.append(("minus", ([("bgp", mpat)], [])))
+            body.append("MINUS { " + _pat_text(mpat[0]) + " }")
+        filters = []
+        if rnd.random() < 0.7:
+            ftext, fexpr = _gen_filter(rnd, filter_pool)
+            filters.append(fexpr)
+            body.append(ftext)
+
+        query = ("SELECT * WHERE { GRAPH ?g { "
+                 + " ".join(body) + " } }")
+
+        # deterministic scope-leak check, independent of which later
+        # elements a seed draws: the BARE base BGP under GRAPH ?g
+        # must contain NO default-graph row (kills the dropped-
+        # isNotNull mutation on every single-pattern seed)
+        bare = ("SELECT * WHERE { GRAPH ?g { "
+                + " ".join(_pat_text(p) for p in base) + " } }")
+        bare_rows = sparql_select(df, bare).collect()
+        assert all(r.g is not None for r in bare_rows), (
+            f"seed {seed}: default-graph rows leaked into GRAPH ?g"
+        )
+        bare_want = sum(
+            len(_eval_group_py(ts, ([("bgp", base)], [])))
+            for ts in by_graph.values()
+        )
+        assert len(bare_rows) == bare_want, (
+            f"seed {seed}: bare GRAPH ?g row count {len(bare_rows)} "
+            f"!= per-graph oracle {bare_want}"
+        )
+
+        # §18.6 oracle: per-graph evaluation, ?g extension, union
+        expected = []
+        for g, ts in by_graph.items():
+            for row in _eval_group_py(ts, (elements, filters)):
+                expected.append({**row, "g": f"<{g}>"})
+
+        got_df = sparql_select(df, query)
+        all_vars = sorted(
+            set(got_df.columns).union(*(set(r) for r in expected))
+            if expected
+            else set(got_df.columns)
+        )
+        assert "g" in all_vars
+        nones_last = lambda t: tuple((x is None, x or "") for x in t)  # noqa: E731
+        got = sorted(
+            (
+                tuple(getattr(r, v) if v in got_df.columns else None
+                      for v in all_vars)
+                for r in got_df.collect()
+            ),
+            key=nones_last,
+        )
+        want = sorted(
+            (tuple(r.get(v) for v in all_vars) for r in expected),
+            key=nones_last,
+        )
+        assert got == want, (
+            f"seed {seed}: query {query!r}\n got {got[:6]}\nwant {want[:6]}"
+        )
+        total_rows += len(want)
+        graphs_seen |= {r["g"] for r in expected}
+    assert total_rows > 20, f"generator vacuous: {total_rows} rows total"
+    assert len(graphs_seen) == 3, f"graph coverage thin: {graphs_seen}"
