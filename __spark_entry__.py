@@ -2186,6 +2186,19 @@ def q_sparql_graph_closure(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """§2.6 LLM-pipeline op (round 5b): sequence packing — documents
+    concatenated per source shard in doc_id order, the token stream
+    cut every 512 tokens (the GPT-style concat-and-chunk loader);
+    each doc gets (seq_id, seq_offset). ONE hash shuffle on the
+    shard + an in-partition prefix-sum window — no global sort
+    (plan-asserted in tests/test_sampling.py). DuckDB replays with
+    the same PARTITION BY running sum."""
+    from argo_spark.ops.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
 def q_nq_parse_roundtrip(spark, sf_dir):
     """S1 quad variant (round 5), ORACLED round-trip identity: doc
     triples labeled with per-source named graphs → N-Quads lines →
@@ -2344,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph_algebra": q_sparql_graph_algebra,
         "sparql_graph_subquery": q_sparql_graph_subquery,
         "sparql_graph_closure": q_sparql_graph_closure,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -3579,6 +3593,23 @@ def oracle_sql() -> dict[str, str]:
                    '<{DOC_BASE}' || s || '>' AS a,
                    '<{DOC_BASE}' || d || '>' AS b
             FROM cl
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     len({_TOKENS})::BIGINT AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                     ) - n_tokens AS strt
+              FROM t
+            )
+            SELECT doc_id, source AS shard, n_tokens,
+                   (strt // 512)::BIGINT AS seq_id,
+                   (strt % 512)::BIGINT AS seq_offset
+            FROM c
         """,
         "nq_parse_roundtrip": f"""
             SELECT '{DOC_BASE}' || doc_id AS s_value,

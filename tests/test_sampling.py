@@ -118,3 +118,54 @@ def test_assign_split(spark):
     assert a == c
     with pytest.raises(ValueError, match="sum to 1"):
         assign_split(docs, "doc_id", {"a": 0.5, "b": 0.6})
+
+
+def test_pack_sequences(spark):
+    # round 5b: concat-and-chunk packing — per-shard prefix sum; a
+    # doc lands in the sequence where it STARTS; spans allowed
+    from argo_spark.ops.packing import pack_sequences
+
+    rows = [
+        # shard A, ordered: tokens 3, 4, 5, 2 with budget 8
+        # stream: [0,3) [3,7) [7,12) [12,14)
+        ("A", 1, 3), ("A", 2, 4), ("A", 3, 5), ("A", 4, 2),
+        # shard B: one doc longer than the budget
+        ("B", 1, 20),
+        ("B", 2, 1),
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id int, nt int")
+    out = pack_sequences(
+        docs, budget=8, tokens_col="nt",
+        id_cols=("doc_id",),
+    )
+    got = {(r.shard, r.doc_id): (r.n_tokens, r.seq_id, r.seq_offset)
+           for r in out.collect()}
+    assert got == {
+        ("A", 1): (3, 0, 0),
+        ("A", 2): (4, 0, 3),
+        ("A", 3): (5, 0, 7),   # starts at 7, spans into seq 1
+        ("A", 4): (2, 1, 4),   # 12 // 8 = 1, offset 4
+        ("B", 1): (20, 0, 0),
+        ("B", 2): (1, 2, 4),   # starts at 20: seq 2, offset 4
+    }
+    # deterministic across partitionings
+    again = pack_sequences(
+        docs.repartition(7), budget=8, tokens_col="nt"
+    )
+    assert {tuple(r) for r in again.collect()} == \
+        {tuple(r) for r in out.collect()}
+    # token counting from text when no tokens_col
+    tdocs = spark.createDataFrame(
+        [("A", 1, "three word doc"), ("A", 2, "two words")],
+        "source string, doc_id int, text string",
+    )
+    tout = {r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset)
+            for r in pack_sequences(tdocs, budget=4).collect()}
+    assert tout == {1: (3, 0, 0), 2: (2, 0, 3)}
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(docs, budget=0, tokens_col="nt")
+    # plan: exactly ONE exchange (hash on shard), no global sort
+    plan = pack_sequences(docs, budget=8, tokens_col="nt") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
