@@ -2732,11 +2732,12 @@ def _eval_group_impl(
             # frame, and join like any other element. Results
             # materialize DRIVER-SIDE (the remote endpoint bounds
             # them by design); compat machinery handles unbound vars.
-            if graph_var is not None:
-                raise SparqlSyntaxError(
-                    "SERVICE inside GRAPH ?var is not supported "
-                    "(remote patterns cannot bind the graph variable)"
-                )
+            # Under GRAPH ?g the SERVICE pattern is evaluated against
+            # the REMOTE dataset regardless of the local active graph
+            # (Federated Query spec — GRAPH does not distribute into
+            # SERVICE), so it joins as usual and simply does not bind
+            # ?g; the sibling triple patterns must (the end-of-group
+            # binding check enforces that).
             svc = _service_frame(
                 triples.sparkSession, *payload, structs=structs
             )

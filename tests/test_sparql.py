@@ -3135,6 +3135,7 @@ def test_service_federation(spark):
     # returned bindings join as a local frame — unbound remote vars
     # flow through the compatibility machinery
     import argo_spark.ops.sparql as sq
+    from pyspark.sql import functions as F
 
     sent = {}
 
@@ -3190,6 +3191,36 @@ def test_service_federation(spark):
             sparql_select(
                 g,
                 "SELECT ?x WHERE { SERVICE ?ep { ?x ?p ?o } }",
+            )
+        # SERVICE inside GRAPH ?g (round 5b): the remote pattern is
+        # NOT graph-scoped (Federated Query — GRAPH does not
+        # distribute into SERVICE); it joins on shared vars while
+        # the sibling triple pattern binds ?g
+        sq.SERVICE_TRANSPORT = canned
+        quads = g.withColumn(
+            "g_value", F.lit("http://g/1").cast("string")
+        )
+        out = sparql_select(
+            quads,
+            """PREFIX s: <http://schema.org/>
+               SELECT ?gr ?x ?age WHERE {
+                 GRAPH ?gr {
+                   ?x <http://e/name> ?n
+                   SERVICE <http://remote.example/sparql>
+                     { ?x s:age ?age }
+                 }
+               }""",
+        )
+        assert sorted((r.gr, r.x, r.age) for r in out.collect()) == [
+            ("<http://g/1>", "<http://e/a>", '"36"'),
+            ("<http://g/1>", "<http://e/b>", None),
+        ]
+        # GRAPH ?g body that is ONLY a SERVICE cannot bind ?g
+        with pytest.raises(SparqlSyntaxError, match="triple pattern"):
+            sparql_select(
+                quads,
+                "SELECT ?gr WHERE { GRAPH ?gr { SERVICE "
+                "<http://remote.example/sparql> { ?x ?p ?o } } }",
             )
     finally:
         sq.SERVICE_TRANSPORT = old
