@@ -116,6 +116,8 @@ def run_pipeline(
     construct: str | None = None,
     select: str | None = None,
     update: str | None = None,
+    describe: str | None = None,
+    ask: str | None = None,
 ) -> int:
     t0 = time.time()
     url_inputs = [p for p in inputs if p.startswith(("http://", "https://"))]
@@ -135,6 +137,7 @@ def run_pipeline(
             spark, dfs, output, out_format, rewrites, subject_rewrites,
             predicate_rewrites, object_rewrites, squish, t0, err_frames,
             construct=construct, select=select, update=update,
+            describe=describe, ask=ask,
         )
     finally:
         for local, _mime in fetched.values():
@@ -147,7 +150,7 @@ def run_pipeline(
 def _run_pipeline_on(
     spark, dfs, output, out_format, rewrites, subject_rewrites,
     predicate_rewrites, object_rewrites, squish, t0, err_frames=(),
-    construct=None, select=None, update=None,
+    construct=None, select=None, update=None, describe=None, ask=None,
 ) -> int:
     from argo_spark.ops.rewrite import rewrite_terms
 
@@ -178,6 +181,19 @@ def _run_pipeline_on(
         from argo_spark.ops.sparql import sparql_update
 
         df = sparql_update(df.select(*canon), update)
+    if ask:
+        # ASK short-circuits everything: true/false on STDOUT, no
+        # output written; exit value is the row-count convention
+        # (1 for true, 0 for false)
+        from argo_spark.ops.sparql import sparql_ask
+
+        result = sparql_ask(df.select(*canon), ask)
+        print("true" if result else "false")
+        print(
+            f"ASK answered in {time.time() - t0:.3f} seconds",
+            file=sys.stderr,
+        )
+        return int(result)
     if select:
         # SELECT short-circuits serialization: the output is a
         # SPARQL-TSV directory (part files + _VARS header sidecar),
@@ -204,6 +220,12 @@ def _run_pipeline_on(
         from argo_spark.ops.sparql import sparql_construct
 
         df = sparql_construct(df.select(*canon), construct)
+    if describe:
+        # graph transformation via SPARQL DESCRIBE (subject semi-join
+        # over the described resources; no-closure semantics)
+        from argo_spark.ops.sparql import sparql_describe
+
+        df = sparql_describe(df.select(*canon), describe)
     if squish:
         df = df.dropDuplicates(
             canon if "g_value" in df.columns else TRIPLE_COLS
@@ -268,9 +290,24 @@ def main(argv: list[str] | None = None) -> None:
              "DELETE WHERE, DELETE/INSERT WHERE, ';'-chained) to the "
              "merged graph before output",
     )
+    p.add_argument(
+        "--describe", metavar="QUERY",
+        help="transform the merged graph with a SPARQL DESCRIBE query "
+             "(subject semi-join, no-closure semantics) before "
+             "serializing",
+    )
+    p.add_argument(
+        "--ask", metavar="QUERY",
+        help="run a SPARQL ASK over the merged graph, print "
+             "true/false to stdout and write no output",
+    )
     args = p.parse_args(argv)
-    if args.select and args.construct:
-        raise SystemExit("--select and --construct are mutually exclusive")
+    forms = [f for f, v in (
+        ("--select", args.select), ("--construct", args.construct),
+        ("--describe", args.describe), ("--ask", args.ask),
+    ) if v]
+    if len(forms) > 1:
+        raise SystemExit(f"{' and '.join(forms)} are mutually exclusive")
 
     from argo_spark.session import get_spark
 
@@ -290,6 +327,8 @@ def main(argv: list[str] | None = None) -> None:
             construct=args.construct,
             select=args.select,
             update=args.update,
+            describe=args.describe,
+            ask=args.ask,
         )
     finally:
         spark.stop()

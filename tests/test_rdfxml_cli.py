@@ -405,3 +405,51 @@ def test_cli_mixed_nt_nq_sources(spark, tmp_path):
         '<http://e/b> <http://e/name> "Bob" .',
         '<http://e/c> <http://e/name> "Cee" .',
     ]
+
+
+def test_cli_ask_and_describe(spark, tmp_path, capsys):
+    # round 5b: the remaining two query forms on the CLI — --ask
+    # prints true/false and writes nothing; --describe serializes
+    # the described subgraph
+    import glob
+
+    from argo_spark.cli import main, run_pipeline
+    from argo_spark.ntriples import parse_document
+
+    src = tmp_path / "in.nt"
+    src.write_text(
+        "<http://e/s1> <http://e/p> <http://e/o1> .\n"
+        '<http://e/s1> <http://e/name> "Ada" .\n'
+        '<http://e/s2> <http://e/name> "Bob" .\n'
+    )
+    out = str(tmp_path / "never.nt")
+    n = run_pipeline(
+        spark, [str(src)], out,
+        ask="ASK { <http://e/s1> <http://e/p> ?o }",
+    )
+    assert n == 1 and capsys.readouterr().out.strip() == "true"
+    assert not glob.glob(out + "*")  # ASK writes no output
+    n = run_pipeline(
+        spark, [str(src)], out,
+        ask='ASK { ?s <http://e/name> "Cee" }',
+    )
+    assert n == 0 and capsys.readouterr().out.strip() == "false"
+
+    out2 = str(tmp_path / "desc.nt")
+    n = run_pipeline(
+        spark, [str(src)], out2,
+        describe="DESCRIBE <http://e/s1>",
+    )
+    assert n == 2
+    text = "".join(
+        open(f).read() for f in sorted(glob.glob(out2 + "/part-*"))
+    )
+    triples, err = parse_document(text)
+    assert err is None
+    assert {t.s.value for t in triples} == {"http://e/s1"}
+    # query forms are mutually exclusive on the command line
+    import pytest
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["--ask", "ASK {}", "--select", "SELECT * WHERE {}",
+              "-o", out, str(src)])
