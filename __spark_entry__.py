@@ -2232,6 +2232,54 @@ def q_nq_parse_roundtrip(spark, sf_dir):
     )
 
 
+def q_sparql_datetime_fns(spark, sf_dir):
+    """§2.5 E3 (round 5c): xsd:dateTime accessor builtins —
+    YEAR/MONTH/HOURS/SECONDS as native-numeric BINDs (YEAR also in a
+    numeric FILTER), TZ + ENCODE_FOR_URI as string builtins — over
+    deterministic dateModified stamps synthesized from doc_id (three
+    timezone shapes: Z / +05:30 / none). The engine extracts fields
+    from the LITERAL LEXICAL FORM (ops/sparql.py "dtfn": pure
+    regexp_extract, codegen); DuckDB replays the generating
+    arithmetic directly."""
+    from argo_spark.ops.sparql import sparql_select
+
+    d = _docs(spark, sf_dir)
+    stamp = F.concat(
+        F.format_string(
+            "%04d-%02d-%02dT%02d:%02d:%02d",
+            (F.col("doc_id") % 40 + 1990).cast("int"),
+            (F.col("doc_id") % 12 + 1).cast("int"),
+            (F.col("doc_id") % 28 + 1).cast("int"),
+            (F.col("doc_id") % 24).cast("int"),
+            (F.col("doc_id") % 60).cast("int"),
+            ((F.col("doc_id") * 7) % 60).cast("int"),
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Z"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("+05:30"))
+        .otherwise(F.lit("")),
+    )
+    tr = d.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("s_value"),
+        F.lit("http://schema.org/dateModified").alias("p_value"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        stamp.alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit("http://www.w3.org/2001/XMLSchema#dateTime").alias("o_dt"),
+    )
+    return sparql_select(
+        tr,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?d ?y ?mo ?h ?sec ?tz ?etz WHERE {
+             ?d s:dateModified ?t .
+             BIND(YEAR(?t) AS ?y) BIND(MONTH(?t) AS ?mo)
+             BIND(HOURS(?t) AS ?h) BIND(SECONDS(?t) AS ?sec)
+             BIND(TZ(?t) AS ?tz) BIND(ENCODE_FOR_URI(TZ(?t)) AS ?etz)
+             FILTER(YEAR(?t) >= 2000)
+           }""",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract. ORDER MATTERS: the driver's correctness
     harness checks the FIRST 50 entries, so every oracle-bearing
@@ -2358,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph_subquery": q_sparql_graph_subquery,
         "sparql_graph_closure": q_sparql_graph_closure,
         "pack_sequences": q_pack_sequences,
+        "sparql_datetime_fns": q_sparql_datetime_fns,
     }
 
 
@@ -3371,6 +3420,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_value = '{INLANG}'
               AND o_value LIKE 'e%'
               AND length(o_value) + 1 >= 3
+        """,
+        "sparql_datetime_fns": f"""
+            SELECT '<{DOC_BASE}' || doc_id || '>' AS d,
+                   '"' || (1990 + doc_id % 40) || '"' AS y,
+                   '"' || (1 + doc_id % 12) || '"' AS mo,
+                   '"' || (doc_id % 24) || '"' AS h,
+                   '"' || ((doc_id * 7) % 60) || '"' AS sec,
+                   CASE doc_id % 3 WHEN 0 THEN '"Z"'
+                        WHEN 1 THEN '"+05:30"' ELSE '""' END AS tz,
+                   CASE doc_id % 3 WHEN 0 THEN '"Z"'
+                        WHEN 1 THEN '"%2B05%3A30"' ELSE '""' END AS etz
+            FROM documents
+            WHERE 1990 + doc_id % 40 >= 2000
         """,
         "corpus_assign_split": _assign_split_sql(),
         "clean_corpus_best": _clean_corpus_sql(best=True),

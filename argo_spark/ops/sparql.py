@@ -1251,7 +1251,9 @@ class _Parser:
             target = self.parse_additive()
             self.expect_punct(")")
             return ("numfn", fn, target)
-        if kind == "kw" and val.upper() in ("MD5", "SHA1", "SHA256"):
+        if kind == "kw" and val.upper() in (
+            "MD5", "SHA1", "SHA256", "SHA384", "SHA512"
+        ):
             # hash builtins (17.4.4.x): hex digest of the UTF-8
             # lexical form, a simple literal
             self.next()
@@ -1260,6 +1262,43 @@ class _Parser:
             a = self.parse_operand()
             self.expect_punct(")")
             return ("hashfn", fn, a)
+        if kind == "kw" and val.upper() in (
+            "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"
+        ):
+            # xsd:dateTime component accessors (17.4.5.3-8): fixed
+            # positions of the dateTime lexical form; a non-dateTime
+            # operand is an expression error (NULL -> FILTER drops the
+            # row, BIND leaves the variable unbound)
+            self.next()
+            fn = val.upper()
+            self.expect_punct("(")
+            a = self.parse_operand()
+            self.expect_punct(")")
+            return ("dtfn", fn, a)
+        if kind == "kw" and val.upper() in ("TZ", "ENCODE_FOR_URI"):
+            # string-producing unary builtins: TZ (17.4.5.9, simple
+            # literal, "" when no timezone) and ENCODE_FOR_URI
+            # (17.4.2.5, RFC 3986 percent-encoding of everything
+            # outside the unreserved set)
+            self.next()
+            fn = val.upper()
+            self.expect_punct("(")
+            a = self.parse_operand()
+            self.expect_punct(")")
+            return ("strfn1", fn, a)
+        if kind == "kw" and val.upper() == "TIMEZONE":
+            # TIMEZONE (17.4.5.2): xsd:dayTimeDuration of the offset —
+            # composed as a typed-literal constructor over the
+            # duration lexical so BIND emits "PT0S"^^<...> etc.; a
+            # missing timezone is an error (NULL)
+            self.next()
+            self.expect_punct("(")
+            a = self.parse_operand()
+            self.expect_punct(")")
+            return (
+                "mkterm", "dt", ("strfn1", "TIMEZONE", a),
+                "http://www.w3.org/2001/XMLSchema#dayTimeDuration",
+            )
         if kind == "kw" and val.upper() in ("IRI", "URI"):
             # IRI constructor (17.4.2.8) — the lexical form becomes
             # an IRI (no base resolution: the engine has no BASE)
@@ -1517,7 +1556,77 @@ def _operand_info(node, columns, numeric_cols=frozenset()):
             "MD5": F.md5,
             "SHA1": F.sha1,
             "SHA256": lambda c: F.sha2(c, 256),
+            "SHA384": lambda c: F.sha2(c, 384),
+            "SHA512": lambda c: F.sha2(c, 512),
         }[payload](alex)
+        return None, lex, F.lit(None).cast("double"), False
+    if kind == "dtfn":
+        # dateTime component accessors over the LEXICAL form — pure
+        # regexp_extract, stays in codegen; no match -> NULL (error)
+        alex = _operand_info(node[2], columns, numeric_cols)[1]
+        pat = {
+            "YEAR": r"^(-?\d{4,})-\d{2}-\d{2}T",
+            "MONTH": r"^-?\d{4,}-(\d{2})-\d{2}T",
+            "DAY": r"^-?\d{4,}-\d{2}-(\d{2})T",
+            "HOURS": r"T(\d{2}):\d{2}:\d{2}",
+            "MINUTES": r"T\d{2}:(\d{2}):\d{2}",
+            "SECONDS": r"T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)",
+        }[payload]
+        raw = F.nullif(F.regexp_extract(alex, pat, 1), F.lit(""))
+        num = raw.try_cast("double")
+        # integer lexical for YEAR..MINUTES (spec: xsd:integer);
+        # SECONDS keeps the extracted fraction (xsd:decimal) but
+        # drops the field's leading zero ("05.25" -> "5.25")
+        lex = (
+            F.regexp_replace(raw, r"^0(\d)", r"$1")
+            if payload == "SECONDS"
+            else num.try_cast("long").cast("string")
+        )
+        return None, lex, num, True
+    if kind == "strfn1":
+        alex = _operand_info(node[2], columns, numeric_cols)[1]
+        if payload == "TZ":
+            # simple literal; regexp_extract's no-match "" is exactly
+            # the spec's empty string for a missing timezone
+            lex = F.regexp_extract(alex, r"(Z|[+-]\d{2}:\d{2})$", 1)
+        elif payload == "ENCODE_FOR_URI":
+            # url_encode is java.net.URLEncoder: fix its three
+            # divergences from RFC 3986 percent-encoding (space->'+',
+            # '*' kept bare, '~' encoded); literal '+'/'*'/'%' in the
+            # input are already encoded by then, so the replacements
+            # can't collide
+            enc = F.url_encode(alex)
+            lex = F.replace(
+                F.replace(
+                    F.replace(enc, F.lit("+"), F.lit("%20")),
+                    F.lit("*"), F.lit("%2A"),
+                ),
+                F.lit("%7E"), F.lit("~"),
+            )
+        else:  # TIMEZONE duration lexical ("-PT5H", "PT30M", "PT0S")
+            tz = F.nullif(
+                F.regexp_extract(alex, r"(Z|[+-]\d{2}:\d{2})$", 1),
+                F.lit(""),
+            )
+            hh = F.substring(tz, 2, 2).try_cast("int")
+            mm = F.substring(tz, 5, 2).try_cast("int")
+            sign = F.when(
+                F.substring(tz, 1, 1) == "-", F.lit("-")
+            ).otherwise(F.lit(""))
+            lex = (
+                F.when(tz.isNull(), F.lit(None).cast("string"))
+                .when((tz == "Z") | ((hh == 0) & (mm == 0)), F.lit("PT0S"))
+                .otherwise(F.concat(
+                    sign,
+                    F.lit("PT"),
+                    F.when(
+                        hh > 0, F.concat(hh.cast("string"), F.lit("H"))
+                    ).otherwise(F.lit("")),
+                    F.when(
+                        mm > 0, F.concat(mm.cast("string"), F.lit("M"))
+                    ).otherwise(F.lit("")),
+                ))
+            )
         return None, lex, F.lit(None).cast("double"), False
     if kind == "mkterm":
         sub = _operand_info(node[2], columns, numeric_cols)
@@ -1784,7 +1893,7 @@ def _operand_vars(o) -> set[str]:
         return out
     if o[0] in ("substr", "replace"):
         return _operand_vars(o[1])
-    if o[0] in ("hashfn", "mkterm"):
+    if o[0] in ("hashfn", "mkterm", "dtfn", "strfn1"):
         return _operand_vars(o[2])
     return set()
 
@@ -2890,11 +2999,12 @@ def _eval_group_impl(
                 # IRI / STRDT / STRLANG: a full NT term by construction
                 ntc = _operand_info(opnode, cols)[0]
             elif opnode[0] in ("strfn", "substr", "replace", "numfn",
-                               "arith", "hashfn"):
+                               "arith", "hashfn", "dtfn", "strfn1"):
                 # string/numeric builtins and arithmetic: escaped
                 # lexical -> plain literal (numfn lexicals are the
                 # integer form except ABS and arithmetic, which keep
-                # the double form)
+                # the double form; dtfn likewise integer except
+                # SECONDS' decimal)
                 _, lex, _, _ = _operand_info(opnode, cols)
                 ntc = F.concat(F.lit('"'), lex, F.lit('"'))
             else:  # constant term
@@ -3910,7 +4020,9 @@ _OPERAND_FN_KWS = frozenset(
         "STR", "LANG", "DATATYPE", "STRLEN", "UCASE", "LCASE", "IF",
         "COALESCE", "ABS", "CEIL", "FLOOR", "ROUND", "STRBEFORE",
         "STRAFTER", "CONCAT", "SUBSTR", "REPLACE", "MD5", "SHA1",
-        "SHA256", "IRI", "URI", "STRDT", "STRLANG",
+        "SHA256", "SHA384", "SHA512", "IRI", "URI", "STRDT", "STRLANG",
+        "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+        "TZ", "TIMEZONE", "ENCODE_FOR_URI",
     }
 )
 

@@ -90,6 +90,8 @@ def _warmup(spark, sf_dir: str, workdir: str) -> None:
     em.q_agg_lineitem(spark, sf_dir).collect()
     em.q_url_dedup_best(spark, sf_dir).limit(8).count()
     em.q_line_dedup(spark, sf_dir).limit(8).count()
+    em.q_sparql_algebra_mix(spark, sf_dir).count()
+    em.q_sparql_path_closure(spark, sf_dir).count()
     em.q_events_window_agg(spark, sf_dir).count()
     em.q_g8_semi_join(spark, sf_dir).count()
     em.q_g2_anti_join(spark, sf_dir).count()
@@ -241,6 +243,13 @@ def run_bench(spark, sf_dir: str, workdir: str) -> dict:
     # (one exchange) and C4-style repeated-line removal
     timed("url_dedup", lambda: em.q_url_dedup_best(spark, sf_dir).count())
     timed("line_dedup", lambda: em.q_line_dedup(spark, sf_dir).count())
+
+    # SPARQL front-end evidence (round 5): full parse -> algebra ->
+    # DataFrame compile -> execute on every rep. algebra_mix composes
+    # UNION + VALUES + MINUS; path_closure runs the pointer-doubling
+    # transitive closure (O(log d) shuffle rounds).
+    timed("sparql_algebra", lambda: em.q_sparql_algebra_mix(spark, sf_dir).count())
+    timed("sparql_closure", lambda: em.q_sparql_path_closure(spark, sf_dir).count())
 
     timed("agg_lineitem", lambda: em.q_agg_lineitem(spark, sf_dir).collect())
     timed("events_window_agg", lambda: em.q_events_window_agg(spark, sf_dir).count())

@@ -3621,3 +3621,98 @@ def test_compat_leg_cap_fallback(spark):
     assert gotm == {('"Cat"', None)}
     # and the default path agrees
     assert {(r.w, r.age) for r in sparql_select(g, q).collect()} == expect
+
+
+def dt_graph(spark):
+    """Docs with xsd:dateTime modification stamps in the three
+    timezone shapes (Z / offset / none) plus a fractional second."""
+    XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+    return TripleGraph.of(
+        spark,
+        [
+            TripleT(iri("http://e/a"), iri(SCHEMA + "dateModified"),
+                    literal("2020-03-05T12:34:56Z", dt=XSD_DT)),
+            TripleT(iri("http://e/b"), iri(SCHEMA + "dateModified"),
+                    literal("1999-12-31T23:59:59.25-05:30", dt=XSD_DT)),
+            TripleT(iri("http://e/c"), iri(SCHEMA + "dateModified"),
+                    literal("2024-01-02T03:04:05+00:00", dt=XSD_DT)),
+            TripleT(iri("http://e/d"), iri(SCHEMA + "dateModified"),
+                    literal("not a date")),
+        ],
+    ).df
+
+
+def test_datetime_accessors(spark):
+    """YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS (17.4.5.3-8) extract the
+    lexical fields as integers (SECONDS keeps the decimal fraction);
+    a non-dateTime operand is an error -> unbound in BIND."""
+    out = sparql_select(
+        dt_graph(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w ?y ?mo ?d ?h ?mi ?sec WHERE {
+             ?w s:dateModified ?t .
+             BIND(YEAR(?t) AS ?y) BIND(MONTH(?t) AS ?mo)
+             BIND(DAY(?t) AS ?d) BIND(HOURS(?t) AS ?h)
+             BIND(MINUTES(?t) AS ?mi) BIND(SECONDS(?t) AS ?sec)
+           }""",
+    )
+    got = {r.w: (r.y, r.mo, r.d, r.h, r.mi, r.sec) for r in out.collect()}
+    assert got["<http://e/a>"] == ('"2020"', '"3"', '"5"', '"12"', '"34"', '"56"')
+    assert got["<http://e/b>"] == ('"1999"', '"12"', '"31"', '"23"', '"59"', '"59.25"')
+    assert got["<http://e/c>"] == ('"2024"', '"1"', '"2"', '"3"', '"4"', '"5"')
+    assert got["<http://e/d>"] == (None,) * 6
+    # numeric comparison in FILTER (the accessors are native-numeric)
+    out = sparql_select(
+        dt_graph(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w WHERE {
+             ?w s:dateModified ?t .
+             FILTER(YEAR(?t) >= 2020 && MONTH(?t) = 3)
+           }""",
+    )
+    assert [r.w for r in out.collect()] == ["<http://e/a>"]
+
+
+def test_tz_and_timezone(spark):
+    """TZ (17.4.5.9) is a simple literal, "" when absent; TIMEZONE
+    (17.4.5.2) is an xsd:dayTimeDuration, error (unbound) when
+    absent."""
+    out = sparql_select(
+        dt_graph(spark),
+        """PREFIX s: <http://schema.org/>
+           SELECT ?w ?tz ?dur WHERE {
+             ?w s:dateModified ?t .
+             BIND(TZ(?t) AS ?tz) BIND(TIMEZONE(?t) AS ?dur)
+           }""",
+    )
+    DUR = "^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>"
+    got = {r.w: (r.tz, r.dur) for r in out.collect()}
+    assert got["<http://e/a>"] == ('"Z"', '"PT0S"' + DUR)
+    assert got["<http://e/b>"] == ('"-05:30"', '"-PT5H30M"' + DUR)
+    assert got["<http://e/c>"] == ('"+00:00"', '"PT0S"' + DUR)
+    assert got["<http://e/d>"] == ('""', None)
+
+
+def test_encode_for_uri_and_sha384_512(spark):
+    import hashlib
+    g = TripleGraph.of(
+        spark,
+        [TripleT(iri("http://e/a"), iri(SCHEMA + "name"),
+                 literal("héllo wörld~*+x"))],
+    ).df
+    out = sparql_select(
+        g,
+        """PREFIX s: <http://schema.org/>
+           SELECT ?e ?h3 ?h5 WHERE {
+             ?w s:name ?n .
+             BIND(ENCODE_FOR_URI(?n) AS ?e)
+             BIND(SHA384(?n) AS ?h3) BIND(SHA512(?n) AS ?h5)
+           }""",
+    )
+    r = out.collect()[0]
+    # RFC 3986: unreserved [A-Za-z0-9._~-] bare, everything else
+    # percent-encoded UTF-8 (space %20, '*' %2A, '~' bare)
+    assert r.e == '"h%C3%A9llo%20w%C3%B6rld~%2A%2Bx"'
+    raw = "héllo wörld~*+x".encode()
+    assert r.h3 == '"' + hashlib.sha384(raw).hexdigest() + '"'
+    assert r.h5 == '"' + hashlib.sha512(raw).hexdigest() + '"'
