@@ -276,6 +276,14 @@ _PATH_VAR_PREFIX = "__path"
 # the prologue BASE
 _ABS_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
 
+# timezone suffix of a FULL dateTime lexical (TZ/TIMEZONE builtins):
+# extraction yields "" both when a valid dateTime has no timezone and
+# when the operand is not a dateTime at all
+_DT_TZ_RE = (
+    r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"
+    r"(Z|[+-]\d{2}:\d{2})?$"
+)
+
 
 def _flatten_static_path(alts):
     """Distribute modifier-free parenthesized groups out of a parsed
@@ -1564,13 +1572,16 @@ def _operand_info(node, columns, numeric_cols=frozenset()):
         # dateTime component accessors over the LEXICAL form — pure
         # regexp_extract, stays in codegen; no match -> NULL (error)
         alex = _operand_info(node[2], columns, numeric_cols)[1]
+        # every pattern is anchored to the FULL date prefix so a
+        # fragment like "T12:00:00" (not a dateTime) is an error for
+        # the time accessors too, not a field hit
         pat = {
-            "YEAR": r"^(-?\d{4,})-\d{2}-\d{2}T",
-            "MONTH": r"^-?\d{4,}-(\d{2})-\d{2}T",
-            "DAY": r"^-?\d{4,}-\d{2}-(\d{2})T",
-            "HOURS": r"T(\d{2}):\d{2}:\d{2}",
-            "MINUTES": r"T\d{2}:(\d{2}):\d{2}",
-            "SECONDS": r"T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)",
+            "YEAR": r"^(-?\d{4,})-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}",
+            "MONTH": r"^-?\d{4,}-(\d{2})-\d{2}T\d{2}:\d{2}:\d{2}",
+            "DAY": r"^-?\d{4,}-\d{2}-(\d{2})T\d{2}:\d{2}:\d{2}",
+            "HOURS": r"^-?\d{4,}-\d{2}-\d{2}T(\d{2}):\d{2}:\d{2}",
+            "MINUTES": r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:(\d{2}):\d{2}",
+            "SECONDS": r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)",
         }[payload]
         raw = F.nullif(F.regexp_extract(alex, pat, 1), F.lit(""))
         num = raw.try_cast("double")
@@ -1586,9 +1597,10 @@ def _operand_info(node, columns, numeric_cols=frozenset()):
     if kind == "strfn1":
         alex = _operand_info(node[2], columns, numeric_cols)[1]
         if payload == "TZ":
-            # simple literal; regexp_extract's no-match "" is exactly
-            # the spec's empty string for a missing timezone
-            lex = F.regexp_extract(alex, r"(Z|[+-]\d{2}:\d{2})$", 1)
+            # simple literal; regexp_extract's "" covers both a valid
+            # dateTime without a timezone (the spec's empty string)
+            # and a non-dateTime operand
+            lex = F.regexp_extract(alex, _DT_TZ_RE, 1)
         elif payload == "ENCODE_FOR_URI":
             # url_encode is java.net.URLEncoder: fix its three
             # divergences from RFC 3986 percent-encoding (space->'+',
@@ -1605,7 +1617,7 @@ def _operand_info(node, columns, numeric_cols=frozenset()):
             )
         else:  # TIMEZONE duration lexical ("-PT5H", "PT30M", "PT0S")
             tz = F.nullif(
-                F.regexp_extract(alex, r"(Z|[+-]\d{2}:\d{2})$", 1),
+                F.regexp_extract(alex, _DT_TZ_RE, 1),
                 F.lit(""),
             )
             hh = F.substring(tz, 2, 2).try_cast("int")

@@ -880,3 +880,80 @@ def test_sparql_graph_var_matches_python_oracle(spark):
         graphs_seen |= {r["g"] for r in expected}
     assert total_rows > 20, f"generator vacuous: {total_rows} rows total"
     assert len(graphs_seen) == 3, f"graph coverage thin: {graphs_seen}"
+
+
+def test_sparql_datetime_fns_match_python_oracle(spark):
+    """Randomized pinning of the round-5c dateTime accessors: the
+    GENERATOR knows the ground-truth field values (it assembles the
+    lexical from random components), so the oracle is independent of
+    the engine's regexp extraction — a mutated pattern or off-by-one
+    group index flips expected projections. Covers the three timezone
+    shapes, fractional seconds, pre-1000 years (leading-zero
+    stripping), and structurally-invalid literals (error -> unbound,
+    TZ -> "")."""
+    XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+    DUR = "^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>"
+
+    def tz_expect(tzc):
+        if tzc == "":
+            return '""', None
+        if tzc in ("Z", "+00:00", "-00:00"):
+            return f'"{tzc}"', '"PT0S"' + DUR
+        sign = "-" if tzc[0] == "-" else ""
+        hh, mm = int(tzc[1:3]), int(tzc[4:6])
+        body = (f"{hh}H" if hh else "") + (f"{mm}M" if mm else "")
+        return f'"{tzc}"', f'"{sign}PT{body}"' + DUR
+
+    for seed in range(5 * _SCALE):
+        rnd = random.Random(7000 + seed)
+        triples, want = [], {}
+        for i in range(rnd.randint(4, 12)):
+            subj = f"http://e/d{i}"
+            if rnd.random() < 0.2:
+                lexical = rnd.choice(
+                    ["not a date", "2020-1-2T3:4:5", "T12:00:00", ""]
+                )
+                want[f"<{subj}>"] = (None,) * 5 + ('""', None)
+            else:
+                y = rnd.randint(1, 2500)
+                mo, d = rnd.randint(1, 12), rnd.randint(1, 28)
+                h, mi, sec = (rnd.randint(0, 23), rnd.randint(0, 59),
+                              rnd.randint(0, 59))
+                frac = rnd.choice(["", "", ".5", ".25"])
+                tzc = rnd.choice(["Z", "+05:30", "-03:00", "+00:00", ""])
+                lexical = (f"{y:04d}-{mo:02d}-{d:02d}"
+                           f"T{h:02d}:{mi:02d}:{sec:02d}{frac}{tzc}")
+                tz_nt, dur_nt = tz_expect(tzc)
+                want[f"<{subj}>"] = (
+                    f'"{y}"', f'"{mo}"', f'"{d}"', f'"{h}"',
+                    f'"{sec}{frac}"', tz_nt, dur_nt,
+                )
+            triples.append(TripleT(
+                iri(subj), iri("http://e/ts"), literal(lexical, dt=XSD_DT)
+            ))
+        df = TripleGraph.of(spark, triples).df
+        out = sparql_select(
+            df,
+            """SELECT ?s ?y ?mo ?d ?h ?sec ?tz ?dur WHERE {
+                 ?s <http://e/ts> ?t .
+                 BIND(YEAR(?t) AS ?y) BIND(MONTH(?t) AS ?mo)
+                 BIND(DAY(?t) AS ?d) BIND(HOURS(?t) AS ?h)
+                 BIND(SECONDS(?t) AS ?sec)
+                 BIND(TZ(?t) AS ?tz) BIND(TIMEZONE(?t) AS ?dur)
+               }""",
+        )
+        got = {r.s: (r.y, r.mo, r.d, r.h, r.sec, r.tz, r.dur)
+               for r in out.collect()}
+        assert got == want, f"seed {seed}"
+        # FILTER path: numeric comparison on an accessor must agree
+        # with the ground-truth component values
+        kept = sorted(
+            s for s, v in want.items()
+            if v[3] is not None and int(v[3].strip('"')) >= 12
+        )
+        out2 = sparql_select(
+            df,
+            """SELECT ?s WHERE { ?s <http://e/ts> ?t .
+                 FILTER(HOURS(?t) >= 12) }""",
+        )
+        assert sorted(r.s for r in out2.collect()) == kept, f"seed {seed}"
