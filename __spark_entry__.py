@@ -2232,6 +2232,31 @@ def q_nq_parse_roundtrip(spark, sf_dir):
     )
 
 
+def q_ttl_parse_roundtrip(spark, sf_dir):
+    """Turtle PARSE side (round 5c; BEYOND the reference — argo
+    registers Turtle serializer-only, argo.go:117-140, and cannot
+    read its own output), ORACLED round-trip identity: doc triples →
+    distributed turtle_blocks (qnames, trailing-';' quirk, NT-style
+    escapes) → extract/turtle.py::parse_turtle_col must reproduce the
+    generating relation exactly — the same identity contract as
+    squirtle_parse_roundtrip, exercising the full Turtle
+    scanner/parser."""
+    from argo_spark.extract.turtle import parse_turtle_col
+    from argo_spark.sinks.writers import turtle_blocks
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    blocks = turtle_blocks(tr).select(
+        F.col("block").alias("value"),
+        F.monotonically_increasing_id().cast("string").alias("key"),
+    )
+    parsed = parse_turtle_col(blocks)
+    return parsed.where(F.col("error").isNull()).select(
+        F.col("s_kind").cast("int").alias("s_kind"), "s_value", "p_value",
+        F.col("o_kind").cast("int").alias("o_kind"), "o_value",
+        "o_lang", "o_dt",
+    )
+
+
 def q_sparql_datetime_fns(spark, sf_dir):
     """§2.5 E3 (round 5c): xsd:dateTime accessor builtins —
     YEAR/MONTH/HOURS/SECONDS as native-numeric BINDs (YEAR also in a
@@ -2407,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph_closure": q_sparql_graph_closure,
         "pack_sequences": q_pack_sequences,
         "sparql_datetime_fns": q_sparql_datetime_fns,
+        "ttl_parse_roundtrip": q_ttl_parse_roundtrip,
     }
 
 
@@ -3802,6 +3828,13 @@ def oracle_sql() -> dict[str, str]:
         "k3_rdfxml_blocks": _k3_rdfxml_sql(),
         "g12_list_walk": _g12_list_sql(),
         "squirtle_parse_roundtrip": f"""
+            WITH {_DOC_TRIPLES_CTE}
+            SELECT s_kind::INTEGER AS s_kind, s_value, p_value,
+                   o_kind::INTEGER AS o_kind, o_value,
+                   o_lang::VARCHAR AS o_lang, o_dt::VARCHAR AS o_dt
+            FROM doc_triples
+        """,
+        "ttl_parse_roundtrip": f"""
             WITH {_DOC_TRIPLES_CTE}
             SELECT s_kind::INTEGER AS s_kind, s_value, p_value,
                    o_kind::INTEGER AS o_kind, o_value,

@@ -60,6 +60,12 @@ def _write_nquads(df, path, mode="overwrite"):
     return write_nquads(df, path, mode=mode)
 
 
+def _read_turtle(spark, path):
+    from argo_spark.extract.turtle import read_turtle
+
+    return read_turtle(spark, path)
+
+
 def _read_squirtle(spark, path):
     from argo_spark.extract.squirtle import read_squirtle
 
@@ -91,9 +97,12 @@ def _load():
             reader=_read_nquads, writer=_write_nquads,
         ),
         "turtle": Format(
+            # reader is BEYOND the reference (serializer-only
+            # registration, argo.go:117-140 — argo cannot read the
+            # Turtle it writes; extract/turtle.py can)
             "turtle", "Turtle", "text/turtle", ".ttl",
             other_mimes=["application/x-turtle"],
-            writer=writers.write_turtle,
+            reader=_read_turtle, writer=writers.write_turtle,
         ),
         "trig": Format(
             # Turtle analogue for the quad model (writer-only, like
