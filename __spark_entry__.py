@@ -2232,6 +2232,42 @@ def q_nq_parse_roundtrip(spark, sf_dir):
     )
 
 
+def q_trig_parse_roundtrip(spark, sf_dir):
+    """TriG PARSE side (round 5c): the same per-source named-graph
+    quads as nq_parse_roundtrip, serialized with trig_blocks (named
+    graphs wrapped in ``<g> { ... }``, default-graph rows bare) and
+    re-parsed by extract/turtle.py::parse_trig_col — the quad model's
+    Turtle face round-trips exactly; the oracle is the generating
+    relation."""
+    from argo_spark.extract.turtle import parse_trig_col
+    from argo_spark.sinks.writers import trig_blocks
+
+    GBASE = "http://graphs.example/"
+    d = _docs(spark, sf_dir)
+    quads = d.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("s_value"),
+        F.lit(INLANG).alias("p_value"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.col("lang").alias("o_value"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(GBASE), F.col("source")),
+        ).alias("g_value"),
+    )
+    blocks = trig_blocks(quads).select(
+        F.col("block").alias("value"),
+        F.monotonically_increasing_id().cast("string").alias("key"),
+    )
+    parsed = parse_trig_col(blocks).where(F.col("error").isNull())
+    return parsed.select(
+        "s_value", "p_value", "o_value",
+        F.coalesce("g_value", F.lit("")).alias("g_value"),
+    )
+
+
 def q_ttl_parse_roundtrip(spark, sf_dir):
     """Turtle PARSE side (round 5c; BEYOND the reference — argo
     registers Turtle serializer-only, argo.go:117-140, and cannot
@@ -2433,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "sparql_datetime_fns": q_sparql_datetime_fns,
         "ttl_parse_roundtrip": q_ttl_parse_roundtrip,
+        "trig_parse_roundtrip": q_trig_parse_roundtrip,
     }
 
 
@@ -3698,6 +3735,15 @@ def oracle_sql() -> dict[str, str]:
                    (strt // 512)::BIGINT AS seq_id,
                    (strt % 512)::BIGINT AS seq_offset
             FROM c
+        """,
+        "trig_parse_roundtrip": f"""
+            SELECT '{DOC_BASE}' || doc_id AS s_value,
+                   '{INLANG}' AS p_value,
+                   lang AS o_value,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'http://graphs.example/' || source
+                        ELSE '' END AS g_value
+            FROM documents
         """,
         "nq_parse_roundtrip": f"""
             SELECT '{DOC_BASE}' || doc_id AS s_value,

@@ -74,7 +74,7 @@ class TurtleError(Exception):
 
 
 class _Parser:
-    def __init__(self, text: str, skolem_key: str = ""):
+    def __init__(self, text: str, skolem_key: str = "", quads: bool = False):
         self.text = text
         self.pos = 0
         self.n = len(text)
@@ -82,7 +82,9 @@ class _Parser:
         self.base: Optional[str] = None
         self.skolem_key = skolem_key
         self._anon = 0
-        self.triples: List[FlatTriple] = []
+        self.quads = quads
+        self.graph: Optional[str] = None  # current TriG graph label
+        self.triples: list = []
 
     # ---- low-level ----------------------------------------------------
 
@@ -422,7 +424,7 @@ class _Parser:
         self.expect("[")
         node = self.fresh_bnode() + (None, None)
         if self.peek() != "]":
-            self.parse_predicate_object_list(node, terminator="]")
+            self.parse_predicate_object_list(node, terminators=("]",))
         self.expect("]")
         return node
 
@@ -431,11 +433,10 @@ class _Parser:
     def emit(self, s, p: str, o):
         if s[0] == KIND_LITERAL:
             self.err("literal subject")
-        self.triples.append(
-            (s[0], s[1], p, o[0], o[1], o[2], o[3])
-        )
+        row = (s[0], s[1], p, o[0], o[1], o[2], o[3])
+        self.triples.append(row + (self.graph,) if self.quads else row)
 
-    def parse_predicate_object_list(self, subject, terminator: str):
+    def parse_predicate_object_list(self, subject, terminators: tuple):
         while True:
             p = self.parse_verb()
             while True:
@@ -451,12 +452,12 @@ class _Parser:
             while self.peek() == ";":
                 self.pos += 1
                 progressed = True
-            if self.peek() == terminator or self.pos >= self.n:
+            if self.peek() in terminators or self.pos >= self.n:
                 return
             if not progressed:
                 self.err(
-                    f"expected ';' or {terminator!r} after object, got "
-                    f"{self.text[self.pos:self.pos+10]!r}"
+                    f"expected ';' or one of {terminators!r} after "
+                    f"object, got {self.text[self.pos:self.pos+10]!r}"
                 )
 
     def parse_directive(self) -> bool:
@@ -500,6 +501,42 @@ class _Parser:
         # against the base in effect at the declaration
         self.prefixes[word] = self.read_iriref()
 
+    def parse_wrapped_graph(self, g: Optional[str]):
+        """TriG ``{ triplesBlock }`` with the current graph set to
+        ``g``; the final statement's '.' is optional before '}'."""
+        prev = self.graph
+        self.graph = g
+        self.expect("{")
+        while True:
+            self.skip_ws()
+            if self.peek() == "}":
+                self.pos += 1
+                break
+            if self.pos >= self.n:
+                self.err("unterminated graph block")
+            subj = self.parse_term(as_subject=True)
+            if self.peek() == "." and subj[0] == KIND_BLANK:
+                self.pos += 1
+                continue
+            self.parse_predicate_object_list(subj, terminators=(".", "}"))
+            if self.peek() == ".":
+                self.pos += 1
+        self.graph = prev
+
+    def parse_graph_label(self) -> str:
+        c = self.peek()
+        if c == "<":
+            return self.read_iriref()
+        if self.text[self.pos:self.pos + 2] == "_:":
+            # the quad model stores graph labels as plain IRI strings
+            # (g_value, nquads.py) — no blank graph labels
+            self.err("blank-node graph labels are not supported "
+                     "(quad model stores IRI g_value)")
+        word, local = self.read_pname_or_word()
+        if local is None:
+            self.err(f"expected graph label, got {word!r}")
+        return self.expand(word, local)
+
     def parse_doc(self) -> List[FlatTriple]:
         while True:
             self.skip_ws()
@@ -507,12 +544,30 @@ class _Parser:
                 return self.triples
             if self.parse_directive():
                 continue
-            subj = self.parse_term(as_subject=True)
+            if self.quads:
+                # TriG block forms: '{...}' (default graph), 'GRAPH
+                # label {...}', 'label {...}'
+                if self.peek() == "{":
+                    self.parse_wrapped_graph(None)
+                    continue
+                if self.at_word("graph"):
+                    self.pos += len("graph")
+                    g = self.parse_graph_label()
+                    self.parse_wrapped_graph(g)
+                    continue
+                subj = self.parse_term(as_subject=True)
+                if self.peek() == "{":
+                    if subj[0] != KIND_IRI:
+                        self.err("graph label must be an IRI")
+                    self.parse_wrapped_graph(subj[1])
+                    continue
+            else:
+                subj = self.parse_term(as_subject=True)
             # a blankNodePropertyList subject may stand alone
             if self.peek() == "." and subj[0] == KIND_BLANK:
                 self.pos += 1
                 continue
-            self.parse_predicate_object_list(subj, terminator=".")
+            self.parse_predicate_object_list(subj, terminators=(".",))
             self.expect(".")
 
 
@@ -583,3 +638,65 @@ def read_turtle(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
         F.col("key").alias("path"), "error"
     )
     return triples, errors
+
+
+# ---------------------------------------------------------------------------
+# TriG — Turtle plus graph blocks, the PARSE side of the quad model
+# (writer: sinks/writers.py::trig_blocks). '{...}' wraps the default
+# graph, 'GRAPH <g> {...}' / '<g> {...}' name one; graph labels land
+# in g_value (NULL = default graph, the N-Quads reader's convention).
+# ---------------------------------------------------------------------------
+
+
+def parse_trig(
+    text: str, skolem_key: str = ""
+) -> Tuple[List[tuple], Optional[str]]:
+    """Whole-document TriG parse -> (quads, error); quad rows are
+    FlatTriple + (g_value,)."""
+    try:
+        return _Parser(text, skolem_key, quads=True).parse_doc(), None
+    except TurtleError as e:
+        return [], str(e)
+    except RecursionError:
+        return [], "trig: nesting too deep"
+
+
+TRIG_SCHEMA = (
+    "s_kind tinyint, s_value string, p_value string, o_kind tinyint, "
+    "o_value string, o_lang string, o_dt string, g_value string, "
+    "key string, error string"
+)
+
+
+def parse_trig_col(
+    df: DataFrame, text_col: str = "value", key_col: str = "key"
+) -> DataFrame:
+    """Arrow-batched distributed TriG parse, one document per row."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["s_kind", "s_value", "p_value", "o_kind", "o_value",
+                "o_lang", "o_dt", "g_value", "key", "error"]
+        for pdf in batches:
+            rows = []
+            for text, key in zip(pdf[text_col], pdf[key_col]):
+                quads, error = parse_trig(text, skolem_key=str(key))
+                for q in quads:
+                    rows.append(q + (key, None))
+                if error is not None:
+                    rows.append((None,) * 8 + (key, error))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(text_col, key_col).mapInPandas(fn, schema=TRIG_SCHEMA)
+
+
+def read_trig(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Read .trig files into (quads_df, errors_df)."""
+    raw = spark.read.text(path, wholetext=True).select(
+        F.col("value"), F.input_file_name().alias("key")
+    )
+    parsed = parse_trig_col(raw)
+    quads = parsed.where("error IS NULL").drop("error")
+    errors = parsed.where("error IS NOT NULL").select(
+        F.col("key").alias("path"), "error"
+    )
+    return quads, errors

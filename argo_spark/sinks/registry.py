@@ -66,6 +66,12 @@ def _read_turtle(spark, path):
     return read_turtle(spark, path)
 
 
+def _read_trig(spark, path):
+    from argo_spark.extract.turtle import read_trig
+
+    return read_trig(spark, path)
+
+
 def _read_squirtle(spark, path):
     from argo_spark.extract.squirtle import read_squirtle
 
@@ -105,10 +111,9 @@ def _load():
             reader=_read_turtle, writer=writers.write_turtle,
         ),
         "trig": Format(
-            # Turtle analogue for the quad model (writer-only, like
-            # the reference's Turtle registration, argo.go:117-140)
+            # Turtle analogue for the quad model; reader round 5c
             "trig", "TriG", "application/trig", ".trig",
-            writer=writers.write_trig,
+            reader=_read_trig, writer=writers.write_trig,
         ),
         "json": Format(
             "json", "RDF/JSON", "application/json", ".json",

@@ -160,3 +160,59 @@ def test_registry_dispatch():
     fmt = format_from_filename("graph.ttl")
     assert fmt is not None and fmt.id == "turtle"
     assert fmt.reader is not None and fmt.writer is not None
+
+
+# ---- TriG (quad mode) ------------------------------------------------------
+
+
+def test_trig_parse_forms():
+    from argo_spark.extract.turtle import parse_trig
+
+    doc = """@prefix ex: <http://e/> .
+    ex:d ex:p ex:o .                       # default graph, bare
+    { ex:d2 ex:p ex:o2 . }                 # default graph, wrapped
+    GRAPH ex:g1 { ex:a ex:p ex:b . ex:c ex:p ex:d }
+    ex:g2 { ex:x ex:p "lit" }
+    <http://e/g3> { [ ex:name "anon" ] . }
+    """
+    quads, err = parse_trig(doc, "k")
+    assert err is None
+    by_g = {}
+    for q in quads:
+        by_g.setdefault(q[7], []).append(q)
+    assert len(by_g[None]) == 2
+    assert len(by_g["http://e/g1"]) == 2  # optional final dot
+    assert by_g["http://e/g2"][0][4] == "lit"
+    assert by_g["http://e/g3"][0][0] == KIND_BLANK
+
+
+def test_trig_blank_graph_label_rejected():
+    from argo_spark.extract.turtle import parse_trig
+
+    quads, err = parse_trig("GRAPH _:g { <http://s> <http://p> <http://o> }", "k")
+    assert quads == [] and "blank-node graph labels" in err
+
+
+def test_trig_roundtrip_writer(spark):
+    """Quad frame -> write_trig -> read_trig: exact round-trip, graph
+    column included (NULL = default graph)."""
+    from argo_spark.extract.turtle import read_trig
+    from argo_spark.sinks.writers import write_trig
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    tr = em._doc_triples(spark, "/root/testdata/sf0.001").drop("doc_id")
+    quads = tr.withColumn(
+        "g_value",
+        F.when(
+            F.col("p_value") == "http://schema.org/inLanguage",
+            F.lit("http://graphs.example/lang"),
+        ),
+    )
+    out = str(spark.conf.get("spark.local.dir", "/tmp")) + "/trig_rt"
+    write_trig(quads, out)
+    q2, e2 = read_trig(spark, out)
+    assert e2.count() == 0
+    assert {tuple(r)[:8] for r in q2.drop("key").collect()} == {
+        tuple(r) for r in quads.collect()
+    }
