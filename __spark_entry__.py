@@ -2293,6 +2293,28 @@ def q_ttl_parse_roundtrip(spark, sf_dir):
     )
 
 
+def q_rdfjson_parse_roundtrip(spark, sf_dir):
+    """RDF/JSON PARSE side (round 5c; beyond the reference, whose
+    serializer-only JSON is single-quoted and unreadable even by
+    itself, json.go:38,58,80-92): doc triples → rdfjson_lines (valid
+    JSON, NT keys) → extract/rdfjson.py::parse_rdfjson_col reproduces
+    the generating relation exactly."""
+    from argo_spark.extract.rdfjson import parse_rdfjson_col
+    from argo_spark.sinks.writers import rdfjson_lines
+
+    tr = _doc_triples(spark, sf_dir).drop("doc_id")
+    lines = rdfjson_lines(tr).select(
+        F.col("json").alias("value"),
+        F.monotonically_increasing_id().cast("string").alias("key"),
+    )
+    parsed = parse_rdfjson_col(lines)
+    return parsed.where(F.col("error").isNull()).select(
+        F.col("s_kind").cast("int").alias("s_kind"), "s_value", "p_value",
+        F.col("o_kind").cast("int").alias("o_kind"), "o_value",
+        "o_lang", "o_dt",
+    )
+
+
 def q_sparql_datetime_fns(spark, sf_dir):
     """§2.5 E3 (round 5c): xsd:dateTime accessor builtins —
     YEAR/MONTH/HOURS/SECONDS as native-numeric BINDs (YEAR also in a
@@ -2470,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_datetime_fns": q_sparql_datetime_fns,
         "ttl_parse_roundtrip": q_ttl_parse_roundtrip,
         "trig_parse_roundtrip": q_trig_parse_roundtrip,
+        "rdfjson_parse_roundtrip": q_rdfjson_parse_roundtrip,
     }
 
 
@@ -3881,6 +3904,13 @@ def oracle_sql() -> dict[str, str]:
             FROM doc_triples
         """,
         "ttl_parse_roundtrip": f"""
+            WITH {_DOC_TRIPLES_CTE}
+            SELECT s_kind::INTEGER AS s_kind, s_value, p_value,
+                   o_kind::INTEGER AS o_kind, o_value,
+                   o_lang::VARCHAR AS o_lang, o_dt::VARCHAR AS o_dt
+            FROM doc_triples
+        """,
+        "rdfjson_parse_roundtrip": f"""
             WITH {_DOC_TRIPLES_CTE}
             SELECT s_kind::INTEGER AS s_kind, s_value, p_value,
                    o_kind::INTEGER AS o_kind, o_value,

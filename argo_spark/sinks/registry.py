@@ -72,6 +72,12 @@ def _read_trig(spark, path):
     return read_trig(spark, path)
 
 
+def _read_rdfjson(spark, path):
+    from argo_spark.extract.rdfjson import read_rdfjson
+
+    return read_rdfjson(spark, path)
+
+
 def _read_squirtle(spark, path):
     from argo_spark.extract.squirtle import read_squirtle
 
@@ -116,7 +122,10 @@ def _load():
             reader=_read_trig, writer=writers.write_trig,
         ),
         "json": Format(
+            # reader round 5c: accepts both the writer's NT-keyed
+            # lines and the W3C bare-IRI RDF/JSON form
             "json", "RDF/JSON", "application/json", ".json",
+            reader=_read_rdfjson,
             writer=lambda df, path, mode="overwrite": writers.rdfjson_lines(df)
             .select("json")
             .write.mode(mode)
