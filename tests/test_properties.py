@@ -462,3 +462,86 @@ def test_fast_html_parse_bails_on_marked_sections():
             extract_text_from_tree(_parse_html_stdlib(doc)), doc
     # plain doctype (no subset) still takes the fast path
     assert _fast_parse("<!DOCTYPE html><p>x</p>") is not None
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_turtle_parser_total(text):
+    """The Turtle parser is total on arbitrary input: (triples, None)
+    or ([], error-string) — never an untyped crash."""
+    from argo_spark.extract.turtle import parse_turtle
+
+    triples, err = parse_turtle(text, "k")
+    assert err is None or (triples == [] and isinstance(err, str))
+
+
+# Turtle IRIREF has no raw backslash (UCHAR escapes only — RFC 3987
+# IRIs can't contain one either); the NT generator's charset includes
+# it, so the Turtle property uses a backslash-free IRI strategy
+_ttl_iris = st.text(
+    _iri_chars.replace("\\", ""), min_size=1, max_size=40
+).map(lambda s: iri("http://e/" + s))
+_ttl_subjects = st.one_of(_ttl_iris, blanks)
+_ttl_literals = st.one_of(
+    lit_values.map(literal),
+    st.tuples(lit_values, langs).map(lambda t: literal(t[0], lang=t[1])),
+    st.tuples(lit_values, _ttl_iris).map(lambda t: literal(t[0], dt=t[1].value)),
+)
+_ttl_objects = st.one_of(_ttl_iris, blanks, _ttl_literals)
+
+
+@given(_ttl_subjects, _ttl_iris, _ttl_objects)
+@settings(max_examples=300, deadline=None)
+def test_turtle_block_round_trip(s, p, o):
+    """parse(turtle-block(t)) == t over the full generated term
+    space — the writer's block layout (trailing ';' included) with
+    raw <>-IRIs and the NT escape chain."""
+    from argo_spark.extract.turtle import parse_turtle
+
+    def enc(t):
+        if t.kind == 0:
+            return f"<{t.value}>"
+        if t.kind == 1:
+            return f"_:{t.value}"
+        body = f'"{escape_literal(t.value)}"'
+        if t.lang:
+            return f"{body}@{t.lang}"
+        if t.dt:
+            return f"{body}^^<{t.dt}>"
+        return body
+
+    block = f"{enc(s)}\n  <{p.value}> {enc(o)} ;\n  .\n"
+    triples, err = parse_turtle(block, "k")
+    assert err is None, (err, block)
+    assert triples == [
+        (s.kind, s.value, p.value, o.kind, o.value, o.lang or None, o.dt)
+    ], block
+
+
+@given(subjects, iris, objects)
+@settings(max_examples=300, deadline=None)
+def test_rdfjson_round_trip(s, p, o):
+    """parse(rdfjson(t)) == t: the NT-keyed JSON object form parses
+    back exactly for every representable triple."""
+    import json as _json
+
+    from argo_spark.extract.rdfjson import parse_rdfjson
+
+    skey = f"<{s.value}>" if s.kind == 0 else f"_:{s.value}"
+    cell = (
+        {"type": "uri", "value": o.value}
+        if o.kind == 0
+        else {"type": "bnode", "value": "_:" + o.value}
+        if o.kind == 1
+        else {
+            "type": "literal", "value": o.value,
+            **({"lang": o.lang} if o.lang else {}),
+            **({"datatype": o.dt} if o.dt else {}),
+        }
+    )
+    doc = _json.dumps({skey: {f"<{p.value}>": [cell]}})
+    triples, err = parse_rdfjson(doc)
+    assert err is None, (err, doc)
+    assert triples == [
+        (s.kind, s.value, p.value, o.kind, o.value, o.lang or None, o.dt)
+    ], doc
