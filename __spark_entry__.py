@@ -2315,6 +2315,44 @@ def q_rdfjson_parse_roundtrip(spark, sf_dir):
     )
 
 
+def q_jsonld_extract(spark, sf_dir):
+    """§2.6 extraction (round 5c; beyond the reference, which reads
+    RDFa only): deterministic ``<script type="application/ld+json">``
+    embeds synthesized per document — @vocab context, @id, @type, a
+    plain literal, a typed-IRI coercion (``source`` under
+    ``"@type": "@id"``) and an integer value — extracted by
+    extract/jsonld.py::extract_jsonld_df (one Arrow stage over
+    (url, warc_ts, html), pruned scan, zero shuffles). DuckDB replays
+    the expected triples relationally, the rdfa_parse oracle
+    pattern."""
+    from argo_spark.extract.jsonld import extract_jsonld_df
+
+    d = _docs(spark, sf_dir)
+    embed = F.format_string(
+        '<html><head><script type="application/ld+json">'
+        '{"@context": {"@vocab": "http://schema.org/", '
+        '"source": {"@id": "http://schema.org/isBasedOn", "@type": "@id"}}, '
+        '"@id": "%s", "@type": "Article", "inLanguage": "%s", '
+        '"source": "%s", "wordCount": %s}'
+        "</script></head><body>x</body></html>",
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")),
+        F.col("lang"),
+        F.concat(F.lit(SRC_BASE), F.col("source")),
+        F.col("n_chars").cast("string"),
+    )
+    pages = d.select(
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        embed.alias("html"),
+    )
+    out = extract_jsonld_df(pages)
+    return out.select(
+        "s_value", "p_value",
+        F.col("o_kind").cast("int").alias("o_kind"), "o_value",
+        F.coalesce("o_dt", F.lit("")).alias("o_dt"),
+    )
+
+
 def q_sparql_datetime_fns(spark, sf_dir):
     """§2.5 E3 (round 5c): xsd:dateTime accessor builtins —
     YEAR/MONTH/HOURS/SECONDS as native-numeric BINDs (YEAR also in a
@@ -2493,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttl_parse_roundtrip": q_ttl_parse_roundtrip,
         "trig_parse_roundtrip": q_trig_parse_roundtrip,
         "rdfjson_parse_roundtrip": q_rdfjson_parse_roundtrip,
+        "jsonld_extract": q_jsonld_extract,
     }
 
 
@@ -3916,6 +3955,27 @@ def oracle_sql() -> dict[str, str]:
                    o_kind::INTEGER AS o_kind, o_value,
                    o_lang::VARCHAR AS o_lang, o_dt::VARCHAR AS o_dt
             FROM doc_triples
+        """,
+        "jsonld_extract": f"""
+            SELECT '{DOC_BASE}' || doc_id AS s_value,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                       AS p_value,
+                   0 AS o_kind, 'http://schema.org/Article' AS o_value,
+                   '' AS o_dt
+            FROM documents
+            UNION ALL
+            SELECT '{DOC_BASE}' || doc_id, '{INLANG}',
+                   2, lang, ''
+            FROM documents
+            UNION ALL
+            SELECT '{DOC_BASE}' || doc_id, 'http://schema.org/isBasedOn',
+                   0, '{SRC_BASE}' || source, ''
+            FROM documents
+            UNION ALL
+            SELECT '{DOC_BASE}' || doc_id, 'http://schema.org/wordCount',
+                   2, n_chars::VARCHAR,
+                   'http://www.w3.org/2001/XMLSchema#integer'
+            FROM documents
         """,
         "lsh_ann_topk": _ann_lsh_sql(),
         "embedding_neardup_star": _embedding_star_sql(),
