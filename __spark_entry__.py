@@ -2447,7 +2447,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_star": q_dedup_minhash_star,
         "simhash_pairs": q_simhash_pairs,
-        "embedding_neardup_star": q_embedding_neardup_star,
+        # r5c rotation: embedding_neardup_star -> tail (twin of
+        # embedding_dedup_lsh, which keeps the embedding near-dup +
+        # connected-components evidence in-window); the slot goes to
+        # round 5's headline surface, named graphs
+        "sparql_named_graph": q_sparql_named_graph,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         # 28-29: ANN top-k scale paths (LSH / IVF; the brute-force
         # baseline ann_topk_cosine rotated to the tail in r5 — the
@@ -2520,7 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "sparql_nested_closure": q_sparql_nested_closure,
-        "sparql_named_graph": q_sparql_named_graph,
+        "embedding_neardup_star": q_embedding_neardup_star,
         "sparql_update_graphs": q_sparql_update_graphs,
         "nq_parse_roundtrip": q_nq_parse_roundtrip,
         "sparql_graph_algebra": q_sparql_graph_algebra,
