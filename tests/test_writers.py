@@ -203,4 +203,4 @@ def test_trig_registry():
     assert format_from_filename("dump.trig").id == "trig"
     assert format_from_mime("application/trig").id == "trig"
     assert FORMATS["trig"].writer is not None
-    assert FORMATS["trig"].reader is None
+    assert FORMATS["trig"].reader is not None  # reader landed round 5c
