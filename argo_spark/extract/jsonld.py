@@ -48,7 +48,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from argo_spark.extract.rdfa import EXTRACT_SCHEMA, FlatTriple
-from argo_spark.namespaces import RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE
+from argo_spark.namespaces import (
+    RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, has_iri_scheme,
+)
 from argo_spark.terms import KIND_BLANK, KIND_IRI, KIND_LITERAL, skolem_id
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -56,15 +58,6 @@ XSD = "http://www.w3.org/2001/XMLSchema#"
 
 class JsonLdError(Exception):
     pass
-
-
-def _has_scheme(s: str) -> bool:
-    for i, c in enumerate(s):
-        if c == ":":
-            return i > 0
-        if not (c.isalnum() or c in "+.-"):
-            return False
-    return False
 
 
 class _Context:
@@ -90,12 +83,19 @@ class _Context:
                 raise JsonLdError(f"bad @context entry {spec!r}")
             for term, val in spec.items():
                 if term == "@vocab":
+                    if not isinstance(val, str):
+                        raise JsonLdError(f"non-string @vocab {val!r}")
                     out.vocab = val
                 elif term == "@base":
+                    if not isinstance(val, str):
+                        raise JsonLdError(f"non-string @base {val!r}")
                     out.base = val
                 elif isinstance(val, str):
                     out.terms[term] = {"@id": val}
-                elif isinstance(val, dict) and "@id" in val:
+                elif (
+                    isinstance(val, dict)
+                    and isinstance(val.get("@id"), str)
+                ):
                     out.terms[term] = {
                         "@id": val["@id"],
                         "@type": val.get("@type"),
@@ -110,12 +110,12 @@ class _Context:
         if key in self.terms:
             iri = self.terms[key]["@id"]
             # term definitions may themselves be prefixed
-            return self.expand_key(iri) if not _has_scheme(iri) else iri
+            return self.expand_key(iri) if not has_iri_scheme(iri) else iri
         p, _, local = key.partition(":")
         if local and p in self.terms:
             base = self.terms[p]["@id"]
             return (self.expand_key(base) or base) + local
-        if _has_scheme(key):
+        if has_iri_scheme(key):
             return key
         if self.vocab is not None and not key.startswith("@"):
             return self.vocab + key
@@ -130,7 +130,7 @@ class _Context:
         """@id value -> IRI string (relative against @base)."""
         if ref.startswith("_:"):
             return ref
-        if _has_scheme(ref):
+        if has_iri_scheme(ref):
             return ref
         if self.base:
             return urljoin(self.base, ref)
@@ -141,11 +141,23 @@ class _Extractor:
     def __init__(self, skolem_key: str):
         self.skolem_key = skolem_key
         self._anon = 0
+        self._labels: dict = {}
         self.triples: List[FlatTriple] = []
 
     def fresh_bnode(self) -> Tuple[int, str]:
         self._anon += 1
         return KIND_BLANK, skolem_id(self.skolem_key, "jsonld", self._anon)
+
+    def bnode_label(self, label: str) -> str:
+        """JSON-LD blank-node labels are scoped to ONE document —
+        two ld+json blocks on a page both using _:b0 name DIFFERENT
+        nodes. Remap every explicit label through a per-document
+        deterministic skolem (consistent within the document)."""
+        if label not in self._labels:
+            self._labels[label] = skolem_id(
+                self.skolem_key, "jsonld-label-" + label, 0
+            )
+        return self._labels[label]
 
     def node_id(self, node: dict, ctx: _Context) -> Tuple[int, str]:
         ref = node.get("@id")
@@ -154,7 +166,7 @@ class _Extractor:
         if not isinstance(ref, str):
             raise JsonLdError(f"non-string @id {ref!r}")
         if ref.startswith("_:"):
-            return KIND_BLANK, ref[2:]
+            return KIND_BLANK, self.bnode_label(ref[2:])
         return KIND_IRI, ctx.expand_id(ref)
 
     def emit(self, s, p: str, o):
@@ -165,8 +177,12 @@ class _Extractor:
         if val is None:
             raise JsonLdError(f"@value object without @value: {v!r}")
         lang = v.get("@language")
+        if lang is not None and not isinstance(lang, str):
+            raise JsonLdError(f"non-string @language {lang!r}")
         dt = v.get("@type")
         if dt is not None:
+            if not isinstance(dt, str):
+                raise JsonLdError(f"non-string value @type {dt!r}")
             dt = ctx.expand_key(dt) or dt
         if isinstance(val, bool):
             return (KIND_LITERAL, "true" if val else "false", None,
@@ -217,7 +233,7 @@ class _Extractor:
             if ctx.coerced_id(key):
                 ref = ctx.expand_id(v)
                 if ref.startswith("_:"):
-                    return (KIND_BLANK, ref[2:], None, None)
+                    return (KIND_BLANK, self.bnode_label(ref[2:]), None, None)
                 return (KIND_IRI, ref, None, None)
             return (KIND_LITERAL, v, None, None)
         if v is None:
@@ -230,6 +246,8 @@ class _Extractor:
         subj = self.node_id(node, ctx)
         types = node.get("@type", [])
         for t in types if isinstance(types, list) else [types]:
+            if not isinstance(t, str):
+                raise JsonLdError(f"non-string @type entry {t!r}")
             iri = ctx.expand_key(t)
             if iri is not None:
                 self.emit(subj, RDF_TYPE, (KIND_IRI, iri, None, None))
@@ -278,6 +296,11 @@ def parse_jsonld(
         return [], str(e)
     except RecursionError:
         return [], "jsonld: nesting too deep"
+    except (TypeError, ValueError, AttributeError, KeyError) as e:
+        # totality backstop: structurally-junk embeds (non-string
+        # keys/ids/contexts beyond the validated cases) must yield an
+        # error row, never crash the Arrow stage
+        return [], f"malformed JSON-LD: {type(e).__name__}: {e}"
 
 
 def extract_jsonld_blocks(html: str) -> List[str]:

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from argo_spark.extract.rdfa import FlatTriple
 from argo_spark.namespaces import (
-    NAMESPACES, RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE,
+    NAMESPACES, RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, has_iri_scheme,
 )
 from argo_spark.terms import (
     KIND_BLANK, KIND_IRI, KIND_LITERAL, skolem_id,
@@ -148,10 +148,10 @@ class _Parser:
             if c == ">":
                 self.pos += 1
                 iri = "".join(out)
-                if self.base is not None and not _has_scheme(iri):
+                if self.base is not None and not has_iri_scheme(iri):
                     return urljoin(self.base, iri)
                 return iri
-            if c == "\\" and self.text[self.pos + 1:self.pos + 2] in "uU":
+            if c == "\\" and self.text[self.pos + 1:self.pos + 2] in ("u", "U"):
                 self.pos += 1
                 out.append(self.read_uchar())
                 continue
@@ -180,7 +180,7 @@ class _Parser:
                     out.append(_ECHAR[nxt])
                     self.pos += 2
                     continue
-                if nxt in "uU":
+                if nxt in ("u", "U"):
                     self.pos += 1
                     out.append(self.read_uchar())
                     continue
@@ -207,7 +207,7 @@ class _Parser:
                     out.append(_ECHAR[nxt])
                     self.pos += 2
                     continue
-                if nxt in "uU":
+                if nxt in ("u", "U"):
                     self.pos += 1
                     out.append(self.read_uchar())
                     continue
@@ -222,6 +222,9 @@ class _Parser:
         optionally ':', '%XX' kept verbatim, and PN_LOCAL_ESC
         backslash escapes."""
         out = []
+        escaped = []  # parallel flags: True = escape-produced, so the
+        # trailing-dot trimmer must not pop it (`ex:a\.` ends in a
+        # LITERAL dot) nor rewind pos by the wrong width
         while self.pos < self.n:
             c = self.text[self.pos]
             if c == "\\":
@@ -229,6 +232,7 @@ class _Parser:
                 if nxt not in _LOCAL_ESC:
                     self.err(f"bad local-name escape \\{nxt}")
                 out.append(nxt)
+                escaped.append(True)
                 self.pos += 2
                 continue
             if c == "%":
@@ -238,6 +242,7 @@ class _Parser:
                 ):
                     self.err("bad %-sequence in local name")
                 out.append(c + hexs)
+                escaped.append(True)
                 self.pos += 3
                 continue
             if (
@@ -245,12 +250,15 @@ class _Parser:
                 or (allow_colon and c == ":")
             ):
                 out.append(c)
+                escaped.append(False)
                 self.pos += 1
                 continue
             break
-        # a run of trailing dots belongs to the statement, not the name
-        while out and out[-1] == ".":
+        # a run of trailing UNESCAPED dots belongs to the statement,
+        # not the name (each is one source char, so pos -= 1 is exact)
+        while out and out[-1] == "." and not escaped[-1]:
             out.pop()
+            escaped.pop()
             self.pos -= 1
         return "".join(out)
 
@@ -343,6 +351,10 @@ class _Parser:
     def parse_term(self, as_subject: bool):
         """-> (kind, value, lang, dt) tuple for a subject/object."""
         c = self.peek()
+        if c == "":
+            # empty string is a substring of every charset literal, so
+            # EOF must short-circuit before the `c in "..."` branches
+            self.err("unexpected end of input (expected term)")
         if c == "<":
             return (KIND_IRI, self.read_iriref(), None, None)
         if c == "(":
@@ -377,10 +389,11 @@ class _Parser:
                     dt = self.expand(w, loc)
                 return (KIND_LITERAL, value, None, dt)
             return (KIND_LITERAL, value, None, None)
+        nxt1 = self.text[self.pos + 1:self.pos + 2]
+        nxt2 = self.text[self.pos + 2:self.pos + 3]
         if c.isdigit() or (
-            c in "+-." and self.text[self.pos + 1:self.pos + 2].isdigit()
-        ) or (
-            c == "." and self.text[self.pos + 1:self.pos + 2].isdigit()
+            c in ("+", "-", ".")
+            and (nxt1.isdigit() or (c != "." and nxt1 == "." and nxt2.isdigit()))
         ):
             if as_subject:
                 self.err("numeric subject")
@@ -571,15 +584,6 @@ class _Parser:
             self.expect(".")
 
 
-def _has_scheme(iri: str) -> bool:
-    for i, c in enumerate(iri):
-        if c == ":":
-            return i > 0
-        if not (c.isalnum() or c in "+.-"):
-            return False
-    return False
-
-
 def parse_turtle(
     text: str, skolem_key: str = ""
 ) -> Tuple[List[FlatTriple], Optional[str]]:
@@ -592,6 +596,10 @@ def parse_turtle(
         return [], str(e)
     except RecursionError:
         return [], "turtle: nesting too deep"
+    except IndexError:
+        # totality backstop: a truncated document must yield an error
+        # row, never crash the Arrow stage
+        return [], "turtle: unexpected end of input"
 
 
 TURTLE_SCHEMA = (
@@ -659,6 +667,8 @@ def parse_trig(
         return [], str(e)
     except RecursionError:
         return [], "trig: nesting too deep"
+    except IndexError:
+        return [], "trig: unexpected end of input"
 
 
 TRIG_SCHEMA = (

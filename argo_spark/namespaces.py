@@ -75,6 +75,22 @@ RDF_NIL = RDF + "nil"
 RDF_LIST = RDF + "List"
 
 
+def has_iri_scheme(s: str) -> bool:
+    """True when ``s`` starts with an RFC 3986 scheme (``alpha
+    (alnum|+|.|-)* ':'``) — i.e. it is an absolute IRI rather than a
+    relative reference or a prefixed-name candidate. Shared by the
+    Turtle and JSON-LD readers."""
+    for i, c in enumerate(s):
+        if c == ":":
+            return i > 0
+        if i == 0:
+            if not c.isalpha():
+                return False
+        elif not (c.isalnum() or c in "+.-"):
+            return False
+    return False
+
+
 def split_prefix(uri: str) -> tuple[str, str]:
     """Split a URI into (base, local) — semantics of argo.go:219-233."""
     idx = uri.rfind("#") + 1

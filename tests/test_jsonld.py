@@ -65,7 +65,12 @@ def test_graph_list_prefixed_and_junk_keys():
     assert err is None
     got = set(triples)
     assert (0, "http://e/a", RDF_TYPE, 0, "http://ex.org/T", None, None) in got
-    assert (1, "b", "http://ex.org/p", 2, "5", None, "http://ex.org/dt") in got
+    # the _:b label is remapped to a document-scoped skolem (JSON-LD
+    # bnode labels don't survive across documents)
+    (brow,) = [t for t in got if t[2] == "http://ex.org/p"]
+    assert brow[0] == KIND_BLANK and brow[3:] == (
+        2, "5", None, "http://ex.org/dt"
+    )
     # no @vocab -> the junk key is skipped silently
     assert not any("unmapped" in t[2] for t in got)
     firsts = [t for t in got if t[2] == RDF_FIRST]
@@ -120,3 +125,44 @@ def test_extract_jsonld_df(spark):
         "http://e/1", "http://s/k", "7", "http://p/1"
     )
     assert r.o_dt == XSD + "integer"
+
+
+def test_junk_embeds_are_errors_not_crashes():
+    """Review regression: structurally-junk embeds (non-string @type
+    entries / @vocab / @base / @id / term defs / @language) must
+    yield per-block error rows, never TypeError out of the Arrow
+    stage. Each case previously raised."""
+    for doc in (
+        '{"@type": [{"x": 1}]}',
+        '{"@context": {"@vocab": 5}, "a": "b"}',
+        '{"@context": {"t": {"@id": 5}}, "t": "x"}',
+        '{"@context": {"@base": 7}, "@id": "x"}',
+        '{"@context": {"@vocab": "http://x/"},'
+        ' "a": {"@value": "v", "@language": 5}}',
+        '{"@id": 5}',
+    ):
+        triples, err = parse_jsonld(doc, "k")
+        assert triples == [] and isinstance(err, str), (doc, err)
+
+
+def test_bnode_labels_scoped_per_block():
+    """Review regression: _:b0 in two separate ld+json blocks names
+    two DIFFERENT nodes (JSON-LD bnode labels are document-scoped);
+    within one document the label stays consistent."""
+    html = (
+        '<script type="application/ld+json">{"@context":'
+        '{"@vocab":"http://s/"},"@id":"_:b0","n":"one"}</script>'
+        '<script type="application/ld+json">{"@context":'
+        '{"@vocab":"http://s/"},"@id":"_:b0","n":"two"}</script>'
+    )
+    triples, errs = extract_jsonld_page(html, "p")
+    assert not errs
+    assert len({t[1] for t in triples}) == 2
+    doc = (
+        '{"@context": {"@vocab": "http://s/", "r": {"@id": "http://s/r",'
+        ' "@type": "@id"}}, "@id": "_:a", "n": "x", "r": "_:a"}'
+    )
+    t2, err = parse_jsonld(doc, "k")
+    assert err is None
+    (n_row, r_row) = sorted(t2, key=lambda t: t[2])
+    assert r_row[1] == r_row[4]  # self-reference stays consistent

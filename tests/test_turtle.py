@@ -216,3 +216,40 @@ def test_trig_roundtrip_writer(spark):
     assert {tuple(r)[:8] for r in q2.drop("key").collect()} == {
         tuple(r) for r in quads.collect()
     }
+
+
+def test_truncated_documents_are_errors_not_crashes():
+    """Review regression: truncated documents must yield error rows
+    (the quarantine contract), never IndexError out of the Arrow
+    stage. Each case previously raised."""
+    from argo_spark.extract.turtle import parse_trig
+
+    for doc in (
+        "<http://s> <http://p> ",
+        "<http://e/\\",
+        '<http://s> <http://p> "abc\\',
+        '<http://s> <http://p> "x" , ',
+        "@prefix ex: <http://e/",
+        "[ <http://p> ",
+    ):
+        triples, err = parse_turtle(doc, "k")
+        assert triples == [] and isinstance(err, str), (doc, err)
+    triples, err = parse_trig("GRAPH <http://g> { <http://s> <http://p> ", "k")
+    assert triples == [] and isinstance(err, str)
+
+
+def test_escaped_dot_local_and_signed_decimals():
+    """Review regressions: PN_LOCAL_ESC'd trailing dot is part of the
+    name (ex:a\\. -> local 'a.'), and signed no-integer-part decimals
+    (+.5 / -.5) are valid Turtle DECIMAL."""
+    triples, err = parse_turtle(
+        "@prefix ex: <http://e/> .\n<http://s> <http://p> ex:a\\. .", "k"
+    )
+    assert err is None
+    assert triples[0][4] == "http://e/a."
+    for lex in ("+.5", "-.5"):
+        triples, err = parse_turtle(
+            f"<http://s> <http://p> {lex} .", "k"
+        )
+        assert err is None, (lex, err)
+        assert triples[0][4:7] == (lex, None, XSD + "decimal")
