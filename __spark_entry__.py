@@ -2353,6 +2353,33 @@ def q_jsonld_extract(spark, sf_dir):
     )
 
 
+def q_warc_parse_roundtrip(spark, sf_dir):
+    """WARC ingestion (round 5c; the north-star input format — Common
+    Crawl ships (url, warc_ts, html) as WARC segments), ORACLED
+    round-trip identity: per-document WARC response records built by
+    sources/warc.py::warc_record_col (exact octet Content-Length,
+    CRLF discipline) re-parse through the distributed parse_warc_col
+    to the generating (url, html) relation."""
+    from argo_spark.sources.warc import parse_warc_col, warc_record_col
+
+    d = _docs(spark, sf_dir)
+    recs = d.select(
+        F.concat(F.lit("mem://"), F.col("doc_id")).alias("path"),
+        F.encode(
+            warc_record_col(
+                F.concat(F.lit(DOC_BASE), F.col("doc_id")),
+                F.lit("2026-01-01 00:00:00").cast("timestamp"),
+                F.col("text"),
+            ),
+            "UTF-8",
+        ).alias("content"),
+    )
+    out = parse_warc_col(recs).where(F.col("error").isNull())
+    return out.select(
+        "url", F.decode(F.col("html"), "UTF-8").alias("html")
+    )
+
+
 def q_sparql_datetime_fns(spark, sf_dir):
     """§2.5 E3 (round 5c): xsd:dateTime accessor builtins —
     YEAR/MONTH/HOURS/SECONDS as native-numeric BINDs (YEAR also in a
@@ -2536,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trig_parse_roundtrip": q_trig_parse_roundtrip,
         "rdfjson_parse_roundtrip": q_rdfjson_parse_roundtrip,
         "jsonld_extract": q_jsonld_extract,
+        "warc_parse_roundtrip": q_warc_parse_roundtrip,
     }
 
 
@@ -3959,6 +3987,10 @@ def oracle_sql() -> dict[str, str]:
                    o_kind::INTEGER AS o_kind, o_value,
                    o_lang::VARCHAR AS o_lang, o_dt::VARCHAR AS o_dt
             FROM doc_triples
+        """,
+        "warc_parse_roundtrip": f"""
+            SELECT '{DOC_BASE}' || doc_id AS url, text AS html
+            FROM documents
         """,
         "jsonld_extract": f"""
             SELECT '{DOC_BASE}' || doc_id AS s_value,

@@ -1,0 +1,223 @@
+"""WARC reader — Common-Crawl segments into the pages table.
+
+The north-star input is "an Iceberg table of Common-Crawl-style web
+pages (url, warc_ts, html)"; the crawl itself ships as WARC files
+(ISO 28500), ~1 GB ``.warc.gz`` segments, millions of them. This
+module parses WARC into exactly that pages shape so the flagship
+extractor runs straight off a crawl dump:
+
+    pages_from_warc(spark, "s3a://.../segments/*.warc.gz")
+        -> DataFrame(url string, warc_ts timestamp, html binary)
+        -> extract_triples_df(...)
+
+Format facts the parser relies on (ISO 28500 / WARC 1.0-1.1):
+
+* a record is ``WARC/1.x CRLF headers CRLF CRLF payload`` followed by
+  ``CRLF CRLF``; the payload size is the ``Content-Length`` header —
+  records are length-delimited, never scanned for terminators (a
+  payload may contain anything, including ``WARC/1.0``);
+* ``.warc.gz`` compresses EACH RECORD as its own gzip member so
+  readers can resync; Python's gzip handles the concatenated-member
+  stream transparently, so decompress-then-parse is exact;
+* response records carry an HTTP response as payload — the html is
+  the body after the first CRLF CRLF (we keep bytes; charset decoding
+  belongs to the extractor, which already decodes utf-8/replace).
+
+Distribution: one WARC FILE per task via ``binaryFile`` (Spark's
+whole-file binary source) + ``mapInPandas`` — Common Crawl's ~1 GB
+segment granularity IS the parallelism unit (the same shape the
+public sparkcc utilities use); no shuffle, no driver involvement.
+A malformed file yields one error row instead of killing the job
+(the CLI quarantine contract); a malformed RECORD ends that file's
+parse at the failure point, keeping every record before it.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from datetime import datetime, timezone
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class WarcError(Exception):
+    pass
+
+
+def _parse_headers(block: bytes) -> dict:
+    """WARC header block -> {lowercased-name: value} (values may be
+    folded per RFC 822 continuation lines)."""
+    headers: dict = {}
+    last = None
+    for line in block.split(b"\r\n"):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + line.strip().decode("utf-8", "replace")
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            raise WarcError(f"bad header line {line[:60]!r}")
+        last = name.strip().decode("ascii", "replace").lower()
+        headers[last] = value.strip().decode("utf-8", "replace")
+    return headers
+
+
+def iter_warc_records(data: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """-> (headers, payload) per record. Length-delimited walk: the
+    version line + header block end at CRLF CRLF, Content-Length
+    bytes of payload follow, then the CRLF CRLF record separator."""
+    pos, n = 0, len(data)
+    while pos < n:
+        # tolerate extra blank separators between records
+        while data[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        if not data.startswith(b"WARC/", pos):
+            raise WarcError(
+                f"expected WARC/ record header at byte {pos}, got "
+                f"{data[pos:pos + 20]!r}"
+            )
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise WarcError("unterminated WARC header block")
+        version_end = data.find(b"\r\n", pos)
+        headers = _parse_headers(data[version_end + 2:hdr_end])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise WarcError("missing/bad Content-Length")
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            raise WarcError("truncated WARC payload")
+        yield headers, data[body_start:body_start + length]
+        pos = body_start + length
+
+
+def _http_body(payload: bytes) -> bytes:
+    """HTTP response payload -> body bytes (after the first CRLF
+    CRLF); a payload without an HTTP header block is returned
+    whole (WARC-Identified-Payload-Type: resource records)."""
+    if payload[:5] in (b"HTTP/",):
+        end = payload.find(b"\r\n\r\n")
+        if end >= 0:
+            return payload[end + 4:]
+    return payload
+
+
+def _parse_date(v: str) -> Optional[datetime]:
+    """WARC-Date is W3C-NOTE-datetime (a UTC ISO 8601 instant)."""
+    try:
+        return datetime.strptime(v, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        )
+    except ValueError:
+        try:
+            return datetime.fromisoformat(v.replace("Z", "+00:00"))
+        except ValueError:
+            return None
+
+
+def parse_warc_pages(
+    data: bytes,
+) -> Tuple[List[Tuple[str, Optional[datetime], bytes]], Optional[str]]:
+    """WARC file bytes (plain or multi-member gzip) -> page rows
+    (url, warc_ts, html) from ``response``/``resource`` records;
+    request/metadata/warcinfo records are skipped. Returns
+    (rows_before_failure, error_or_None)."""
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+        except OSError as e:
+            return [], f"bad gzip: {e}"
+    rows: List[Tuple[str, Optional[datetime], bytes]] = []
+    try:
+        for headers, payload in iter_warc_records(data):
+            if headers.get("warc-type") not in ("response", "resource"):
+                continue
+            url = headers.get("warc-target-uri")
+            if not url:
+                continue
+            # W3C/IIPC tooling sometimes angle-bracket-quotes the URI
+            if url.startswith("<") and url.endswith(">"):
+                url = url[1:-1]
+            ts = _parse_date(headers.get("warc-date", ""))
+            rows.append((url, ts, _http_body(payload)))
+        return rows, None
+    except WarcError as e:
+        return rows, str(e)
+
+
+WARC_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, path string, error string"
+)
+
+
+def pages_from_warc(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read WARC segment files into (pages_df, errors_df); pages has
+    the north-star input columns (url, warc_ts, html binary) plus the
+    source ``path`` for lineage. One file per task (binaryFile
+    whole-file source) — parallelism is segment count, the crawl's
+    natural unit."""
+    raw = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+    parsed = parse_warc_col(raw)
+    pages = parsed.where("error IS NULL").drop("error")
+    errors = parsed.where("error IS NOT NULL").select("path", "error")
+    return pages, errors
+
+
+def parse_warc_col(
+    df: DataFrame, content_col: str = "content", path_col: str = "path"
+) -> DataFrame:
+    """Arrow-batched distributed WARC parse over (path, content
+    binary) rows."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_ts", "html", "path", "error"]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(content)
+                pages, error = parse_warc_pages(data)
+                for url, ts, html in pages:
+                    rows.append((url, ts, html, path, None))
+                if error is not None:
+                    rows.append((None, None, None, path, error))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(path_col, content_col).mapInPandas(
+        fn, schema=WARC_SCHEMA
+    )
+
+
+def warc_record_col(url, warc_ts, html):
+    """Column expression building ONE complete WARC response record
+    (version line, headers with exact octet Content-Length, HTTP
+    response wrapper) as a string — the writer half of the identity
+    oracle and a handy test-fixture generator. CRLF discipline and
+    length-delimiting follow ISO 28500 so the output re-parses with
+    iter_warc_records."""
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html
+    )
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: "),
+        F.date_format(warc_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )

@@ -1,0 +1,127 @@
+"""WARC reader (sources/warc.py): record walking, gzip members,
+error routing, and the crawl-to-triples end-to-end path."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from argo_spark.sources.warc import (
+    iter_warc_records, pages_from_warc, parse_warc_col, parse_warc_pages,
+    warc_record_col,
+)
+
+
+def _rec(url: bytes, ts: bytes, html: bytes) -> bytes:
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    return (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " + url
+        + b"\r\nWARC-Date: " + ts + b"\r\nContent-Length: "
+        + str(len(http)).encode() + b"\r\n\r\n" + http + b"\r\n\r\n"
+    )
+
+
+def test_record_walk_is_length_delimited():
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"Content-Length: 4\r\n\r\nxyzw\r\n\r\n")
+    data = (
+        info
+        + _rec(b"http://a/", b"2026-01-01T00:00:00Z", b"<html>A</html>")
+        + _rec(b"http://b/", b"2026-01-02T03:04:05Z",
+               b"<html>WARC/1.0 inside body</html>")
+    )
+    rows, err = parse_warc_pages(data)
+    assert err is None and len(rows) == 2  # warcinfo skipped
+    assert rows[0][0] == "http://a/"
+    # a payload containing "WARC/1.0" must not desync the walk
+    assert rows[1][2] == b"<html>WARC/1.0 inside body</html>"
+    assert rows[0][1].year == 2026
+
+
+def test_gzip_multi_member():
+    gz = b"".join(
+        gzip.compress(chunk)
+        for chunk in (
+            _rec(b"http://c/", b"2026-01-01T00:00:00Z", b"<p>C</p>"),
+            _rec(b"http://d/", b"2026-01-01T00:00:00Z", b"<p>D</p>"),
+        )
+    )
+    rows, err = parse_warc_pages(gz)
+    assert err is None and [r[0] for r in rows] == ["http://c/", "http://d/"]
+
+
+def test_truncation_keeps_prior_records():
+    good = _rec(b"http://e/", b"2026-01-01T00:00:00Z", b"E")
+    bad = _rec(b"http://f/", b"2026-01-01T00:00:00Z", b"ok")[:-10]
+    rows, err = parse_warc_pages(good + bad)
+    assert len(rows) == 1 and "truncated" in err
+    rows2, err2 = parse_warc_pages(b"not a warc at all")
+    assert rows2 == [] and "expected WARC/" in err2
+
+
+def test_writer_column_roundtrips(spark):
+    """warc_record_col output re-parses to the exact (url, html)
+    relation — the identity contract the entry oracle replays."""
+    df = spark.createDataFrame(
+        [("http://x/1", "<html>é and WARC/1.0</html>"),
+         ("http://x/2", "two\r\n\r\nblank-line body")],
+        "url string, html string",
+    ).select(
+        "url",
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "html",
+    )
+    recs = df.select(
+        F.lit("mem").alias("path"),
+        F.encode(
+            warc_record_col(F.col("url"), F.col("warc_ts"), F.col("html")),
+            "UTF-8",
+        ).alias("content"),
+    )
+    out = parse_warc_col(recs).where("error IS NULL")
+    got = {
+        (r.url, bytes(r.html).decode("utf-8")) for r in out.collect()
+    }
+    want = {(r.url, r.html) for r in df.collect()}
+    assert got == want
+
+
+def test_warc_to_triples_end_to_end(spark, tmp_path):
+    """Crawl segment -> pages_from_warc -> extract_triples_df equals
+    direct extraction over the same synthetic pages (the north-star
+    ingestion path)."""
+    from argo_spark.extract.rdfa import extract_triples_df
+    from argo_spark.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 24).select("url", "warc_ts", "html")
+    rows = pages.collect()
+    seg = b"".join(
+        gzip.compress(
+            _rec(
+                r.url.encode(),
+                r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
+                r.html if isinstance(r.html, (bytes, bytearray))
+                else r.html.encode(),
+            )
+        )
+        for r in rows
+    )
+    p = tmp_path / "seg-00000.warc.gz"
+    p.write_bytes(seg)
+    got_pages, errs = pages_from_warc(spark, str(p))
+    assert errs.count() == 0
+    assert got_pages.count() == 24
+    want = {
+        tuple(r)
+        for r in extract_triples_df(pages).select(
+            "s_value", "p_value", "o_value", "url"
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in extract_triples_df(
+            got_pages.select("url", "warc_ts", "html")
+        ).select("s_value", "p_value", "o_value", "url").collect()
+    }
+    assert got == want
