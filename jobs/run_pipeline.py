@@ -3,8 +3,13 @@
 (north_rule: ``spark-submit --py-files dist/argo_spark.zip``).
 
     spark-submit --py-files dist/argo_spark.zip jobs/run_pipeline.py \
-        <pages_parquet_or_SYNTH:n> <out_dir> [--buckets N] [--no-mentions] \
-        [--nt] [--resume/--no-resume]
+        <pages_parquet | SYNTH:n | WARC:glob> <out_dir> [--buckets N] \
+        [--no-mentions] [--nt] [--resume/--no-resume]
+
+``WARC:<glob>`` ingests Common Crawl segment files (.warc/.warc.gz)
+directly — e.g. ``WARC:s3a://commoncrawl/.../segments/*.warc.gz`` —
+via sources/warc.py; unparseable segments are counted and reported,
+not fatal.
 
 On a cluster, add --master/--num-executors as usual; the pipeline's
 bucket manifest makes re-submission after any failure resume
@@ -38,6 +43,19 @@ def main() -> None:
 
     if args.pages.startswith("SYNTH:"):
         pages = synthesize_pages(spark, int(args.pages.split(":", 1)[1]))
+    elif args.pages.startswith("WARC:"):
+        from argo_spark.sources.warc import pages_from_warc
+
+        pages, warc_errors = pages_from_warc(
+            spark, args.pages.split(":", 1)[1]
+        )
+        n_bad = warc_errors.count()
+        if n_bad:
+            print(
+                f"WARC: {n_bad} unparseable segment(s) quarantined",
+                file=sys.stderr,
+            )
+        pages = pages.select("url", "warc_ts", "html")
     else:
         pages = spark.read.parquet(args.pages)
 
