@@ -545,3 +545,16 @@ def test_rdfjson_round_trip(s, p, o):
     assert triples == [
         (s.kind, s.value, p.value, o.kind, o.value, o.lang or None, o.dt)
     ], doc
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_warc_parser_total(data):
+    """The WARC parser is total on arbitrary bytes: (rows, error) —
+    never an untyped crash out of the Arrow stage."""
+    from argo_spark.sources.warc import parse_warc_pages
+
+    rows, err = parse_warc_pages(data)
+    assert err is None or isinstance(err, str)
+    for url, ts, html in rows:
+        assert isinstance(url, str) and isinstance(html, bytes)
