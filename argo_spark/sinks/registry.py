@@ -78,6 +78,24 @@ def _read_rdfjson(spark, path):
     return read_rdfjson(spark, path)
 
 
+def _read_warc(spark, path):
+    """Crawl segments as an RDF source: WARC -> pages -> RDFa +
+    mention + JSON-LD extraction (the full per-page structured-data
+    surface), making ``rdf seg.warc.gz -o out.nt`` a one-command
+    crawl-to-RDF run. Segment-level parse errors quarantine."""
+    from argo_spark.extract.jsonld import extract_jsonld_df
+    from argo_spark.extract.rdfa import extract_triples_df
+    from argo_spark.schema import TRIPLE_COLS
+    from argo_spark.sources.warc import pages_from_warc
+
+    pages, errors = pages_from_warc(spark, path)
+    pages = pages.select("url", "warc_ts", "html")
+    triples = extract_triples_df(pages).select(*TRIPLE_COLS).unionByName(
+        extract_jsonld_df(pages).select(*TRIPLE_COLS)
+    )
+    return triples, errors
+
+
 def _read_squirtle(spark, path):
     from argo_spark.extract.squirtle import read_squirtle
 
@@ -146,6 +164,13 @@ def _load():
         "squirtle": Format(
             "squirtle", "Squirtle", "text/x-squirtle", ".squirtle",
             reader=_read_squirtle, writer=_write_squirtle,
+        ),
+        "warc": Format(
+            # crawl ingestion (read-only by nature, like rdfa): WARC
+            # segments -> page extraction -> triples
+            "warc", "WARC", "application/warc", ".warc",
+            other_exts=[".warc.gz"],
+            reader=_read_warc,
         ),
         "loop": Format(
             # the reference ships loopc as a separate binary whose NT

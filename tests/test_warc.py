@@ -125,3 +125,29 @@ def test_warc_to_triples_end_to_end(spark, tmp_path):
         ).select("s_value", "p_value", "o_value", "url").collect()
     }
     assert got == want
+
+
+def test_warc_registry_cli_source(spark, tmp_path):
+    """The rdf CLI accepts .warc.gz sources directly: registry
+    dispatch -> pages -> RDFa+JSON-LD extraction -> triples."""
+    from argo_spark.pages import synthesize_pages
+    from argo_spark.sinks.registry import FORMATS, format_from_filename
+
+    fmt = format_from_filename("seg-00000.warc.gz")
+    assert fmt is not None and fmt.id == "warc" and fmt.reader is not None
+    rows = synthesize_pages(spark, 8).select("url", "warc_ts", "html").collect()
+    seg = b"".join(
+        gzip.compress(_rec(
+            r.url.encode(),
+            r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
+            r.html if isinstance(r.html, (bytes, bytearray))
+            else r.html.encode(),
+        ))
+        for r in rows
+    )
+    p = tmp_path / "seg.warc.gz"
+    p.write_bytes(seg)
+    triples, errors = FORMATS["warc"].reader(spark, str(p))
+    assert errors.count() == 0
+    assert triples.count() > 0
+    assert triples.where("p_value = 'http://schema.org/mentions'").count() > 0
