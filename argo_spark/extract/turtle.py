@@ -298,14 +298,17 @@ class _Parser:
                 # a dot NOT followed by a digit/exponent terminates
                 # the statement instead
                 nxt = self.text[self.pos + 1:self.pos + 2]
-                if not (nxt.isdigit() or (nxt in "eE" and seen_exp is False)):
+                if not (
+                    nxt.isdigit()
+                    or (nxt in ("e", "E") and seen_exp is False)
+                ):
                     break
                 seen_dot = True
                 self.pos += 1
             elif c in "eE" and not seen_exp:
                 seen_exp = True
                 self.pos += 1
-                if self.text[self.pos:self.pos + 1] in "+-":
+                if self.text[self.pos:self.pos + 1] in ("+", "-"):
                     self.pos += 1
             else:
                 break

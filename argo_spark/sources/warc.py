@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from datetime import datetime, timezone
 from typing import Iterable, Iterator, List, Optional, Tuple
 
@@ -93,6 +94,10 @@ def iter_warc_records(data: bytes) -> Iterator[Tuple[dict, bytes]]:
             length = int(headers["content-length"])
         except (KeyError, ValueError):
             raise WarcError("missing/bad Content-Length")
+        if length < 0:
+            # a negative length would walk the cursor BACKWARDS and
+            # loop forever on the same record
+            raise WarcError(f"negative Content-Length {length}")
         body_start = hdr_end + 4
         if body_start + length > n:
             raise WarcError("truncated WARC payload")
@@ -100,15 +105,70 @@ def iter_warc_records(data: bytes) -> Iterator[Tuple[dict, bytes]]:
         pos = body_start + length
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer coding (hex-size line, chunk,
+    CRLF, ... , 0-size terminator). Raises WarcError on malformed
+    framing so the record routes to the error row instead of
+    emitting chunk-size lines interleaved with the html."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise WarcError("bad chunked body: missing size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise WarcError(f"bad chunk size {size_tok[:20]!r}")
+        if size == 0:
+            return b"".join(out)
+        start = eol + 2
+        chunk = body[start:start + size]
+        if len(chunk) != size:
+            raise WarcError("truncated chunk")
+        out.append(chunk)
+        pos = start + size + 2  # skip the chunk's trailing CRLF
+
+
 def _http_body(payload: bytes) -> bytes:
-    """HTTP response payload -> body bytes (after the first CRLF
-    CRLF); a payload without an HTTP header block is returned
-    whole (WARC-Identified-Payload-Type: resource records)."""
-    if payload[:5] in (b"HTTP/",):
-        end = payload.find(b"\r\n\r\n")
-        if end >= 0:
-            return payload[end + 4:]
-    return payload
+    """HTTP response payload -> body bytes. Raw-capture WARCs (wget
+    --warc-file, warcprox, ...) store the response AS SENT, so the
+    stored header block is consulted: chunked transfer coding is
+    decoded and a gzip/deflate Content-Encoding is decompressed —
+    otherwise downstream extraction would scan chunk-size framing or
+    compressed bytes as if they were html. A payload without an HTTP
+    header block is returned whole (resource records)."""
+    if payload[:5] != b"HTTP/":
+        return payload
+    end = payload.find(b"\r\n\r\n")
+    if end < 0:
+        return payload
+    head = payload[:end].decode("latin-1").lower()
+    body = payload[end + 4:]
+    if "chunked" in _http_header(head, "transfer-encoding"):
+        body = _dechunk(body)
+    enc = _http_header(head, "content-encoding")
+    if "gzip" in enc or "deflate" in enc:
+        try:
+            body = (
+                gzip.decompress(body)
+                if body[:2] == b"\x1f\x8b"
+                else zlib.decompress(body, -zlib.MAX_WBITS)
+            )
+        except (OSError, EOFError, zlib.error) as e:
+            raise WarcError(f"bad Content-Encoding body: {e}")
+    return body
+
+
+def _http_header(head_lower: str, name: str) -> str:
+    """Value of ``name`` in a lowercased HTTP header block, '' when
+    absent."""
+    for line in head_lower.split("\r\n")[1:]:
+        k, sep, v = line.partition(":")
+        if sep and k.strip() == name:
+            return v.strip()
+    return ""
 
 
 def _parse_date(v: str) -> Optional[datetime]:
@@ -134,7 +194,10 @@ def parse_warc_pages(
     if data[:2] == b"\x1f\x8b":
         try:
             data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
-        except OSError as e:
+        except (OSError, EOFError, zlib.error) as e:
+            # EOFError = truncated member (a partially-downloaded
+            # segment, the common real-world corruption); zlib.error =
+            # bit rot inside a member
             return [], f"bad gzip: {e}"
     rows: List[Tuple[str, Optional[datetime], bytes]] = []
     try:
@@ -160,17 +223,30 @@ WARC_SCHEMA = (
 
 
 def pages_from_warc(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, persist: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """Read WARC segment files into (pages_df, errors_df); pages has
     the north-star input columns (url, warc_ts, html binary) plus the
     source ``path`` for lineage. One file per task (binaryFile
     whole-file source) — parallelism is segment count, the crawl's
-    natural unit."""
+    natural unit.
+
+    ``persist`` (default on) caches the PARSED frame
+    (MEMORY_AND_DISK): pages and errors are two filters over one
+    decompress-and-parse, and every real consumer touches both (the
+    CLI counts the quarantine, the pipeline reads the pages) — often
+    through multiple extractors. Without the persist each consumer
+    re-decompresses every ~1 GB segment; spilling parsed pages to
+    local disk is strictly cheaper. Pass False for single-shot
+    streaming-style consumption."""
     raw = spark.read.format("binaryFile").load(path).select(
         "path", "content"
     )
     parsed = parse_warc_col(raw)
+    if persist:
+        from pyspark import StorageLevel
+
+        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
     pages = parsed.where("error IS NULL").drop("error")
     errors = parsed.where("error IS NOT NULL").select("path", "error")
     return pages, errors

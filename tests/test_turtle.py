@@ -253,3 +253,12 @@ def test_escaped_dot_local_and_signed_decimals():
         )
         assert err is None, (lex, err)
         assert triples[0][4:7] == (lex, None, XSD + "decimal")
+
+
+def test_numeric_statement_dot_at_eof():
+    """Review regression: '1.' at end-of-document swallowed the
+    statement dot into the numeric lexical (empty-slice membership in
+    "eE" is always True)."""
+    triples, err = parse_turtle("<http://s> <http://p> 1.", "k")
+    assert err is None
+    assert triples[0][4:7] == ("1", None, XSD + "integer")

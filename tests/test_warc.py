@@ -151,3 +151,44 @@ def test_warc_registry_cli_source(spark, tmp_path):
     assert errors.count() == 0
     assert triples.count() > 0
     assert triples.where("p_value = 'http://schema.org/mentions'").count() > 0
+
+
+def test_hostile_records_quarantine_not_hang():
+    """Review regressions: a negative Content-Length walked the record
+    cursor BACKWARDS (infinite executor hang); a truncated .warc.gz
+    raised EOFError through the except clause. Both must be error
+    rows."""
+    rows, err = parse_warc_pages(b"WARC/1.0\r\nContent-Length: -33\r\n\r\n")
+    assert rows == [] and "negative" in err
+    rows, err = parse_warc_pages(
+        gzip.compress(_rec(b"http://x/", b"2026-01-01T00:00:00Z", b"x"))[:-5]
+    )
+    assert rows == [] and "bad gzip" in err
+
+
+def test_http_transfer_and_content_encodings():
+    """Review regression: raw-capture WARCs store the response AS
+    SENT — chunked framing must be decoded and gzip Content-Encoding
+    decompressed, or the extractor scans framing/compressed bytes as
+    html; malformed chunking routes to the error row."""
+    html = b"<html>chunked body</html>"
+    chunked = b"%x\r\n%s\r\n0\r\n\r\n" % (len(html), html)
+    http = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + chunked
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://c/"
+           b"\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "
+           + str(len(http)).encode() + b"\r\n\r\n" + http + b"\r\n\r\n")
+    rows, err = parse_warc_pages(rec)
+    assert err is None and rows[0][2] == html
+    gz_body = gzip.compress(b"<html>gz body</html>")
+    http = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz_body
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://g/"
+           b"\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "
+           + str(len(http)).encode() + b"\r\n\r\n" + http + b"\r\n\r\n")
+    rows, err = parse_warc_pages(rec)
+    assert err is None and rows[0][2] == b"<html>gz body</html>"
+    bad = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nx"
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://z/"
+           b"\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "
+           + str(len(bad)).encode() + b"\r\n\r\n" + bad + b"\r\n\r\n")
+    rows, err = parse_warc_pages(rec)
+    assert rows == [] and "chunk" in err
