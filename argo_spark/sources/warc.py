@@ -202,7 +202,12 @@ def parse_warc_pages(
     rows: List[Tuple[str, Optional[datetime], bytes]] = []
     try:
         for headers, payload in iter_warc_records(data):
-            if headers.get("warc-type") not in ("response", "resource"):
+            # "conversion" = Common Crawl's WET extracted-text records
+            # (payload is plain text, no HTTP envelope — _http_body
+            # passes it through untouched)
+            if headers.get("warc-type") not in (
+                "response", "resource", "conversion"
+            ):
                 continue
             url = headers.get("warc-target-uri")
             if not url:
@@ -297,3 +302,21 @@ def warc_record_col(url, warc_ts, html):
         http,
         F.lit("\r\n\r\n"),
     )
+
+
+def docs_from_wet(
+    spark: SparkSession, path: str, persist: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Read WET files (Common Crawl's extracted-text sidecars —
+    WARC ``conversion`` records with plain-text payloads) into a
+    documents frame (url string, warc_ts timestamp, text string) +
+    an errors frame. This is the usual STARTING POINT of an LLM-data
+    pipeline: the output plugs straight into ops/textstats,
+    ops/dedup, ops/corpus with ``text_col="text"``."""
+    pages, errors = pages_from_warc(spark, path, persist=persist)
+    docs = pages.select(
+        "url", "warc_ts",
+        F.decode(F.col("html"), "UTF-8").alias("text"),
+        "path",
+    )
+    return docs, errors

@@ -192,3 +192,37 @@ def test_http_transfer_and_content_encodings():
            + str(len(bad)).encode() + b"\r\n\r\n" + bad + b"\r\n\r\n")
     rows, err = parse_warc_pages(rec)
     assert rows == [] and "chunk" in err
+
+
+def test_wet_conversion_records(spark, tmp_path):
+    """WET support: 'conversion' records (plain-text payload, no HTTP
+    envelope) flow through docs_from_wet into the documents shape an
+    LLM-data pipeline starts from."""
+    from argo_spark.sources.warc import docs_from_wet
+
+    def wet_rec(url: bytes, text: bytes) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: " + url
+            + b"\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "
+            + str(len(text)).encode() + b"\r\n\r\n" + text + b"\r\n\r\n"
+        )
+
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"Content-Length: 2\r\n\r\nxy\r\n\r\n")
+    seg = gzip.compress(
+        info
+        + wet_rec(b"http://a/", "héllo extracted text".encode())
+        + wet_rec(b"http://b/", b"second doc")
+    )
+    p = tmp_path / "seg.warc.wet.gz"
+    p.write_bytes(seg)
+    docs, errs = docs_from_wet(spark, str(p))
+    assert errs.count() == 0
+    got = {(r.url, r.text) for r in docs.collect()}
+    assert got == {("http://a/", "héllo extracted text"),
+                   ("http://b/", "second doc")}
+    # the documents shape feeds the text ops directly
+    from argo_spark.ops.textstats import document_stats
+
+    stats = document_stats(docs.withColumnRenamed("url", "doc_id"))
+    assert stats.count() == 2
