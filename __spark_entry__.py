@@ -2380,6 +2380,36 @@ def q_warc_parse_roundtrip(spark, sf_dir):
     )
 
 
+def q_cdxj_index(spark, sf_dir):
+    """Crawl-index parse (round 5c): deterministic CDXJ lines
+    synthesized from documents (SURT urlkey, yyyyMMddHHmmss
+    timestamp, JSON metadata) -> sources/warc.py::parse_cdxj_lines
+    (pure codegen split + from_json + try_cast, map-only plan) with a
+    status/mime index-sweep filter; DuckDB replays the field
+    derivation relationally."""
+    from argo_spark.sources.warc import parse_cdxj_lines
+
+    d = _docs(spark, sf_dir)
+    line = F.format_string(
+        'example,corpus)/doc/%s 2026010100%02d%02d {"url": "%s", '
+        '"status": "%s", "mime": "text/html", '
+        '"filename": "seg-%05d.warc.gz", "offset": "%s", "length": "%s"}',
+        F.col("doc_id").cast("string"),
+        (F.col("doc_id") % 60).cast("int"),
+        ((F.col("doc_id") * 7) % 60).cast("int"),
+        F.concat(F.lit(DOC_BASE), F.col("doc_id")),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("404")).otherwise(F.lit("200")),
+        (F.col("doc_id") % 100).cast("int"),
+        (F.col("doc_id") * 1000).cast("string"),
+        F.col("n_chars").cast("string"),
+    )
+    idx = parse_cdxj_lines(d.select(line.alias("value")))
+    return idx.where("status = 200").select(
+        "urlkey", "url", "status", "filename", "offset", "length",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
 def q_sparql_datetime_fns(spark, sf_dir):
     """§2.5 E3 (round 5c): xsd:dateTime accessor builtins —
     YEAR/MONTH/HOURS/SECONDS as native-numeric BINDs (YEAR also in a
@@ -2564,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfjson_parse_roundtrip": q_rdfjson_parse_roundtrip,
         "jsonld_extract": q_jsonld_extract,
         "warc_parse_roundtrip": q_warc_parse_roundtrip,
+        "cdxj_index": q_cdxj_index,
     }
 
 
@@ -3991,6 +4022,20 @@ def oracle_sql() -> dict[str, str]:
         "warc_parse_roundtrip": f"""
             SELECT '{DOC_BASE}' || doc_id AS url, text AS html
             FROM documents
+        """,
+        "cdxj_index": f"""
+            SELECT 'example,corpus)/doc/' || doc_id AS urlkey,
+                   '{DOC_BASE}' || doc_id AS url,
+                   200 AS status,
+                   printf('seg-%05d.warc.gz', (doc_id % 100)::INT)
+                       AS filename,
+                   (doc_id * 1000)::BIGINT AS "offset",
+                   n_chars::BIGINT AS length,
+                   printf('2026-01-01 00:%02d:%02d',
+                          (doc_id % 60)::INT,
+                          ((doc_id * 7) % 60)::INT) AS ts_str
+            FROM documents
+            WHERE doc_id % 10 != 0
         """,
         "jsonld_extract": f"""
             SELECT '{DOC_BASE}' || doc_id AS s_value,

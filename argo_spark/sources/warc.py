@@ -320,3 +320,58 @@ def docs_from_wet(
         "path",
     )
     return docs, errors
+
+
+# ---------------------------------------------------------------------------
+# CDXJ index (the crawl's per-URL catalog) — filter BEFORE fetching
+# segments. A CC-style cdxj line is:
+#     <urlkey (SURT)> <timestamp yyyyMMddHHmmss> <JSON metadata>
+# where the JSON carries url/status/mime/filename/offset/length. At
+# 100 TB the index is how a job avoids reading 99% of the corpus:
+# select the (filename, offset, length) ranges first, fetch only
+# those segments.
+# ---------------------------------------------------------------------------
+
+CDX_JSON_SCHEMA = (
+    "url string, status string, mime string, digest string, "
+    "filename string, offset string, length string, languages string"
+)
+
+
+def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
+    """CDXJ index files -> typed index frame (see parse_cdxj_lines).
+    A `WHERE mime = 'text/html' AND status = 200` index sweep is a
+    map-only job at any corpus size (plan-asserted in
+    tests/test_warc.py)."""
+    return parse_cdxj_lines(spark.read.text(path))
+
+
+def parse_cdxj_lines(lines: DataFrame) -> DataFrame:
+    """CDXJ lines (column ``value``) -> DataFrame(urlkey, ts
+    timestamp, url, status int, mime, digest, filename, offset long,
+    length long, languages). Pure codegen (split + from_json +
+    try_cast — no Python in the plan): predicate pushdown and column
+    pruning reach the scan. Malformed JSON cells become NULL metadata
+    columns (try-parse), never errors — index rows are advisory, the
+    WARC reader re-validates."""
+    urlkey = F.substring_index(F.col("value"), " ", 1)
+    rest = F.expr("substring(value, length(substring_index(value, ' ', 1)) + 2)")
+    ts_raw = F.substring_index(rest, " ", 1)
+    meta_raw = F.expr(
+        "substring(substring(value, length(substring_index(value, ' ', 1)) + 2),"
+        " length(substring_index(substring(value,"
+        " length(substring_index(value, ' ', 1)) + 2), ' ', 1)) + 2)"
+    )
+    meta = F.from_json(meta_raw, CDX_JSON_SCHEMA)
+    return lines.select(
+        urlkey.alias("urlkey"),
+        F.to_timestamp(ts_raw, "yyyyMMddHHmmss").alias("ts"),
+        meta["url"].alias("url"),
+        meta["status"].try_cast("int").alias("status"),
+        meta["mime"].alias("mime"),
+        meta["digest"].alias("digest"),
+        meta["filename"].alias("filename"),
+        meta["offset"].try_cast("long").alias("offset"),
+        meta["length"].try_cast("long").alias("length"),
+        meta["languages"].alias("languages"),
+    )

@@ -226,3 +226,33 @@ def test_wet_conversion_records(spark, tmp_path):
 
     stats = document_stats(docs.withColumnRenamed("url", "doc_id"))
     assert stats.count() == 2
+
+
+def test_read_cdxj(spark, tmp_path):
+    """CDXJ index parse: SURT key + timestamp + JSON metadata ->
+    typed columns; malformed JSON yields NULL metadata, not errors;
+    the mime/status filter plan is map-only (no exchange)."""
+    from argo_spark.sources.warc import read_cdxj
+
+    lines = "\n".join([
+        'org,example)/page/1 20260101000000 {"url": "http://example.org/page/1",'
+        ' "status": "200", "mime": "text/html", "digest": "AAAA",'
+        ' "filename": "seg-00000.warc.gz", "offset": "845", "length": "292"}',
+        'org,example)/page/2 20260102030405 {"url": "http://example.org/page/2",'
+        ' "status": "404", "mime": "text/html", "filename": "seg-00001.warc.gz",'
+        ' "offset": "0", "length": "100"}',
+        "org,example)/broken 20260101000000 {not json",
+    ])
+    p = tmp_path / "cdx-00000.cdxj"
+    p.write_text(lines)
+    df = read_cdxj(spark, str(p))
+    rows = {r.urlkey: r for r in df.collect()}
+    assert rows["org,example)/page/1"].status == 200
+    assert rows["org,example)/page/1"].offset == 845
+    assert rows["org,example)/page/1"].ts.year == 2026
+    assert rows["org,example)/page/2"].status == 404
+    assert rows["org,example)/broken"].url is None  # advisory, not fatal
+    ok = df.where("mime = 'text/html' AND status = 200")
+    assert ok.count() == 1
+    # index sweeps must stay map-only: no exchange in the plan
+    assert "Exchange" not in ok._jdf.queryExecution().executedPlan().toString()
