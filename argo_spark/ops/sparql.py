@@ -2264,17 +2264,18 @@ def _closure_frame(
     dst_nt = term_nt_col(
         F.col("o_kind"), F.col("o_value"), F.col("o_lang"), F.col("o_dt")
     )
+    # edge dedup happens in _closure_pairs_frame ('?') or inside
+    # transitive_closure's initial state ('+'/'*') — deduping here too
+    # would pay the exchange twice
     scoped = triples.where(F.col("p_value") == iri_)
     if graph_var is None:
-        edges = scoped.select(
-            src_nt.alias("src"), dst_nt.alias("dst")
-        ).dropDuplicates()
+        edges = scoped.select(src_nt.alias("src"), dst_nt.alias("dst"))
     else:
         g_nt = F.concat(F.lit("<"), F.col("g_value"), F.lit(">"))
         edges = scoped.select(
             F.struct(g_nt.alias("g"), src_nt.alias("n")).alias("src"),
             F.struct(g_nt.alias("g"), dst_nt.alias("n")).alias("dst"),
-        ).dropDuplicates()
+        )
     if inv:
         edges = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
@@ -2306,10 +2307,12 @@ def _closure_group_frame(triples, s, group, srcv, dstv, op, o,
     inner = _eval_group_impl(
         triples, group, False, False, graph_var=graph_var
     )[0]
+    # dedup deferred to _closure_pairs_frame / transitive_closure —
+    # see _closure_frame
     if graph_var is None:
         edges = inner.select(
             F.col(srcv[1:]).alias("src"), F.col(dstv[1:]).alias("dst")
-        ).dropDuplicates()
+        )
     else:
         g = F.col(graph_var)
         edges = inner.select(
@@ -2317,7 +2320,7 @@ def _closure_group_frame(triples, s, group, srcv, dstv, op, o,
             .alias("src"),
             F.struct(g.alias("g"), F.col(dstv[1:]).alias("n"))
             .alias("dst"),
-        ).dropDuplicates()
+        )
     return _closure_pairs_frame(triples, s, o, edges, op, graph_var)
 
 
@@ -2352,9 +2355,10 @@ def _closure_pairs_frame(
         return "<" + t + ">"
 
     # '?' (ZeroOrOnePath) is the one-hop edge set + zero-length pairs
-    # — no iteration; '+'/'*' run the doubling closure
+    # — no iteration; '+'/'*' run the doubling closure (which dedups
+    # its initial state, so raw edges go in undeduped)
     pairs = (
-        edges
+        edges.dropDuplicates()
         if op == "?"
         else transitive_closure(edges, max_rounds=_CLOSURE_MAX_ROUNDS)
     )
