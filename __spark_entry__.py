@@ -71,13 +71,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # shared projections
 # ---------------------------------------------------------------------------
 
+# plan-construction memo (NOT result caching: these hold lazy
+# DataFrames — immutable logical plans; every action still reads the
+# parquet inputs). Schema inference plus the projection build cost
+# ~0.2s of py4j round-trips per query construction, paid dozens of
+# times per bench/correctness run for the same two frames.
+_PLAN_CACHE: dict = {}
+
+
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = ("docs", spark, sf_dir)
+    df = _PLAN_CACHE.get(key)
+    if df is None:
+        df = _PLAN_CACHE[key] = spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        )
+    return df
 
 
 def _doc_triples(spark, sf_dir) -> DataFrame:
     """Deterministic triples view of the documents table: one
     inLanguage literal triple and one hasDoc link triple per doc."""
+    key = ("doc_triples", spark, sf_dir)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = _docs(spark, sf_dir)
     subj = F.concat(F.lit(DOC_BASE), F.col("doc_id")).alias("s_value")
     a = d.select(
@@ -100,7 +118,8 @@ def _doc_triples(spark, sf_dir) -> DataFrame:
         F.lit(None).cast("string").alias("o_dt"),
         "doc_id",
     )
-    return a.unionByName(b)
+    out = _PLAN_CACHE[key] = a.unionByName(b)
+    return out
 
 
 _DOC_TRIPLES_CTE = f"""

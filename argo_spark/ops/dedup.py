@@ -429,20 +429,22 @@ def minhash_dedup_pairs(
         ex = ex.withColumn("_df", F.count(F.lit(1)).over(wdf)).where(
             F.col("_df") <= max_shingle_df
         ).drop("_df")
-    # EAGER materialization: the downstream plan references ex (and
-    # sigs) from MULTIPLE exchange stages that can run CONCURRENTLY
-    # within one job (self-join sides, candidate-set join), and
-    # concurrent stages may each recompute a lazily-persisted subtree
-    # before the cache fills. One cached pass is cheap insurance
-    # against computing the shingle set twice in parallel — the
-    # document-scale path keeps it (the tiny char/entity path drops it:
-    # there, per-job scheduling overhead dominates — see scaling notes
-    # in BENCH/BASELINE.md).
-    ex = ex.persist()
-    ex.count()
+    # The shingle-hash SET rides the SAME aggregation as the n_hashes
+    # signature mins: the agg input is already id-partitioned (the
+    # shingler's window shuffle — PLANS §6), so collect_set adds no
+    # exchange and no extra pass, and the verify step joins the
+    # per-doc sets directly instead of semi-joining the exploded rows
+    # and re-aggregating them (round 6: removes one eager
+    # materialization job, the semi-join and the second collect_set —
+    # measured 3.9s -> 2.8s for the pairs-mode sf0.1 bench).  `ex`
+    # now has a single consumer, so it needs no persist; `sigs` feeds
+    # the band keys and both verify sides, and concurrent stages of
+    # one job may each recompute a lazily-persisted subtree, so it
+    # keeps the eager persist+count.
     a, b = _minhash_coeffs(n_hashes)
     hashed = ex.select(
-        F.col(id_col), F.pmod(F.col("_gh"), F.lit(_MERSENNE)).alias("_h")
+        F.col(id_col), F.col("_gh"),
+        F.pmod(F.col("_gh"), F.lit(_MERSENNE)).alias("_h"),
     )
     aggs = [
         F.min(
@@ -452,30 +454,17 @@ def minhash_dedup_pairs(
     ]
     sigs = (
         hashed.groupBy(id_col)
-        .agg(*aggs)
+        .agg(*aggs, F.collect_set("_gh").alias("shingles"))
         .select(
             F.col(id_col),
             F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig"),
+            "shingles",
         )
         .persist()
     )
     sigs.count()
-    pairs = candidates(sigs).persist()
-    # shingle-hash ARRAYS only for ids that appear in candidate pairs.
-    # pairs mode: the candidate set is small — force broadcast. star
-    # mode: cluster membership is unbounded — plain semi-join and let
-    # AQE pick broadcast when it fits.
-    cand_ids = pairs.select(F.col("a").alias(id_col)).union(
-        pairs.select("b")
-    ).distinct()
-    if pair_mode != "star":
-        cand_ids = F.broadcast(cand_ids)
-    cand_sets = (
-        ex.join(cand_ids, id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_set("_gh").alias("shingles"))
-    )
-    return jaccard_verify(pairs, cand_sets, id_col, threshold=threshold)
+    pairs = candidates(sigs)
+    return jaccard_verify(pairs, sigs, id_col, threshold=threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -2258,12 +2258,10 @@ def _closure_frame(
     unpacks into the ?g binding column afterwards."""
     from pyspark.sql import functions as F
 
-    from argo_spark.terms import term_nt_col
+    from argo_spark.ops.bgp import _nt_for_position
 
-    src_nt = term_nt_col(F.col("s_kind"), F.col("s_value"))
-    dst_nt = term_nt_col(
-        F.col("o_kind"), F.col("o_value"), F.col("o_lang"), F.col("o_dt")
-    )
+    src_nt = _nt_for_position("s")
+    dst_nt = _nt_for_position("o")
     # edge dedup happens in _closure_pairs_frame ('?') or inside
     # transitive_closure's initial state ('+'/'*') — deduping here too
     # would pay the exchange twice
@@ -2335,8 +2333,9 @@ def _closure_pairs_frame(
     graph IRI unpacks into the ?g binding column)."""
     from pyspark.sql import functions as F
 
+    from argo_spark.ops.bgp import _nt_for_position
     from argo_spark.ops.traversal import transitive_closure
-    from argo_spark.terms import format_term, term_nt_col
+    from argo_spark.terms import format_term
 
     s_var = isinstance(s, str) and s.startswith("?")
     o_var = isinstance(o, str) and o.startswith("?")
@@ -2344,10 +2343,8 @@ def _closure_pairs_frame(
         raise SparqlSyntaxError(
             "path closure with two constant endpoints is not supported"
         )
-    src_nt = term_nt_col(F.col("s_kind"), F.col("s_value"))
-    dst_nt = term_nt_col(
-        F.col("o_kind"), F.col("o_value"), F.col("o_lang"), F.col("o_dt")
-    )
+    src_nt = _nt_for_position("s")
+    dst_nt = _nt_for_position("o")
 
     def const_nt(t):
         if isinstance(t, Term):
