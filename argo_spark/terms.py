@@ -167,6 +167,9 @@ def term_nt_col(
     )
 
 
+_DEFAULT_TRIPLE_NT: Optional[Column] = None
+
+
 def triple_nt_col(
     s_kind: Union[Column, str] = "s_kind",
     s_value: Union[Column, str] = "s_value",
@@ -180,10 +183,22 @@ def triple_nt_col(
 
     This expression is the dedup/equality key of the whole pipeline
     (the canonical string key the reference's stores index on,
-    indexstore.go:40-47) and the N-Triples sink body (K1).
-    """
+    indexstore.go:40-47) and the N-Triples sink body (K1). The
+    all-defaults form (every serializer and squish call) is memoized:
+    building it costs ~60 py4j round-trips, and Column objects are
+    immutable expression trees safe to reuse across plans."""
+    args = (s_kind, s_value, p_value, o_kind, o_value, o_lang, o_dt)
+    is_default = args == (
+        "s_kind", "s_value", "p_value", "o_kind", "o_value", "o_lang", "o_dt"
+    )
+    global _DEFAULT_TRIPLE_NT
+    if is_default and _DEFAULT_TRIPLE_NT is not None:
+        return _DEFAULT_TRIPLE_NT
     col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
     s = term_nt_col(col(s_kind), col(s_value))
     p = F.concat(F.lit("<"), col(p_value), F.lit(">"))  # predicates always IRIs
     o = term_nt_col(col(o_kind), col(o_value), col(o_lang), col(o_dt))
-    return F.concat(s, F.lit(" "), p, F.lit(" "), o, F.lit(" ."))
+    out = F.concat(s, F.lit(" "), p, F.lit(" "), o, F.lit(" ."))
+    if is_default:
+        _DEFAULT_TRIPLE_NT = out
+    return out
