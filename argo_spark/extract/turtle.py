@@ -121,7 +121,10 @@ class _Parser:
         if self.text[self.pos:end].lower() != word:
             return False
         nxt = self.text[end:end + 1]
-        return not (nxt.isalnum() or nxt in "_:-")
+        # tuple membership: at EOF nxt == '' and '' in "_:-" is True
+        # (the empty-slice pitfall), which would reject a keyword at
+        # exact end-of-input
+        return not (nxt.isalnum() or nxt in ("_", ":", "-"))
 
     # ---- terminals ----------------------------------------------------
 

@@ -1597,10 +1597,14 @@ def _operand_info(node, columns, numeric_cols=frozenset()):
     if kind == "strfn1":
         alex = _operand_info(node[2], columns, numeric_cols)[1]
         if payload == "TZ":
-            # simple literal; regexp_extract's "" covers both a valid
-            # dateTime without a timezone (the spec's empty string)
-            # and a non-dateTime operand
-            lex = F.regexp_extract(alex, _DT_TZ_RE, 1)
+            # gate on a full dateTime-lexical match first: a valid
+            # dateTime without a timezone yields the spec's "" but a
+            # non-dateTime operand is a TYPE ERROR (NULL) per
+            # §17.4.5.9 — otherwise FILTER(TZ(?x) = "") would wrongly
+            # match non-dateTime bindings (round-6 ADVICE fix)
+            lex = F.when(
+                alex.rlike(_DT_TZ_RE), F.regexp_extract(alex, _DT_TZ_RE, 1)
+            )
         elif payload == "ENCODE_FOR_URI":
             # url_encode is java.net.URLEncoder: fix its three
             # divergences from RFC 3986 percent-encoding (space->'+',
@@ -2614,10 +2618,16 @@ def _compat_join_frames(acc, frame, shared, left_nulls, right_nulls,
             _TERM_STRUCT_PREFIX + b, "__jks_" + b
         )
     left_legs = _mask_project(left_masks, leftN)
+    # lazy localCheckpoint, NOT persist: same recompute protection for
+    # multi-leg consumers, but the cached blocks are released by the
+    # ContextCleaner when the query's frames are garbage-collected —
+    # persist() entries live in the session CacheManager until an
+    # explicit unpersist, so chained updates accumulated cached legs
+    # indefinitely (round-6 ADVICE fix)
     if len(left_legs) > 1:
-        acc = acc.persist()
+        acc = acc.localCheckpoint(eager=False)
     if len(left_legs) > 1 or rightN & shared_set:
-        ren = ren.persist()
+        ren = ren.localCheckpoint(eager=False)
     pieces = []
     for A in left_legs:
         legl = _boundness_leg(acc, A, set(leftN) - A)
@@ -2684,10 +2694,11 @@ def _compat_minus_frames(acc, sub, shared, left_nulls, right_nulls,
     for c in shared:
         ren = ren.withColumnRenamed(c, "__mk_" + c)
     left_legs = _mask_project(left_masks, leftN)
+    # lazy localCheckpoint instead of persist — see _compat_join_frames
     if len(left_legs) > 1:
-        acc = acc.persist()
+        acc = acc.localCheckpoint(eager=False)
     if len(left_legs) > 1 or rightN:
-        ren = ren.persist()
+        ren = ren.localCheckpoint(eager=False)
     pieces = []
     from functools import reduce
 
@@ -2735,7 +2746,12 @@ def _compat_leftjoin_frames(acc, sub, shared, left_nulls, right_nulls,
     from pyspark.sql import functions as F
 
     rid = "__lj_rid"
-    acc = acc.withColumn(rid, F.monotonically_increasing_id()).persist()
+    # lazy localCheckpoint: the row ids must be STABLE across the two
+    # consumers (the anti-join keys on them); cached blocks release on
+    # GC instead of leaking in the CacheManager — see _compat_join_frames
+    acc = acc.withColumn(
+        rid, F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
     matched = _compat_join_frames(
         acc, sub, shared, left_nulls, right_nulls,
         left_masks, right_masks,

@@ -163,6 +163,15 @@ def test_hostile_records_quarantine_not_hang():
     rows, err = parse_warc_pages(
         gzip.compress(_rec(b"http://x/", b"2026-01-01T00:00:00Z", b"x"))[:-5]
     )
+    # the cut removed only the gzip trailer: the streaming reader
+    # (round 6) salvages the complete record AND reports the
+    # truncation — the round-5 batch reader threw the record away
+    assert [r[0] for r in rows] == ["http://x/"] and "bad gzip" in err
+    # a cut inside the deflate data loses the record but must still
+    # be an error row, never an exception
+    rows, err = parse_warc_pages(
+        gzip.compress(_rec(b"http://x/", b"2026-01-01T00:00:00Z", b"x"))[:20]
+    )
     assert rows == [] and "bad gzip" in err
 
 
@@ -256,3 +265,74 @@ def test_read_cdxj(spark, tmp_path):
     assert ok.count() == 1
     # index sweeps must stay map-only: no exchange in the plan
     assert "Exchange" not in ok._jdf.queryExecution().executedPlan().toString()
+
+
+def test_streaming_parse_bounds_buffering():
+    """Round-6 memory-profile fix: the record walker must consume the
+    stream incrementally — the first page row comes out after reading
+    only a small prefix of a many-record file, never the whole
+    payload (the round-5 parse materialized the full decompressed
+    segment before emitting anything)."""
+    import io
+
+    from argo_spark.sources.warc import iter_warc_page_rows
+
+    data = b"".join(
+        _rec(b"http://s/%d" % i, b"2026-01-01T00:00:00Z", b"x" * 100_000)
+        for i in range(100)
+    )
+
+    class CountingReader(io.BytesIO):
+        bytes_read = 0
+
+        def read(self, n=-1):
+            out = super().read(n)
+            CountingReader.bytes_read += len(out)
+            return out
+
+    CountingReader.bytes_read = 0
+    it = iter_warc_page_rows(CountingReader(data))
+    url, ts, html = next(it)
+    assert url == "http://s/0" and len(html) == 100_000
+    # one record is ~100 KB and the chunk size is 1 MB: after the
+    # first row at most a few chunks may be buffered, not the ~10 MB
+    # file
+    assert CountingReader.bytes_read < len(data) // 4, (
+        CountingReader.bytes_read, len(data))
+    # and the remainder still parses completely
+    assert sum(1 for _ in it) == 99
+
+
+def test_streaming_parse_gzip_members():
+    """Per-member gzip (the on-spec .warc.gz layout) streams through
+    the same walker; rows parsed before a truncation are kept."""
+    recs = [
+        _rec(b"http://g/%d" % i, b"2026-01-01T00:00:00Z", b"y" * 10_000)
+        for i in range(10)
+    ]
+    members = b"".join(gzip.compress(r) for r in recs)
+    rows, err = parse_warc_pages(members)
+    assert err is None and len(rows) == 10
+    # truncate inside the LAST member: the first nine records survive
+    rows, err = parse_warc_pages(members[:-50])
+    assert len(rows) == 9 and "gzip" in err.lower()
+
+
+def test_wet_invalid_utf8_is_replaced_not_fatal(spark, tmp_path):
+    """docs_from_wet must never crash on a dirty WET payload: invalid
+    UTF-8 bytes decode with U+FFFD substitution (the extractors'
+    errors='replace' policy), not MALFORMED_CHARACTER_CODING."""
+    from argo_spark.sources.warc import docs_from_wet
+
+    conv = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://w/1\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        b"Content-Length: 5\r\n\r\na\xffb\xfec\r\n\r\n"
+    )
+    p = tmp_path / "seg.warc"
+    p.write_bytes(conv)
+    docs, errors = docs_from_wet(spark, str(p), persist=False)
+    assert errors.count() == 0
+    [row] = docs.collect()
+    assert row.text == "a�b�c"
