@@ -3690,7 +3690,9 @@ def test_tz_and_timezone(spark):
     assert got["<http://e/a>"] == ('"Z"', '"PT0S"' + DUR)
     assert got["<http://e/b>"] == ('"-05:30"', '"-PT5H30M"' + DUR)
     assert got["<http://e/c>"] == ('"+00:00"', '"PT0S"' + DUR)
-    assert got["<http://e/d>"] == ('""', None)
+    # non-dateTime operand: type error (unbound) for BOTH builtins —
+    # round 6 fixed TZ, which previously returned "" here
+    assert got["<http://e/d>"] == (None, None)
 
 
 def test_encode_for_uri_and_sha384_512(spark):
