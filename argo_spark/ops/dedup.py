@@ -844,29 +844,32 @@ def entity_dedup_mapping(
     test_dedup's equivalence test). Pass ``None`` to force the
     distributed path; above the cap it is taken automatically — at
     web scale the entity vocabulary can exceed any driver."""
-    # the entity list is tiny vs the triples table; checkpoint it so
-    # the LSH + connected-components actions don't re-scan the triples
-    # (lazy: the first downstream job materializes it — no extra job)
     surf = (
         entity_surface_forms(triples, iri_prefix)
         .groupBy("entity")
         .agg(F.min("name").alias("name"))
-        .localCheckpoint(eager=False)
     )
-    keyed = surf.select(
-        F.col("entity"),
-        F.lower(
-            F.concat(
-                F.col("name"),
-                F.lit(" "),
-                F.regexp_replace(
-                    F.element_at(F.split(F.col("entity"), "/"), -1), "[_()%]", " "
-                ),
-            )
-        ).alias("surface"),
-    )
+
+    def keyed_of(s):
+        return s.select(
+            F.col("entity"),
+            F.lower(
+                F.concat(
+                    F.col("name"),
+                    F.lit(" "),
+                    F.regexp_replace(
+                        F.element_at(F.split(F.col("entity"), "/"), -1),
+                        "[_()%]", " "
+                    ),
+                )
+            ).alias("surface"),
+        )
+
     if driver_max_entities is not None:
-        head = keyed.limit(driver_max_entities + 1).collect()
+        # driver path collects exactly once — no checkpoint needed
+        # (converting the plan to a checkpointed RDD costs a full
+        # analysis pass of ~0.3s of py4j/driver time per call)
+        head = keyed_of(surf).limit(driver_max_entities + 1).collect()
         if len(head) <= driver_max_entities:
             mapping = _driver_entity_mapping(
                 [(r.entity, r.surface) for r in head], shingle_k, threshold
@@ -878,6 +881,10 @@ def entity_dedup_mapping(
             "entity_dedup_mapping: > %d entities — distributed path",
             driver_max_entities,
         )
+    # distributed path: checkpoint so the LSH + connected-components
+    # actions don't re-scan the triples (lazy: the first downstream
+    # job materializes it — no extra job)
+    keyed = keyed_of(surf.localCheckpoint(eager=False))
     pairs = minhash_dedup_pairs(
         keyed, "entity", "surface", shingle_k=shingle_k,
         n_hashes=16, n_bands=8, threshold=threshold, mode="char",
